@@ -1,0 +1,142 @@
+"""Text analysis functions.
+
+Everything except `extract_text` is pure JVM builtin Column expressions
+(whole-stage codegen; no Python in the hot path) with exact DuckDB-SQL
+twins for the correctness oracle. `extract_text` is the one pandas UDF —
+the per-row byte-identity invariant of the north rule lives there.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# --------------------------------------------------------------- extraction --
+_OPEN = b"<p>"
+_CLOSE = b"</p>"
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """Extract body text from the synthetic page wrapper, byte-identically.
+    (The generator guarantees text contains no '<'.)"""
+    i = html.find(_OPEN)
+    j = html.rfind(_CLOSE)
+    if i < 0 or j < 0 or j < i:
+        return ""
+    return html[i + len(_OPEN) : j].decode("utf-8")
+
+
+@pandas_udf(StringType())
+def _extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)
+
+
+def extract_text(html: Column) -> Column:
+    """html BINARY → text STRING; byte-identical per url (north-rule
+    invariant, tested in test_pages_pipeline)."""
+    return _extract_text_udf(html)
+
+
+# --------------------------------------------------------------- token count --
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def sql_token_count(text_expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({text_expr}), '\\s+')) END"
+    )
+
+
+# -------------------------------------------------------------- BPE-ish split --
+def subword_count(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs + punctuation marks each count."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0)).cast("long")
+
+
+def sql_subword_count(text_expr: str) -> str:
+    return f"len(regexp_extract_all({text_expr}, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+# -------------------------------------------------------------------- quality --
+def quality_score(text: Column) -> Column:
+    """Deterministic quality heuristic ∈ [0,1]: length saturation × alpha
+    ratio. Same arithmetic, same order as the SQL twin (float-exact)."""
+    n_chars = F.length(text).cast("double")
+    n_alpha = F.length(F.regexp_replace(text, r"[^a-zA-Z]", "")).cast("double")
+    len_sat = F.least(F.lit(1.0), n_chars / F.lit(500.0))
+    alpha_ratio = F.when(n_chars == 0.0, F.lit(0.0)).otherwise(n_alpha / n_chars)
+    return len_sat * alpha_ratio
+
+
+def sql_quality_score(text_expr: str) -> str:
+    n = f"length({text_expr})::DOUBLE"
+    a = f"length(regexp_replace({text_expr}, '[^a-zA-Z]', '', 'g'))::DOUBLE"
+    return (
+        f"least(1.0, {n} / 500.0) * "
+        f"(CASE WHEN {n} = 0.0 THEN 0.0 ELSE {a} / {n} END)"
+    )
+
+
+# --------------------------------------------------------------------- lang id --
+# Marker-word lists for the n-gram/stopword heuristic. Deterministic CASE
+# chain (first max wins in fixed order) — identical in Spark and DuckDB.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "de"],
+    "pt": ["o", "a", "os", "e", "um", "uma", "nao"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es", "pt"]
+
+
+def _hits(text: Column, words: list[str]) -> Column:
+    toks = F.split(F.lower(text), r"\s+")
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: most distinct marker-word hits; ties resolve in
+    fixed order en>de>fr>es>pt; zero hits ⇒ 'und' (undetermined)."""
+    hits = {l: _hits(text, ws) for l, ws in LANG_MARKERS.items()}
+    best = F.greatest(*[hits[l] for l in _LANG_ORDER])
+    expr = F.lit("und")
+    for l in reversed(_LANG_ORDER):
+        expr = F.when((best > 0) & (hits[l] == best), F.lit(l)).otherwise(expr)
+    return expr
+
+
+def sql_lang_id(text_expr: str) -> str:
+    toks = f"regexp_split_to_array(lower({text_expr}), '\\s+')"
+    hits = {
+        l: f"len(list_intersect({toks}, {_sql_list(ws)}))" for l, ws in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits[l] for l in _LANG_ORDER) + ")"
+    case = "CASE "
+    for l in _LANG_ORDER:
+        case += f"WHEN {best} > 0 AND {hits[l]} = {best} THEN '{l}' "
+    case += "ELSE 'und' END"
+    return case
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ----------------------------------------------------------------- fingerprint --
+def doc_fingerprint(text: Column) -> Column:
+    """Whitespace-normalized md5 document fingerprint (exact-dedup key)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def sql_doc_fingerprint(text_expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,137 @@
+"""Point-in-polygon join: cover-cell equi-join pre-filter + broadcast
+polygon set + vectorized winding-number verification.
+
+Plan shape (scale rationale):
+  points ──(JVM builtin cell key)──► shuffle-free narrow map
+  cover(poly, res) ──small DF──► F.broadcast ⋈ on cell key   (no big shuffle)
+  candidates ──one Arrow-batched pandas UDF──► exact winding test → filter
+
+The polygon side is small by assumption (the reference north rule broadcasts
+a polygon R-tree per partition); the big side is touched by exactly one
+narrow projection + one broadcast hash join, so the plan scales linearly and
+AQE/salting is only needed downstream of grouped aggregations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from erased_cells_spark.operators.cells_expr import cell_key_expr, cell_key_np
+from erased_cells_spark.spatial.geom import points_in_ring, polygon_bbox
+
+DEFAULT_COVER_RES = 8  # 1.4° cells: ≤ ~150 cover cells for the largest fixture polygon
+
+
+def _cell_boxes(keys: np.ndarray, res: int):
+    n = np.int64(1) << np.int64(res)
+    iy, ix = np.divmod(keys.astype(np.int64), n)
+    w, h = 360.0 / float(n), 180.0 / float(n)
+    x0 = ix * w - 180.0
+    y0 = iy * h - 90.0
+    return x0, y0, x0 + w, y0 + h
+
+
+def _segments_intersect(p0, p1, q0, q1) -> bool:
+    d = lambda a, b, c: (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+    d1, d2 = d(q0, q1, p0), d(q0, q1, p1)
+    d3, d4 = d(p0, p1, q0), d(p0, p1, q1)
+    return ((d1 > 0) != (d2 > 0)) and ((d3 > 0) != (d4 > 0))
+
+
+def polygon_cover_keys(ring: np.ndarray, res: int) -> np.ndarray:
+    """Grid keys at `res` of cells intersecting the polygon — a conservative
+    superset (bbox cover refined by an exact cell-box × polygon test)."""
+    x0, y0, x1, y1 = polygon_bbox(ring)
+    n = np.int64(1) << np.int64(res)
+    w, h = 360.0 / float(n), 180.0 / float(n)
+    ix0, ix1 = int(np.floor((x0 + 180.0) / w)), int(np.floor((x1 + 180.0 - 1e-12) / w))
+    iy0, iy1 = int(np.floor((y0 + 90.0) / h)), int(np.floor((y1 + 90.0 - 1e-12) / h))
+    iy0, iy1 = max(iy0, 0), min(iy1, int(n) - 1)
+    xs = np.arange(ix0, ix1 + 1, dtype=np.int64) % n
+    ys = np.arange(iy0, iy1 + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(xs, ys)
+    keys = (gy * n + gx).ravel()
+
+    # refine: keep cells that actually intersect the polygon
+    bx0, by0, bx1, by1 = _cell_boxes(keys, res)
+    keep = np.zeros(len(keys), dtype=bool)
+    v = np.asarray(ring, np.float64)
+    # (a) any cell corner inside polygon
+    for cx, cy in ((bx0, by0), (bx1, by0), (bx0, by1), (bx1, by1)):
+        keep |= points_in_ring(cx, cy, v)
+    # (b) any polygon vertex inside the cell box
+    for px, py in v:
+        keep |= (bx0 <= px) & (px < bx1) & (by0 <= py) & (py < by1)
+    # (c) any polygon edge crosses any cell edge (only for still-unkept cells)
+    pending = np.nonzero(~keep)[0]
+    if len(pending):
+        edges = list(zip(v[:-1], v[1:]))
+        for idx in pending:
+            box = [
+                ((bx0[idx], by0[idx]), (bx1[idx], by0[idx])),
+                ((bx1[idx], by0[idx]), (bx1[idx], by1[idx])),
+                ((bx1[idx], by1[idx]), (bx0[idx], by1[idx])),
+                ((bx0[idx], by1[idx]), (bx0[idx], by0[idx])),
+            ]
+            keep[idx] = any(
+                _segments_intersect(p0, p1, q0, q1) for p0, p1 in edges for q0, q1 in box
+            )
+    return keys[keep]
+
+
+def polygon_cells_df(spark: SparkSession, polygons: list[dict], res: int) -> DataFrame:
+    rows = []
+    for p in polygons:
+        for k in polygon_cover_keys(p["ring"], res).tolist():
+            rows.append((int(p["poly_id"]), int(k)))
+    return spark.createDataFrame(rows, "poly_id INT, cell BIGINT")
+
+
+def pip_test_udf(polygons: list[dict]):
+    """Vectorized exact winding test: (lon, lat, poly_id) → bool. The ring
+    table ships once per executor inside the UDF closure (broadcast-sized)."""
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], np.float64) for p in polygons}
+
+    @pandas_udf(BooleanType())
+    def _inside(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lon_v = lon.to_numpy(np.float64)
+        lat_v = lat.to_numpy(np.float64)
+        pid_v = poly_id.to_numpy()
+        for pid in np.unique(pid_v):
+            sel = pid_v == pid
+            out[sel] = points_in_ring(lon_v[sel], lat_v[sel], rings[int(pid)])
+        return pd.Series(out)
+
+    return _inside
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: list[dict],
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = DEFAULT_COVER_RES,
+) -> DataFrame:
+    """points × polygons containment join. Returns points columns + poly_id
+    (a point may match several overlapping polygons → several rows)."""
+    spark = points.sparkSession
+    cells = polygon_cells_df(spark, polygons, res)
+    pts = points.withColumn("cell", cell_key_expr(F.col(lon_col), F.col(lat_col), res))
+    cand = pts.join(F.broadcast(cells), "cell")
+    inside = pip_test_udf(polygons)(F.col(lon_col), F.col(lat_col), F.col("poly_id"))
+    return cand.filter(inside).drop("cell")
+
+
+def pip_join_np(lon: np.ndarray, lat: np.ndarray, polygons: list[dict]) -> list[tuple[int, int]]:
+    """Brute-force oracle: ALL (point_idx, poly_id) containment pairs."""
+    out = []
+    for p in polygons:
+        hit = points_in_ring(lon, lat, p["ring"])
+        out.extend((int(i), int(p["poly_id"])) for i in np.nonzero(hit)[0])
+    return out
