@@ -1,0 +1,174 @@
+"""kNN join: k nearest pages per query point, via cell-ring expansion.
+
+The query side is tiny (broadcast); the point side is only ever touched by
+broadcast hash joins on the cell key — no all-pairs cross join, no big
+shuffle. Rounds expand a Chebyshev ring around each query cell (1, 2, 4, …
+cells) until the k-th best candidate is provably closer than anything outside
+the searched block (rigorous haversine lower bound, conservative at poles).
+
+Scale note: rounds are O(log ring); each round is one broadcast join over the
+(cell-keyed) points table, so the 100 TB plan is `scan × few broadcast joins`.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from erased_cells_spark.operators.cells_expr import cell_key_expr
+
+EARTH_R_KM = 6371.0088
+
+
+def haversine_km_expr(lon1, lat1, lon2, lat2):
+    """Great-circle distance in km, builtin-only (JVM codegen)."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (F.radians(lon2) - F.radians(lon1)) / 2.0
+    a = F.sin(dlat) * F.sin(dlat) + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    return F.lit(2.0 * EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_km_np(lon1, lat1, lon2, lat2):
+    rlat1, rlat2 = np.radians(lat1), np.radians(lat2)
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (np.radians(lon2) - np.radians(lon1)) / 2.0
+    a = np.sin(dlat) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon) ** 2
+    return 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def _outside_block_bound_km(q_lat: float, rk: int, res: int) -> float:
+    """Lower bound on distance from the query point to ANY point outside the
+    (2rk+1)² searched cell block. Points outside differ by > rk grid steps in
+    x or y; the query sits somewhere inside its center cell, so the clear
+    margin is (rk-1) full cells.
+
+    lat escape:  d ≥ R·Δφ                    (exact)
+    lon escape:  d ≥ (2/π)·R·Δλ·cos(band)    (rigorous: asin/sin inequalities),
+    with the cos taken at the worst latitude reachable without tripping the
+    lat bound (|lat| + (rk+1) cells, clamped).
+    """
+    if rk < 1:
+        return 0.0
+    n = 1 << res
+    cell_h = 180.0 / n
+    cell_w = 360.0 / n
+    margin = rk - 1
+    lat_bound = math.radians(margin * cell_h) * EARTH_R_KM
+    band = min(89.99, abs(q_lat) + (rk + 1) * cell_h)
+    lon_bound = (2.0 / math.pi) * EARTH_R_KM * math.radians(margin * cell_w) * math.cos(
+        math.radians(band)
+    )
+    return max(0.0, min(lat_bound, lon_bound))
+
+
+def _query_ring_keys(q_lon: float, q_lat: float, res: int, rk_lo: int, rk_hi: int):
+    """Grid keys with Chebyshev distance in (rk_lo, rk_hi] of the query cell
+    (rk_lo = -1 means include the center). Lon wraps, lat clamps."""
+    n = np.int64(1) << np.int64(res)
+    ix = np.int64(np.mod(np.floor((q_lon + 180.0) / 360.0 * float(n)), n))
+    iy = np.int64(np.clip(np.floor((q_lat + 90.0) / 180.0 * float(n)), 0, int(n) - 1))
+    d = np.arange(-rk_hi, rk_hi + 1)
+    dx, dy = np.meshgrid(d, d)
+    cheb = np.maximum(np.abs(dx), np.abs(dy))
+    sel = (cheb > rk_lo) & (cheb <= rk_hi)
+    nx = np.mod(ix + dx[sel], n)
+    ny = iy + dy[sel]
+    ok = (ny >= 0) & (ny < n)
+    return np.unique(ny[ok] * n + nx[ok])
+
+
+def knn_join(
+    points: DataFrame,
+    queries: list[dict],
+    k: int = 5,
+    res: int = 7,
+    id_col: str = "url",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """queries: [{q_id, lon, lat}, ...] (small). Returns (q_id, {id_col},
+    lon, lat, dist_km, rank) with rank ∈ [1, k], ties broken by id asc."""
+    spark = points.sparkSession
+    pts = points.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(lon_col).alias("p_lon"),
+        F.col(lat_col).alias("p_lat"),
+        cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    ).cache()
+
+    pending = {int(q["q_id"]): (float(q["lon"]), float(q["lat"])) for q in queries}
+    acc: DataFrame | None = None
+    prev_rk: dict[int, int] = {qid: -1 for qid in pending}
+    rk = 1
+    n = 1 << res
+
+    for _ in range(max_rounds):
+        if not pending:
+            break
+        rows = []
+        for qid, (qlon, qlat) in pending.items():
+            for key in _query_ring_keys(qlon, qlat, res, prev_rk[qid], rk).tolist():
+                rows.append((qid, int(key)))
+            prev_rk[qid] = rk
+        qcells = spark.createDataFrame(rows, "q_id INT, cell BIGINT")
+        qmeta = spark.createDataFrame(
+            [(qid, lon, lat) for qid, (lon, lat) in pending.items()],
+            "q_id INT, q_lon DOUBLE, q_lat DOUBLE",
+        )
+        cand = (
+            pts.join(F.broadcast(qcells), "cell")
+            .join(F.broadcast(qmeta), "q_id")
+            .select(
+                "q_id",
+                "nn_id",
+                F.col("p_lon"),
+                F.col("p_lat"),
+                haversine_km_expr(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
+            )
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        acc = acc.localCheckpoint(eager=True)  # keep the loop's lineage flat
+
+        # per-query k-th distance so far (tiny collect: |queries| rows)
+        w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+        stats = (
+            acc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n"), F.max("dist_km").alias("kth"))
+            .collect()
+        )
+        by_q = {r.q_id: r for r in stats}
+        done = []
+        for qid, (qlon, qlat) in pending.items():
+            bound = _outside_block_bound_km(qlat, prev_rk[qid], res)
+            r = by_q.get(qid)
+            if r is not None and r.n >= k and r.kth <= bound:
+                done.append(qid)
+            elif prev_rk[qid] * 2 >= n:  # searched the whole grid
+                done.append(qid)
+        for qid in done:
+            pending.pop(qid)
+        rk = min(rk * 2, n)
+
+    w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+    return (
+        acc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "dist_km", "rank")
+    )
+
+
+def knn_np(points_lon, points_lat, point_ids, queries: list[dict], k: int = 5):
+    """Brute-force haversine oracle; ties by id asc."""
+    out = []
+    for q in queries:
+        d = haversine_km_np(q["lon"], q["lat"], points_lon, points_lat)
+        order = sorted(range(len(d)), key=lambda i: (d[i], point_ids[i]))[:k]
+        out.extend((int(q["q_id"]), point_ids[i], float(d[i]), r + 1) for r, i in enumerate(order))
+    return out

@@ -1,0 +1,187 @@
+"""Raster ↔ vector operators: rasterize-to-tile and zonal statistics.
+
+rasterize: point density burned into per-tile grids — groupBy(cell).count is
+a map-side-combinable shuffle; the tile build is one applyInPandas over the
+(already small) per-cell counts; tiles carry NODATA masks where no data fell.
+
+zonal: tile ∩ zone candidates via broadcast equi-join on tile key, then one
+pandas kernel doing {zone mask ∧ tile mask → masked partial (min,max,sum,n)}
+with the erased-cells kernels, then an ordinary groupBy(zone).agg final
+reduce — i.e. partial aggregation happens WHERE THE TILE LIVES, only tiny
+partials shuffle (reference kernel reuse: MaskedCellBuffer.min_max / mask AND).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from erased_cells_spark.cells import CellBuffer, CellType, Mask, MaskedCellBuffer
+from erased_cells_spark.operators.cells_expr import cell_key_expr
+from erased_cells_spark.operators.pip import polygon_cover_keys
+from erased_cells_spark.spatial.geom import points_in_ring
+
+TILE_OUT_SCHEMA = StructType(
+    [
+        StructField("tile_key", LongType(), False),
+        StructField("cell_type", StringType(), False),
+        StructField("cols", IntegerType(), False),
+        StructField("rows", IntegerType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("mask", BinaryType(), False),
+    ]
+)
+
+
+def _tile_key_expr(cell: F.Column, res: int, tile_shift: int) -> F.Column:
+    """Parent tile key: (iy >> s) * 2^(res-s) + (ix >> s) — plain arithmetic."""
+    n = 1 << res
+    tn = 1 << (res - tile_shift)
+    iy = F.shiftright(cell.cast("long"), res)
+    ix = cell.cast("long") - iy * F.lit(n)
+    return F.shiftright(iy, tile_shift) * F.lit(tn) + F.shiftright(ix, tile_shift)
+
+
+def rasterize_points(
+    points: DataFrame,
+    res: int = 10,
+    tile_shift: int = 4,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Point density raster: count (or sum of weight) per fine cell at `res`,
+    packed into (2^tile_shift)² uint32/float64 tiles. Mask marks cells that
+    received ≥1 point (NODATA elsewhere)."""
+    n = 1 << res
+    ts = 1 << tile_shift
+    agg = F.sum(F.col(weight_col)).alias("v") if weight_col else F.count("*").alias("v")
+    per_cell = (
+        points.select(cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"), *(
+            [F.col(weight_col)] if weight_col else []
+        ))
+        .groupBy("cell")
+        .agg(agg)
+    )
+    dtype = "Float64" if weight_col else "UInt32"
+    np_dtype = np.float64 if weight_col else np.uint32
+    with_tile = per_cell.withColumn("tile_key", _tile_key_expr(F.col("cell"), res, tile_shift))
+
+    def burn(key, pdf: pd.DataFrame):
+        tile_key = int(key[0])
+        grid = np.zeros((ts, ts), dtype=np_dtype)
+        mask = np.zeros((ts, ts), dtype=bool)
+        cells = pdf["cell"].to_numpy(np.int64)
+        vals = pdf["v"].to_numpy()
+        iy = cells // n
+        ix = cells - iy * n
+        ly, lx = iy % ts, ix % ts
+        grid[ly, lx] = vals.astype(np_dtype)
+        mask[ly, lx] = True
+        return pd.DataFrame(
+            [
+                {
+                    "tile_key": tile_key,
+                    "cell_type": dtype,
+                    "cols": ts,
+                    "rows": ts,
+                    "data": grid.tobytes(),
+                    "mask": mask.astype(np.uint8).tobytes(),
+                }
+            ]
+        )
+
+    return with_tile.groupBy("tile_key").applyInPandas(burn, TILE_OUT_SCHEMA)
+
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("poly_id", IntegerType(), False),
+        StructField("p_min", DoubleType(), True),
+        StructField("p_max", DoubleType(), True),
+        StructField("p_sum", DoubleType(), False),
+        StructField("p_cnt", LongType(), False),
+    ]
+)
+
+
+def _tile_cell_centers(tile_key: int, res: int, tile_shift: int):
+    """(lon, lat) centers of each cell in the tile, shape (ts, ts)."""
+    n = 1 << res
+    ts = 1 << tile_shift
+    tn = 1 << (res - tile_shift)
+    tiy, tix = divmod(tile_key, tn)
+    ix0, iy0 = tix * ts, tiy * ts
+    xs = (ix0 + np.arange(ts) + 0.5) / n * 360.0 - 180.0
+    ys = (iy0 + np.arange(ts) + 0.5) / n * 180.0 - 90.0
+    return np.meshgrid(xs, ys)
+
+
+def zonal_stats(
+    tiles: DataFrame,
+    polygons: list[dict],
+    res: int = 10,
+    tile_shift: int = 4,
+) -> DataFrame:
+    """Zonal min/max/mean/sum/count of a tiled raster under each polygon.
+    Zone membership of a cell = its CENTER in the polygon (one convention,
+    shared with the oracle)."""
+    spark = tiles.sparkSession
+    tn_shift = tile_shift
+    # zone → candidate tile keys (driver-side cover, broadcast join)
+    rows = []
+    for p in polygons:
+        fine = polygon_cover_keys(p["ring"], res)
+        n = np.int64(1) << np.int64(res)
+        tn = np.int64(1) << np.int64(res - tile_shift)
+        iy, ix = np.divmod(fine, n)
+        tkeys = np.unique((iy >> tn_shift) * tn + (ix >> tn_shift))
+        rows.extend((int(p["poly_id"]), int(t)) for t in tkeys.tolist())
+    ztiles = spark.createDataFrame(rows, "poly_id INT, tile_key BIGINT")
+    cand = tiles.join(F.broadcast(ztiles), "tile_key")
+
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], np.float64) for p in polygons}
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            ring = rings[int(r.poly_id)]
+            buf = CellBuffer.from_bytes(r.data, CellType.parse(r.cell_type))
+            tile_mask = Mask.from_bytes(r.mask)
+            gx, gy = _tile_cell_centers(int(r.tile_key), res, tile_shift)
+            zone = points_in_ring(gx.ravel(), gy.ravel(), ring)
+            m = MaskedCellBuffer(buf, Mask(tile_mask.data & zone))  # mask AND
+            d, _ = m.counts()
+            if d == 0:
+                continue
+            lo, hi = m.min_max()  # mask-aware reference kernel
+            s = float(buf.data.astype(np.float64)[m.mask.data].sum())
+            out.append(
+                {"poly_id": int(r.poly_id), "p_min": float(lo.v), "p_max": float(hi.v),
+                 "p_sum": s, "p_cnt": int(d)}
+            )
+        return pd.DataFrame(out, columns=["poly_id", "p_min", "p_max", "p_sum", "p_cnt"])
+
+    part = cand.mapInPandas(lambda it: (partials(pdf) for pdf in it), PARTIAL_SCHEMA)
+    return (
+        part.groupBy("poly_id")
+        .agg(
+            F.min("p_min").alias("z_min"),
+            F.max("p_max").alias("z_max"),
+            F.sum("p_sum").alias("z_sum"),
+            F.sum("p_cnt").alias("z_count"),
+        )
+        .withColumn("z_mean", F.col("z_sum") / F.col("z_count"))
+        .orderBy("poly_id")
+    )
