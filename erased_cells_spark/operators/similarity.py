@@ -1,0 +1,133 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: builtin-only (zip_with/aggregate fold — stays in
+  codegen; no Python). The correctness baseline.
+- LSH-bucketed ANN: random-hyperplane signatures bucket the vectors; queries
+  probe their own + neighboring buckets (multi-probe by sign-flip), rerank
+  exactly within the probed set. The scale path: bucket join instead of
+  all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k by cosine per query: broadcast the (small) query side and
+    cross-join — one scan of the big side, map-side scoring, per-query top-k
+    via window. Self-match (same id) excluded upstream if desired."""
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("nn_id"),
+        cosine_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("q_id", "rank")
+    )
+
+
+# ------------------------------------------------------------- LSH-bucketed --
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_sign_udf(dim: int, n_planes: int = 12, seed: int = 7):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf(LongType())
+    def _sig(vec: pd.Series) -> pd.Series:
+        m = np.vstack(vec.to_numpy())  # (batch, dim)
+        signs = (m @ planes.T) > 0  # (batch, planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return _sig
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 12,
+    probe_depth: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Approximate top-k: probe every bucket within hamming distance
+    `probe_depth` of the query's bucket (multi-probe LSH), rerank exactly
+    inside the probed buckets. Recall is tested (not assumed) in pytest; for
+    exact-match workloads use cosine_topk."""
+    import itertools
+
+    sig = lsh_sign_udf(dim, n_planes)
+    e = emb.withColumn("bucket", sig(F.col(vec_col)))
+    qsig = queries.withColumn("bucket0", sig(F.col(q_vec_col)))
+    flips = [0] + [
+        sum(1 << i for i in combo)
+        for d in range(1, probe_depth + 1)
+        for combo in itertools.combinations(range(n_planes), d)
+    ]
+    probe_cols = [F.col("bucket0").bitwiseXOR(F.lit(m)) for m in flips]
+    q = qsig.withColumn("bucket", F.explode(F.array(*probe_cols)))
+    cand = e.join(F.broadcast(q), "bucket").select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(id_col).alias("nn_id"),
+        cosine_expr(
+            F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
+        ).alias("cosine"),
+    ).dropDuplicates(["q_id", "nn_id"])
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("q_id", "rank")
+    )
+
+
+def cosine_topk_np(vecs: np.ndarray, ids, q_vecs: np.ndarray, q_ids, k: int):
+    """Brute-force oracle."""
+    out = []
+    nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    nq = q_vecs / np.linalg.norm(q_vecs, axis=1, keepdims=True)
+    sims = nq @ nv.T
+    for qi, q_id in enumerate(q_ids):
+        order = sorted(range(len(ids)), key=lambda i: (-sims[qi, i], ids[i]))[:k]
+        out.extend((q_id, ids[i], r + 1, round(float(sims[qi, i]), 6)) for r, i in enumerate(order))
+    return out

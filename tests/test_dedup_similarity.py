@@ -1,0 +1,141 @@
+"""Dedup family vs brute-force oracles on a planted-duplicate corpus;
+similarity search vs exact numpy cosine on the driver embeddings table."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import zlib
+from pyspark.sql import functions as F
+
+from erased_cells_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs_np,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from erased_cells_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    cosine_topk_np,
+)
+from erased_cells_spark.sources.pages import gen_batch
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """200 generated docs + planted exact dups + near-dups (1-2 word edits)."""
+    base = gen_batch(np.arange(200), seed=7)[["text"]].copy()
+    base["doc_id"] = np.arange(200)
+    rows = base.to_dict("records")
+    # exact duplicates of docs 0..4 (ids 200..204)
+    for i in range(5):
+        rows.append({"text": rows[i]["text"], "doc_id": 200 + i})
+    # near duplicates of docs 10..19: mutate 2 words (ids 210..219)
+    for i in range(10):
+        words = rows[10 + i]["text"].split()
+        words[0] = "zzz"
+        words[len(words) // 2] = "qqq"
+        rows.append({"text": " ".join(words), "doc_id": 210 + i})
+    pdf = pd.DataFrame(rows)
+    return spark.createDataFrame(pdf), pdf
+
+
+class TestDedup:
+    def test_exact(self, spark, corpus):
+        df, pdf = corpus
+        got = exact_dedup_groups(df).collect()
+        assert len(got) == 5
+        for r in got:
+            assert r.n_docs == 2 and r.keep_id < 200
+
+    def test_ngram_jaccard_matches_oracle(self, spark, corpus):
+        df, pdf = corpus
+        got = [(r.id_a, r.id_b, r.jaccard) for r in ngram_jaccard_pairs(df, 0.5).collect()]
+        want = jaccard_pairs_np(pdf.doc_id.tolist(), pdf.text.tolist(), 0.5)
+        assert len(got) == len(want) >= 15  # 5 exact + 10 near pairs at least
+        for (ga, gb, gj), (wa, wb, wj) in zip(got, want):
+            assert (ga, gb) == (wa, wb)
+            assert gj == pytest.approx(wj, abs=1e-12)
+
+    def test_minhash_lsh_equals_exact(self, spark, corpus):
+        df, pdf = corpus
+        exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, 0.5).collect()}
+        lsh = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, 0.5).collect()}
+        assert lsh == exact  # verification keeps precision; bands keep recall
+
+    def test_simhash_matches_bruteforce(self, spark, corpus):
+        df, pdf = corpus
+        got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, 3).collect()}
+
+        # brute-force simhash twin
+        def sim(t):
+            words = t.split()
+            hs = np.empty(len(words), np.uint64)
+            for i, w in enumerate(words):
+                b = w.encode()
+                hs[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            out = 0
+            for j in range(64):
+                if v[j] > 0:
+                    out |= 1 << j
+            return out >> 1
+
+        sigs = {r.doc_id: sim(r.text) for r in pdf.itertuples(index=False)}
+        want = {}
+        ids = sorted(sigs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                h = bin(sigs[a] ^ sigs[b]).count("1")
+                if h <= 3:
+                    want[(a, b)] = h
+        assert got == want
+        assert len(want) >= 5  # exact dups have distance 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+    @pytest.fixture(scope="class")
+    def emb_pd(self, emb):
+        pdf = emb.toPandas()
+        return np.vstack(pdf.embedding.to_numpy()).astype(np.float64), pdf.vec_id.tolist()
+
+    def test_cosine_topk_matches_numpy(self, spark, emb, emb_pd):
+        vecs, ids = emb_pd
+        queries = emb.limit(8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        got = [(r.q_id, r.nn_id, r.rank) for r in cosine_topk(emb, queries, k=10).collect()]
+        q = queries.toPandas()
+        want = [
+            (a, b, r)
+            for a, b, r, _ in cosine_topk_np(
+                vecs, ids, np.vstack(q.q_vec.to_numpy()).astype(np.float64), q.q_id.tolist(), 10
+            )
+        ]
+        assert got == want
+
+    def test_ann_lsh_recall(self, spark, emb, emb_pd):
+        vecs, ids = emb_pd
+        queries = emb.limit(16).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        # bucket count must track corpus size: 2^4 buckets for 500 vectors
+        approx = ann_lsh_topk(emb, queries, k=10, dim=vecs.shape[1], n_planes=4, probe_depth=2).collect()
+        q = queries.toPandas()
+        exact = cosine_topk_np(
+            vecs, ids, np.vstack(q.q_vec.to_numpy()).astype(np.float64), q.q_id.tolist(), 10
+        )
+        exact_set = {(a, b) for a, b, _, _ in exact}
+        hit = sum(1 for r in approx if (r.q_id, r.nn_id) in exact_set)
+        assert hit / len(exact_set) >= 0.5  # multi-probe LSH recall floor
+        # rank-1 self-match always found (query ∈ its own bucket)
+        r1 = {r.q_id: r.nn_id for r in approx if r.rank == 1}
+        assert all(r1[qid] == qid for qid in q.q_id.tolist())
