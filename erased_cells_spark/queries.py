@@ -1,0 +1,556 @@
+"""The engine's query surface: named queries over the driver test tables,
+each paired (where SQL-expressible) with a DuckDB oracle — the driver's
+correctness gate (CORRECTNESS_r{N}.json).
+
+Conventions for hash parity between Spark and DuckDB:
+- every computed column is aliased identically on both sides,
+- doubles produced by order-dependent folds are round()-ed on both sides,
+- timestamps are emitted as formatted strings,
+- every query has a total deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from erased_cells_spark.functions import text as T
+from erased_cells_spark.functions.geocode import geocode_lat, geocode_lon, sql_lat, sql_lon
+from erased_cells_spark.operators import cells_expr as CE
+from erased_cells_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from erased_cells_spark.operators.knn import haversine_km_expr, knn_join
+from erased_cells_spark.operators.pip import pip_join
+from erased_cells_spark.operators.raster import rasterize_points, zonal_stats
+from erased_cells_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from erased_cells_spark.spatial.geom import make_polygon_fixtures
+
+SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        SPARK_QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =========================================================== relational ====
+@query(
+    "q1_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                                        AS sum_qty,
+       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q1(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l.l_orderkey AS l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+SELECT r.r_name AS r_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       count(*) AS n_lineitems
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey   = c.c_custkey
+JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+GROUP BY r.r_name
+ORDER BY r_name
+""",
+)
+def q5(spark, sf_dir):
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    # dims broadcast explicitly: region/nation/customer are tiny at any SF
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ============================================================== events ====
+@query(
+    "events_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_s, event_type,
+       count(*) AS n, round(sum("value"), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_s"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("hour_s", "event_type")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS end_s
+FROM s GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionize(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        F.col("ts") <= prev + F.expr("INTERVAL 30 MINUTES"), F.lit(0)
+    ).otherwise(F.lit(1))  # NULL lag (first event) falls to ELSE 1, like the SQL CASE
+    s = e.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("start_s"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("end_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_user_top3",
+    oracle="""
+SELECT user_id, event_id, round("value", 6) AS value_r, rnk
+FROM (
+  SELECT user_id, event_id, "value",
+         row_number() OVER (PARTITION BY user_id ORDER BY "value" DESC, event_id) AS rnk
+  FROM events WHERE event_type = 'purchase'
+) WHERE rnk <= 3
+ORDER BY user_id, rnk
+""",
+)
+def events_user_top3(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), "event_id")
+    return (
+        e.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value_r"), "rnk")
+        .orderBy("user_id", "rnk")
+    )
+
+
+# =========================================================== documents ====
+@query(
+    "doc_stats",
+    oracle=f"""
+SELECT doc_id,
+       {T.sql_token_count('text')}   AS n_tokens,
+       {T.sql_subword_count('text')} AS n_subwords,
+       round({T.sql_quality_score('text')}, 6) AS quality_r,
+       {T.sql_doc_fingerprint('text')} AS fp
+FROM documents ORDER BY doc_id
+""",
+)
+def doc_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.subword_count(F.col("text")).alias("n_subwords"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality_r"),
+        T.doc_fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_langid_by_source",
+    oracle=f"""
+SELECT source, {T.sql_lang_id('text')} AS pred_lang, count(*) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def doc_langid(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("source", T.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("source", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "pred_lang")
+    )
+
+
+@query(
+    "exact_dup_groups",
+    oracle=f"""
+SELECT {T.sql_doc_fingerprint('text')} AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp
+""",
+)
+def exact_dups(spark, sf_dir):
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ida AS id_a, idb AS id_b,
+       round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard_r
+FROM inter
+JOIN sizes sa ON sa.doc_id = ida
+JOIN sizes sb ON sb.doc_id = idb
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+@query("ngram_jaccard_dups", oracle=_JACCARD_SQL)
+def jaccard_dups(spark, sf_dir):
+    out = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), 0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("minhash_lsh_dups", oracle=_JACCARD_SQL)
+def minhash_dups(spark, sf_dir):
+    # LSH candidates + exact verification ⇒ same set as the exact operator
+    out = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("simhash_dups")  # signature algebra is not SQL-expressible → rows-only check
+def simhash_dups(spark, sf_dir):
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+# =========================================================== geospatial ====
+# per-doc geocode key (documents have only 20 sources; per-doc keys give the
+# spatial spread the PIP/kNN/zonal operators need exercising)
+_DOC_KEY_SQL = "source || '-' || doc_id::VARCHAR"
+_DOC_PTS_SQL = f"""
+SELECT doc_id, source, n_chars,
+       {sql_lon(_DOC_KEY_SQL)} AS lon,
+       {sql_lat(_DOC_KEY_SQL)} AS lat
+FROM documents
+"""
+
+
+def _doc_points(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    key = F.concat(F.col("source"), F.lit("-"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        geocode_lon(key).alias("lon"),
+        geocode_lat(key).alias("lat"),
+    )
+
+
+@query(
+    "geo_cell_counts",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL})
+SELECT {CE.sql_ix('lon', 6)} AS ix, {CE.sql_iy('lat', 6)} AS iy,
+       count(*) AS n_docs, count(DISTINCT source) AS n_hosts
+FROM pts GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def geo_cell_counts(spark, sf_dir):
+    p = _doc_points(spark, sf_dir)
+    return (
+        p.select(
+            CE.ix_expr(F.col("lon"), 6).alias("ix"),
+            CE.iy_expr(F.col("lat"), 6).alias("iy"),
+            "source",
+        )
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("source").alias("n_hosts"))
+        .orderBy("ix", "iy")
+    )
+
+
+# literal box zones (non-grid-aligned corners → no center-on-edge ambiguity)
+_BOXES = [
+    (0, -120.3, -45.7, -30.1, 10.9),
+    (1, -29.7, -60.2, 60.4, 0.3),
+    (2, -170.5, 1.1, -60.8, 70.6),
+    (3, 10.7, 20.4, 170.2, 80.8),
+]
+_BOXES_SQL = "zones(zone_id, x0, y0, x1, y1) AS (VALUES " + ", ".join(
+    f"({z}, {x0!r}, {y0!r}, {x1!r}, {y1!r})" for z, x0, y0, x1, y1 in _BOXES
+) + ")"
+
+
+@query(
+    "zone_box_stats",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}), {_BOXES_SQL}
+SELECT z.zone_id, count(*) AS n_docs, round(avg(p.n_chars), 4) AS avg_chars
+FROM pts p JOIN zones z
+  ON p.lon >= z.x0 AND p.lon < z.x1 AND p.lat >= z.y0 AND p.lat < z.y1
+GROUP BY z.zone_id ORDER BY z.zone_id
+""",
+)
+def zone_box_stats(spark, sf_dir):
+    p = _doc_points(spark, sf_dir)
+    zones = spark.createDataFrame(_BOXES, "zone_id INT, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE")
+    cond = (
+        (F.col("lon") >= F.col("x0"))
+        & (F.col("lon") < F.col("x1"))
+        & (F.col("lat") >= F.col("y0"))
+        & (F.col("lat") < F.col("y1"))
+    )
+    return (
+        p.join(F.broadcast(zones), cond)
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("zone_id")
+    )
+
+
+def _box_ring(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64)
+
+
+@query(
+    "zonal_raster_box_stats",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_ix('lon', 8)} AS ix, {CE.sql_iy('lat', 8)} AS iy, count(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+centers AS (
+  SELECT ix, iy, c,
+         (ix + 0.5) / 256.0 * 360.0 - 180.0 AS cx,
+         (iy + 0.5) / 256.0 * 180.0 - 90.0  AS cy
+  FROM cells
+), {_BOXES_SQL}
+SELECT z.zone_id AS poly_id,
+       min(c)::DOUBLE AS z_min, max(c)::DOUBLE AS z_max,
+       sum(c)::DOUBLE AS z_sum, count(*) AS z_count,
+       round(sum(c)::DOUBLE / count(*), 6) AS z_mean_r
+FROM centers JOIN zones z
+  ON cx >= z.x0 AND cx < z.x1 AND cy >= z.y0 AND cy < z.y1
+GROUP BY z.zone_id ORDER BY poly_id
+""",
+)
+def zonal_raster_box_stats(spark, sf_dir):
+    """Rasterize doc density at res 8, then tile-kernel zonal stats under the
+    box zones — the erased-cells masked kernels inside a DuckDB-checked query."""
+    p = _doc_points(spark, sf_dir)
+    tiles = rasterize_points(p, res=8, tile_shift=4)
+    polys = [
+        {"poly_id": z, "name": f"box{z}", "ring": _box_ring(x0, y0, x1, y1)}
+        for z, x0, y0, x1, y1 in _BOXES
+    ]
+    out = zonal_stats(tiles, polys, res=8, tile_shift=4)
+    return out.select(
+        "poly_id", "z_min", "z_max", "z_sum", "z_count",
+        F.round(F.col("z_mean"), 6).alias("z_mean_r"),
+    ).orderBy("poly_id")
+
+
+# deterministic kNN query points (literal in both engines)
+_KNN_QUERIES = [
+    {"q_id": i, "lon": float(lon), "lat": float(lat)}
+    for i, (lon, lat) in enumerate(
+        np.random.default_rng(2025).uniform([-170, -80], [170, 80], (16, 2)).round(6)
+    )
+]
+_KNN_VALUES = ", ".join(f"({q['q_id']}, {q['lon']!r}, {q['lat']!r})" for q in _KNN_QUERIES)
+
+
+@query(
+    "knn_docs",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+q(q_id, q_lon, q_lat) AS (VALUES {_KNN_VALUES}),
+d AS (
+  SELECT q.q_id, p.doc_id AS nn_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(p.lat) - radians(q.q_lat)) / 2.0) * sin((radians(p.lat) - radians(q.q_lat)) / 2.0)
+           + cos(radians(q.q_lat)) * cos(radians(p.lat))
+             * sin((radians(p.lon) - radians(q.q_lon)) / 2.0) * sin((radians(p.lon) - radians(q.q_lon)) / 2.0)
+         )) AS dist
+  FROM pts p, q
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rnk
+  FROM d
+) WHERE rnk <= 5 ORDER BY q_id, rnk
+""",
+)
+def knn_docs(spark, sf_dir):
+    p = _doc_points(spark, sf_dir)
+    out = knn_join(p, _KNN_QUERIES, k=5, res=7, id_col="doc_id")
+    return out.select("q_id", "nn_id", F.col("rank").alias("rnk")).orderBy("q_id", "rnk")
+
+
+@query("pip_zone_counts")  # winding-number test is not SQL-expressible → rows-only
+def pip_zone_counts(spark, sf_dir):
+    p = _doc_points(spark, sf_dir)
+    polys = make_polygon_fixtures(64, seed=42)
+    return (
+        pip_join(p, polys)
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("poly_id")
+    )
+
+
+# =========================================================== similarity ====
+@query(
+    "cosine_topk_embeddings",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.q_id, e.vec_id AS nn_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec::DOUBLE[]) AS c
+  FROM embeddings e, q
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS rnk
+  FROM s
+) WHERE rnk <= 10 ORDER BY q_id, rnk
+""",
+)
+def cosine_topk_embeddings(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = cosine_topk(e, q, k=10)
+    return out.select("q_id", "nn_id", F.col("rank").alias("rnk")).orderBy("q_id", "rnk")
+
+
+@query("ann_lsh_embeddings")  # approximate → rows-only; recall proven in pytest
+def ann_lsh_embeddings(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        ann_lsh_topk(e, q, k=10, dim=64, n_planes=4, probe_depth=2)
+        .select("q_id", "nn_id", F.col("rank").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )
