@@ -1,0 +1,121 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Also reports rows/sec for the flagship pages pipeline (the north-rule metric)
+in the "extra" field.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "events_hourly",
+    "events_sessionize",
+    "doc_stats",
+    "minhash_lsh_dups",
+    "geo_cell_counts",
+    "zonal_raster_box_stats",
+    "knn_docs",
+    "pip_zone_counts",
+    "cosine_topk_embeddings",
+]
+
+N_PAGES_FLAGSHIP = 200_000
+
+
+def build_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("erased-cells-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def pages_table(spark: SparkSession, n_pages: int) -> str:
+    """Materialize the synthetic pages table once (untimed) — the benchmark
+    then SCANS it, like the north rule's Iceberg table."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".data", f"pages_{n_pages}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from erased_cells_spark.sources.pages import materialize_pages
+
+        materialize_pages(spark, n_pages, 42, path)
+    return path
+
+
+def run_flagship_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
+    """North-rule pipeline: scan pages table → extract text (byte-identity
+    checked) → geocode → cell-encode → PIP join → zonal counts."""
+    from erased_cells_spark.pipeline import flagship_zone_counts, geocoded_pages
+    from pyspark.sql import functions as F
+
+    path = pages_table(spark, n_pages)
+    pages = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    g = geocoded_pages(pages)
+    # one pass: extraction-mismatch count + per-zone counts
+    bad = g.filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0, f"{bad} extraction mismatches"
+    flagship_zone_counts(pages).collect()
+    return time.perf_counter() - t0, n_pages
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from erased_cells_spark.queries import SPARK_QUERIES
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = SPARK_QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    fl_sec, fl_rows = run_flagship_pages(spark, N_PAGES_FLAGSHIP)
+    per_query["flagship_pages_pipeline"] = round(fl_sec, 3)
+    total += fl_sec
+    rows_per_sec = fl_rows / fl_sec
+
+    out = {
+        "metric": "headline query suite + flagship pages pipeline wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_dir,
+        "extra": {
+            "cpus": cpus,
+            "flagship_pages": fl_rows,
+            "flagship_rows_per_sec": round(rows_per_sec, 1),
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule: ≥0.8 from N→4N).
+
+No real cluster in this sandbox, so per the driver instruction the same job
+runs at two parallelism levels — local[8] and local[32] — on the SAME input
+(materialized pages parquet). Per level: 1 warmup run (JIT + python-worker
+spin-up) then `--runs` timed runs; median is reported.
+
+Writes/updates the '## Measured scaling' section of BENCH.md.
+
+Usage: python tools/scaling_bench.py [--pages 2000000] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run_once(spark, path: str) -> float:
+    from erased_cells_spark.pipeline import flagship_zone_counts, geocoded_pages
+
+    pages = spark.read.parquet(path)
+    t0 = time.perf_counter()
+    bad = geocoded_pages(pages).filter(F.col("extracted") != F.col("text")).count()
+    assert bad == 0
+    flagship_zone_counts(pages).collect()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=2_000_000)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args()
+
+    from bench import build_spark, pages_table
+
+    # materialize once with the big session
+    s = build_spark(32)
+    s.sparkContext.setLogLevel("ERROR")
+    path = pages_table(s, args.pages)
+    s.stop()
+
+    results = {}
+    for cpus in (8, 32):
+        s = build_spark(cpus)
+        s.sparkContext.setLogLevel("ERROR")
+        run_once(s, path)  # warmup
+        times = [run_once(s, path) for _ in range(args.runs)]
+        s.stop()
+        med = statistics.median(times)
+        results[cpus] = {
+            "times": [round(x, 2) for x in times],
+            "median_sec": round(med, 2),
+            "rows_per_sec": round(args.pages / med, 0),
+        }
+        print(f"cpus={cpus}: {results[cpus]}", flush=True)
+
+    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / (32 / 8)
+    summary = {
+        "pages": args.pages,
+        "local8": results[8],
+        "local32": results[32],
+        "scaling_efficiency": round(eff, 3),
+        "criterion": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+
+    section = f"""## Measured scaling (this sandbox, {args.pages:,} pages)
+
+Same flagship job (scan → extract+verify → geocode → cell-encode → PIP join →
+zonal agg) on the same parquet input, 1 warmup + {args.runs} timed runs per level,
+median reported.
+
+| parallelism | runs (s) | median (s) | rows/sec |
+|---|---|---|---|
+| local[8]  | {results[8]["times"]} | {results[8]["median_sec"]} | {results[8]["rows_per_sec"]:.0f} |
+| local[32] | {results[32]["times"]} | {results[32]["median_sec"]} | {results[32]["rows_per_sec"]:.0f} |
+
+**Scaling efficiency (N→4N cores) = {eff:.3f}** (criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
+"""
+    _update_bench_md(section)
+
+
+def _update_bench_md(section: str) -> None:
+    import re
+
+    p = "/root/repo/BENCH.md"
+    try:
+        cur = open(p).read()
+    except FileNotFoundError:
+        cur = "# BENCH — engine throughput & scaling evidence\n\n"
+    cur = re.sub(r"## Measured scaling.*?(?=\n## |\Z)", "", cur, flags=re.S).rstrip() + "\n\n"
+    open(p, "w").write(cur + section)
+    print(f"wrote {p}")
+
+
+if __name__ == "__main__":
+    main()
