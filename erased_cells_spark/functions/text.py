@@ -34,10 +34,24 @@ def _extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
 
 
+def extract_text_pandas(html: Column) -> Column:
+    """Arrow-batched pandas-UDF extraction (the reference-semantics twin;
+    kept for parity testing and as the template for extractors that need
+    real Python libs)."""
+    return _extract_text_udf(html)
+
+
 def extract_text(html: Column) -> Column:
     """html BINARY → text STRING; byte-identical per url (north-rule
-    invariant, tested in test_pages_pipeline)."""
-    return _extract_text_udf(html)
+    invariant, tested in test_pages_pipeline).
+
+    Hot path is pure JVM builtins (utf-8 decode + substring_index between
+    the <p> markers) — whole-stage codegen, no Python worker hop; proven
+    byte-identical to extract_text_pandas/extract_text_bytes in tests."""
+    s = html.cast("string")
+    body = F.substring_index(F.substring_index(s, "</p>", 1), "<p>", -1)
+    # missing markers ⇒ "" (exact parity with extract_text_bytes)
+    return F.when(s.contains("<p>") & s.contains("</p>"), body).otherwise(F.lit(""))
 
 
 # --------------------------------------------------------------- token count --

@@ -506,6 +506,50 @@ def knn_docs(spark, sf_dir):
     return out.select("q_id", "nn_id", F.col("rank").alias("rnk")).orderBy("q_id", "rnk")
 
 
+@query(
+    "multires_cell_rollup",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+fine AS (
+  SELECT {CE.sql_ix('lon', 12)} AS ix, {CE.sql_iy('lat', 12)} AS iy, count(*) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT res, ix, iy, sum(n) AS n_docs FROM (
+  SELECT 12 AS res, ix, iy, n FROM fine
+  UNION ALL SELECT 8, ix // 16, iy // 16, n FROM fine
+  UNION ALL SELECT 4, ix // 256, iy // 256, n FROM fine
+) GROUP BY res, ix, iy ORDER BY res, ix, iy
+""",
+)
+def multires_cell_rollup(spark, sf_dir):
+    """Multi-resolution cell encode + hierarchical rollup: count at res 12,
+    then parents at 8 and 4 via pure bit arithmetic on the already-aggregated
+    fine cells — the coarser levels re-aggregate the (tiny) fine counts, not
+    the raw points. This is the hypertable-rollup pattern at 100 TB: one
+    shuffle at the finest res, map-side arithmetic for every ancestor level."""
+    p = _doc_points(spark, sf_dir)
+    fine = (
+        p.select(CE.ix_expr(F.col("lon"), 12).alias("ix"), CE.iy_expr(F.col("lat"), 12).alias("iy"))
+        .groupBy("ix", "iy")
+        .agg(F.count("*").alias("n"))
+    )
+    levels = [fine.select(F.lit(12).alias("res"), "ix", "iy", "n")]
+    for res in (8, 4):
+        shift = 12 - res
+        levels.append(
+            fine.select(
+                F.lit(res).alias("res"),
+                F.shiftright("ix", shift).alias("ix"),
+                F.shiftright("iy", shift).alias("iy"),
+                "n",
+            )
+        )
+    allres = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    return (
+        allres.groupBy("res", "ix", "iy").agg(F.sum("n").alias("n_docs")).orderBy("res", "ix", "iy")
+    )
+
+
 @query("pip_zone_counts")  # winding-number test is not SQL-expressible → rows-only
 def pip_zone_counts(spark, sf_dir):
     p = _doc_points(spark, sf_dir)

@@ -53,6 +53,20 @@ class TestGenerator:
         for h, t in zip(local.html, local.text):
             assert extract_text_bytes(h) == t
 
+    def test_builtin_extraction_equals_pandas_udf(self, spark, pages):
+        # hot path (JVM builtins) ≡ Arrow pandas UDF twin, incl. edge cases
+        from erased_cells_spark.functions.text import extract_text, extract_text_pandas
+
+        edge = spark.createDataFrame(
+            [(b"<html><p>hello</p></html>",), (b"no markers",), (b"<p>unclosed",), (b"",)],
+            "html binary",
+        )
+        both = pages.select("html").unionByName(edge)
+        mism = both.filter(
+            extract_text(F.col("html")) != extract_text_pandas(F.col("html"))
+        ).count()
+        assert mism == 0
+
 
 class TestGeocode:
     def test_builtin_matches_numpy(self, spark, pages):
