@@ -1,0 +1,131 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side plumbing (schema, partition-preserving mapInPandas batching,
+UDF signatures, tile-struct output reusing the erased-cells layout) is real
+and tested; the codec step is stubbed — the container has no image/audio
+libraries — behind `decode_image_stub`, a deterministic fake decoder that
+produces a seeded uint8 pixel tile from the payload hash. Swapping the stub
+for Pillow/ffmpeg changes ONE function; every schema and batch shape stays.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("mime", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("cell_type", StringType(), False),
+        StructField("cols", IntegerType(), False),
+        StructField("rows", IntegerType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("mean_luma", StringType(), False),  # decimal string: cross-engine-safe
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB CODEC — deterministic fake decode: seeds a PCG from the payload
+    crc and emits a (height, width) uint8 'luma' plane. Replace with a real
+    decoder (PIL.Image.open → np.asarray) when the library exists.
+    Raises like a real codec on empty payloads."""
+    if not payload:
+        raise NotImplementedError("empty payload; real codec unavailable in this env")
+    rng = np.random.Generator(np.random.PCG64(zlib.crc32(payload)))
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize — pure numpy (this part is NOT stubbed)."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys][:, xs]
+
+
+def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> np.ndarray:
+    """Frame-sampling plan for video: offsets of the frames to decode."""
+    if duration_ms <= 0:
+        return np.array([], dtype=np.int64)
+    return np.arange(0, duration_ms, every_ms, dtype=np.int64)
+
+
+def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
+    """decode(stub) → resize → pack as an erased-cells tile struct + stats.
+
+    mapInPandas keeps the input partitioning (no shuffle); each batch is one
+    Arrow block; per-image work is whole-array numpy."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                # Arrow→pandas renders nullable ints as floats; coerce back
+                w = int(r.width) if r.width and r.width == r.width else 32
+                h = int(r.height) if r.height and r.height == r.height else 32
+                img = decode_image_stub(r.payload, w, h)
+                small = resize_nearest(img, out_size, out_size)
+                rows.append(
+                    {
+                        "media_id": int(r.media_id),
+                        "cell_type": "UInt8",
+                        "cols": out_size,
+                        "rows": out_size,
+                        "data": small.tobytes(),
+                        "mean_luma": f"{small.astype(np.float64).mean():.6f}",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic media fixture: payload bytes from a counter hash."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = rng.bytes(128 + (i % 5) * 64)
+        rows.append(
+            {
+                "media_id": i,
+                "kind": kind,
+                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "payload": bytearray(payload),
+                "width": 32 + (i % 4) * 16 if kind == "image" else None,
+                "height": 24 + (i % 3) * 16 if kind == "image" else None,
+                "duration_ms": 4000 + i * 250 if kind != "image" else None,
+            }
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -1,0 +1,148 @@
+"""Streaming operators: watermarked tumbling-window aggregation and custom
+stateful sessionization (applyInPandasWithState) over the events table.
+
+Batch twins of both live in queries.py (events_hourly / events_sessionize)
+so streaming output is checked against the DuckDB-oracle-verified batch
+results with availableNow triggers — the Spark-idiomatic replacement for the
+reference's (nonexistent) streaming surface, per the north rule.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", StringType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str, max_files: int | None = 1) -> DataFrame:
+    """File-source stream over the events parquet (schema pinned from the
+    batch table; maxFilesPerTrigger simulates micro-batch arrival).
+
+    The file stream source needs a directory; the driver tables are single
+    files, so a file path is staged into a temp dir once."""
+    import hashlib
+    import os
+    import shutil
+
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isfile(src):
+        stage = f"/tmp/events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+        dst = os.path.join(stage, "events.parquet")
+        if not os.path.exists(dst):
+            os.makedirs(stage, exist_ok=True)
+            shutil.copy(src, dst)
+        src = stage
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    reader = spark.readStream.schema(schema)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    df = reader.parquet(src)
+    # watermarks require TIMESTAMP (tz-aware); the table stores NTZ — the cast
+    # keeps the wall-clock value under the session time zone, so formatted
+    # output matches the batch twin exactly
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour counts per event type — late data beyond
+    the watermark is dropped; state is bounded (north-rule scale: state size
+    is O(open windows × types), independent of stream length)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH").alias("hour_s"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_s", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+GAP_MS = 30 * 60 * 1000
+
+
+def _sessionize(key, pdfs, state: GroupState):
+    """Custom stateful operator: gap-based sessions (30 min), one state row
+    per user; emits closed sessions on timeout or gap."""
+    user_id = key[0]
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "session_start_s": _fmt(start_ms), "n_events": n}]
+        )
+        return
+
+    ts_all = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+    ms = (ts_all.astype("int64") // 1_000_000).to_list()
+    out = []
+    if state.exists:
+        start_ms, last_ms, n = state.get
+    else:
+        start_ms, last_ms, n = ms[0], ms[0], 0
+    for t in ms:
+        if t - last_ms > GAP_MS:
+            out.append({"user_id": user_id, "session_start_s": _fmt(start_ms), "n_events": n})
+            start_ms, n = t, 0
+        last_ms = t
+        n += 1
+    state.update((start_ms, last_ms, n))
+    state.setTimeoutDuration(GAP_MS)
+    yield pd.DataFrame(out, columns=["user_id", "session_start_s", "n_events"])
+
+
+def _fmt(ms: int) -> str:
+    return pd.Timestamp(ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
+
+
+def sessionize_stream(stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState gap-sessionization; emits sessions as they
+    close. State per user is O(1)."""
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,50 @@
+"""Multimodal plumbing: schema, batching, determinism, stub-decode contract."""
+
+import numpy as np
+import pytest
+
+from erased_cells_spark.cells import CellBuffer, CellType
+from erased_cells_spark.operators.multimodal import (
+    decode_image_stub,
+    extract_image_features,
+    frame_sample_offsets,
+    resize_nearest,
+    synthetic_media,
+)
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes_and_determinism(self, spark):
+        media = synthetic_media(spark, 64)
+        out = extract_image_features(media, out_size=16)
+        rows = out.collect()
+        # only image rows survive; every tile is a 16×16 UInt8 erased-cells buffer
+        assert len(rows) == sum(1 for i in range(64) if i % 3 == 0)
+        for r in rows:
+            assert r.cell_type == "UInt8" and r.cols == 16 and r.rows == 16
+            buf = CellBuffer.from_bytes(r.data, CellType.UInt8)
+            assert len(buf) == 256
+            assert r.mean_luma == f"{buf.data.astype(np.float64).mean():.6f}"
+        # deterministic across runs
+        again = {r.media_id: r.data for r in extract_image_features(media, 16).collect()}
+        for r in rows:
+            assert again[r.media_id] == r.data
+
+    def test_resize_nearest(self):
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        small = resize_nearest(img, 4, 4)
+        assert small.shape == (4, 4)
+        assert small[0, 0] == img[0, 0] and small[3, 3] == img[6, 6]
+        big = resize_nearest(img, 16, 16)
+        assert big.shape == (16, 16) and big[0, 0] == img[0, 0]
+
+    def test_frame_sampling(self):
+        assert list(frame_sample_offsets(3500, 1000)) == [0, 1000, 2000, 3000]
+        assert len(frame_sample_offsets(0)) == 0
+
+    def test_stub_contract(self):
+        a = decode_image_stub(b"payload", 8, 6)
+        assert a.shape == (6, 8) and a.dtype == np.uint8
+        assert (a == decode_image_stub(b"payload", 8, 6)).all()  # deterministic
+        with pytest.raises(NotImplementedError):
+            decode_image_stub(b"", 8, 8)
