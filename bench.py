@@ -42,7 +42,11 @@ def build_spark(cpus: int) -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # throughput GC: allocation-heavy string/binary scans thrash G1 defaults
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # smaller splits → better balance across many cores on medium inputs
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -62,17 +66,16 @@ def pages_table(spark: SparkSession, n_pages: int) -> str:
 def run_flagship_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
     """North-rule pipeline: scan pages table → extract text (byte-identity
     checked) → geocode → cell-encode → PIP join → zonal counts."""
-    from erased_cells_spark.pipeline import flagship_zone_counts, geocoded_pages
-    from pyspark.sql import functions as F
+    from erased_cells_spark.pipeline import flagship_with_invariant
 
     path = pages_table(spark, n_pages)
     pages = spark.read.parquet(path)
     t0 = time.perf_counter()
-    g = geocoded_pages(pages)
-    # one pass: extraction-mismatch count + per-zone counts
-    bad = g.filter(F.col("extracted") != F.col("text")).count()
+    # fused single scan: PIP aggregation + extraction invariant via observe
+    out, obs = flagship_with_invariant(pages)
+    out.collect()
+    bad = obs.get["bad_extractions"]
     assert bad == 0, f"{bad} extraction mismatches"
-    flagship_zone_counts(pages).collect()
     return time.perf_counter() - t0, n_pages
 
 

@@ -43,3 +43,30 @@ def flagship_zone_counts(
         )
         .orderBy("poly_id")
     )
+
+
+def flagship_with_invariant(pages: DataFrame, polygons: list[dict] | None = None, res: int = 8):
+    """Fused single-scan flagship: the extraction byte-identity invariant is
+    computed via Observation DURING the PIP aggregation pass — no second scan
+    of the heavy html/text columns. Returns (result_df, observation); read
+    observation.get["bad_extractions"] AFTER an action on the result.
+    """
+    from pyspark.sql import Observation
+
+    polys = polygons if polygons is not None else make_polygon_fixtures(64, seed=42)
+    obs = Observation("invariants")
+    g = geocoded_pages(pages, use_extracted_text=True).observe(
+        obs,
+        F.sum(
+            F.when(F.col("extracted") != F.col("text"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("bad_extractions"),
+        F.count(F.lit(1)).alias("rows_in"),
+    )
+    pts = g.select("url", "host", "lon", "lat")
+    joined = pip_join(pts, polys, res=res)
+    out = (
+        joined.groupBy("poly_id")
+        .agg(F.count("*").alias("n_pages"), F.countDistinct("host").alias("n_hosts"))
+        .orderBy("poly_id")
+    )
+    return out, obs

@@ -27,7 +27,7 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16, help="lineage partitions")
     args = ap.parse_args()
 
-    from erased_cells_spark.pipeline import flagship_zone_counts, geocoded_pages
+    from erased_cells_spark.pipeline import flagship_with_invariant
     from erased_cells_spark.plans.skew import SCALE_CONF
     from erased_cells_spark.sources.pages import generate_pages
     from erased_cells_spark.sources.snapshot import SnapshotTable
@@ -42,14 +42,13 @@ def main() -> None:
         spark.read.parquet(args.input) if args.input else generate_pages(spark, args.pages, args.seed)
     )
 
-    # per-row invariant gate: byte-identical extraction
-    bad = geocoded_pages(pages).filter(F.col("extracted") != F.col("text")).count()
+    # fused single scan: PIP aggregation + extraction byte-identity invariant
+    out, obs = flagship_with_invariant(pages)
+    result = out.withColumn("bucket", F.pmod(F.col("poly_id"), F.lit(args.buckets))).cache()
+    result.count()  # materialize once; snapshot writes slice the cached result
+    bad = obs.get["bad_extractions"]
     if bad:
         raise SystemExit(f"extraction invariant violated on {bad} rows")
-
-    result = flagship_zone_counts(pages).withColumn(
-        "bucket", F.pmod(F.col("poly_id"), F.lit(args.buckets))
-    )
     table = SnapshotTable(args.out)
     stats = table.write_partitions(result, "bucket", list(range(args.buckets)))
     print(json.dumps({"snapshot": table.metrics()["snapshot_id"], "partitions": stats}))

@@ -24,13 +24,13 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def run_once(spark, path: str) -> float:
-    from erased_cells_spark.pipeline import flagship_zone_counts, geocoded_pages
+    from erased_cells_spark.pipeline import flagship_with_invariant
 
     pages = spark.read.parquet(path)
     t0 = time.perf_counter()
-    bad = geocoded_pages(pages).filter(F.col("extracted") != F.col("text")).count()
-    assert bad == 0
-    flagship_zone_counts(pages).collect()
+    out, obs = flagship_with_invariant(pages)
+    out.collect()
+    assert obs.get["bad_extractions"] == 0
     return time.perf_counter() - t0
 
 
