@@ -470,6 +470,95 @@ def zonal_raster_box_stats(spark, sf_dir):
     ).orderBy("poly_id")
 
 
+@query(
+    "lang_source_setops",
+    oracle="""
+SELECT 'both' AS tag, source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  INTERSECT SELECT DISTINCT source FROM documents WHERE lang = 'de'
+)
+UNION ALL
+SELECT 'en_only' AS tag, source FROM (
+  SELECT DISTINCT source FROM documents WHERE lang = 'en'
+  EXCEPT SELECT DISTINCT source FROM documents WHERE lang = 'de'
+)
+ORDER BY tag, source
+""",
+)
+def lang_source_setops(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    en = d.filter(F.col("lang") == "en").select("source").distinct()
+    de = d.filter(F.col("lang") == "de").select("source").distinct()
+    both = en.intersect(de).select(F.lit("both").alias("tag"), "source")
+    en_only = en.exceptAll(de).select(F.lit("en_only").alias("tag"), "source")
+    return both.unionByName(en_only).orderBy("tag", "source")
+
+
+@query(
+    "tile_algebra_en_share",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+en AS (
+  SELECT {CE.sql_ix('lon', 7)} AS ix, {CE.sql_iy('lat', 7)} AS iy, count(*) AS c
+  FROM pts JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1, 2
+),
+allc AS (
+  SELECT {CE.sql_ix('lon', 7)} AS ix, {CE.sql_iy('lat', 7)} AS iy, count(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+ratio AS (
+  SELECT a.ix, a.iy, coalesce(e.c, 0)::DOUBLE / a.c::DOUBLE AS r
+  FROM allc a LEFT JOIN en e ON a.ix = e.ix AND a.iy = e.iy
+)
+SELECT count(*) AS n_cells,
+       round(min(r), 6) AS min_share, round(max(r), 6) AS max_share,
+       round(sum(r), 6) AS sum_share
+FROM ratio
+""",
+)
+def tile_algebra_en_share(spark, sf_dir):
+    """Tile algebra through the erased-cells kernels: rasterize en-doc counts
+    and all-doc counts at res 7 into masked tiles, divide tile⊕tile (Float64
+    rule, mask AND — empty cells are NODATA and drop out exactly like the
+    SQL inner-domain), then mask-aware per-tile stats → global aggregate."""
+    d = t(spark, sf_dir, "documents")
+    p = _doc_points(spark, sf_dir).join(d.select("doc_id", "lang"), "doc_id")
+    en_tiles = rasterize_points(p.filter(F.col("lang") == "en"), res=7, tile_shift=4)
+    all_tiles = rasterize_points(p, res=7, tile_shift=4)
+    from erased_cells_spark.tiles import tile_binop, tile_stats
+
+    j = (
+        en_tiles.select(
+            "tile_key",
+            F.col("cell_type").alias("e_ct"), F.col("data").alias("e_d"), F.col("mask").alias("e_m"),
+        )
+        .join(
+            all_tiles.select(
+                "tile_key",
+                F.col("cell_type").alias("a_ct"), F.col("data").alias("a_d"), F.col("mask").alias("a_m"),
+            ),
+            "tile_key",
+            "right",  # all-count tiles are the domain; en side may be missing
+        )
+    )
+    # missing en tile ⇒ zero-count raw buffer; the DOMAIN mask is always the
+    # all-side mask (raw en lanes hold 0 there, so 0/c ratios are exact)
+    zeros = F.unhex(F.repeat(F.lit("00"), F.length(F.col("a_d"))))
+    j = j.withColumn("e_ct", F.coalesce("e_ct", F.lit("UInt32"))).withColumn(
+        "e_d", F.coalesce("e_d", zeros)
+    )
+    ratio = tile_binop("div", "e_ct", "e_d", F.col("a_m"), "a_ct", "a_d", F.col("a_m")).alias("rt")
+    stats = j.select(ratio).select(
+        tile_stats("rt.cell_type", "rt.data", "rt.mask").alias("s")
+    ).select("s.*")
+    return stats.agg(
+        F.sum("data_count").alias("n_cells"),
+        F.round(F.min("min_value"), 6).alias("min_share"),
+        F.round(F.max("max_value"), 6).alias("max_share"),
+        F.round(F.sum("sum_value"), 6).alias("sum_share"),
+    )
+
+
 # deterministic kNN query points (literal in both engines)
 _KNN_QUERIES = [
     {"q_id": i, "lon": float(lon), "lat": float(lat)}

@@ -32,6 +32,7 @@ STATS_SCHEMA = StructType(
     [
         StructField("min_value", DoubleType()),
         StructField("max_value", DoubleType()),
+        StructField("sum_value", DoubleType()),
         StructField("data_count", LongType()),
         StructField("nodata_count", LongType()),
     ]
@@ -53,16 +54,17 @@ def _iter_tiles(cts: pd.Series, datas: pd.Series, masks: pd.Series):
 
 @pandas_udf(STATS_SCHEMA)
 def _stats_udf(cts: pd.Series, datas: pd.Series, masks: pd.Series) -> pd.DataFrame:
-    mins, maxs, dc, nc = [], [], [], []
+    mins, maxs, sums, dc, nc = [], [], [], [], []
     for mb in _iter_tiles(cts, datas, masks):
         lo, hi = mb.min_max()  # mask-aware; all-masked ⇒ inverted extremes
         d, n = mb.counts()
         mins.append(float(lo.v))
         maxs.append(float(hi.v))
+        sums.append(float(mb.buffer.data.astype(np.float64)[mb.mask.data].sum()))
         dc.append(d)
         nc.append(n)
     return pd.DataFrame(
-        {"min_value": mins, "max_value": maxs, "data_count": dc, "nodata_count": nc}
+        {"min_value": mins, "max_value": maxs, "sum_value": sums, "data_count": dc, "nodata_count": nc}
     )
 
 

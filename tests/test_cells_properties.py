@@ -1,0 +1,117 @@
+"""Hypothesis property tests for the cells kernel — randomized invariants on
+top of the ported reference unit vectors."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from erased_cells_spark.cells import (
+    CellBuffer,
+    CellType,
+    CellValue,
+    Mask,
+    MaskedCellBuffer,
+    NarrowingError,
+    NoData,
+)
+
+ALL = list(CellType)
+cts = st.sampled_from(ALL)
+
+
+def vec_for(ct: CellType, data: st.DataObject, n: int) -> np.ndarray:
+    if ct.is_integral:
+        info = np.iinfo(ct.dtype)
+        ints = st.integers(min_value=int(info.min), max_value=int(info.max))
+        return np.array(data.draw(st.lists(ints, min_size=n, max_size=n)), dtype=ct.dtype)
+    floats = st.floats(allow_nan=False, width=32 if ct == CellType.Float32 else 64)
+    return np.array(data.draw(st.lists(floats, min_size=n, max_size=n)), dtype=ct.dtype)
+
+
+class TestLatticeProperties:
+    @given(cts, cts, cts)
+    @settings(max_examples=500, deadline=None)
+    def test_union_is_upper_bound_and_commutative(self, a, b, c):
+        u = a.union(b)
+        assert a.can_fit_into(u) and b.can_fit_into(u)
+        assert u == b.union(a)
+        # associativity on the byte-width component is NOT promised by the
+        # reference algorithm; only containment and symmetry are.
+
+    @given(cts)
+    @settings(max_examples=50, deadline=None)
+    def test_union_identity(self, a):
+        assert a.union(a) == a
+
+
+class TestBufferProperties:
+    @given(st.data(), cts, st.integers(min_value=0, max_value=40))
+    @settings(max_examples=150, deadline=None)
+    def test_round_trip_bytes(self, data, ct, n):
+        arr = vec_for(ct, data, n)
+        buf = CellBuffer(arr.copy())
+        assert CellBuffer.from_bytes(buf.to_bytes(), ct) == buf
+
+    @given(st.data(), cts, cts, st.integers(min_value=1, max_value=24))
+    @settings(max_examples=150, deadline=None)
+    def test_binop_equals_f64_numpy(self, data, ca, cb, n):
+        a = vec_for(ca, data, n)
+        b = vec_for(cb, data, n)
+        got = (CellBuffer(a.copy()) + CellBuffer(b.copy())).data
+        want = a.astype(np.float64) + b.astype(np.float64)
+        assert got.dtype == np.float64
+        np.testing.assert_array_equal(got, want)
+
+    @given(st.data(), cts, st.integers(min_value=1, max_value=24))
+    @settings(max_examples=150, deadline=None)
+    def test_convert_is_lossless_when_allowed(self, data, ct, n):
+        arr = vec_for(ct, data, n)
+        buf = CellBuffer(arr.copy())
+        for target in ALL:
+            if ct.can_fit_into(target):
+                back = buf.convert(target)
+                np.testing.assert_array_equal(
+                    back.data.astype(np.float64), arr.astype(np.float64)
+                )
+            else:
+                with pytest.raises(NarrowingError):
+                    buf.convert(target)
+
+    @given(st.data(), cts, st.integers(min_value=1, max_value=30))
+    @settings(max_examples=150, deadline=None)
+    def test_min_max_bounds_valid_lanes(self, data, ct, n):
+        arr = vec_for(ct, data, n)
+        mask = np.array(data.draw(
+            st.lists(st.booleans(), min_size=n, max_size=n)), dtype=bool)
+        m = MaskedCellBuffer(CellBuffer(arr.copy()), Mask(mask))
+        lo, hi = m.min_max()
+        if mask.any():
+            valid = arr[mask]
+            assert float(lo.v) == float(valid.min())
+            assert float(hi.v) == float(valid.max())
+        else:  # inverted extremes
+            assert lo == ct.max_value() and hi == ct.min_value()
+
+    @given(st.data(), st.integers(min_value=1, max_value=30))
+    @settings(max_examples=100, deadline=None)
+    def test_nodata_ingest_egress_round_trip(self, data, n):
+        # floats with NaN sentinel: ingest marks NaN lanes, egress restores them
+        floats = st.floats(allow_nan=False, width=64)
+        arr = np.array(data.draw(st.lists(floats, min_size=n, max_size=n)))
+        nan_at = data.draw(st.sets(st.integers(0, n - 1)))
+        arr[list(nan_at)] = np.nan
+        nd = NoData.default(CellType.Float64)
+        m = MaskedCellBuffer.from_vec_with_nodata(arr, nd)
+        assert list(m.mask.data) == [not np.isnan(v) for v in arr]
+        out = m.to_vec_with_nodata(CellType.Float64, nd)
+        np.testing.assert_array_equal(np.isnan(out), np.isnan(arr))
+        np.testing.assert_array_equal(out[~np.isnan(arr)], arr[~np.isnan(arr)])
+
+    @given(st.data(), cts, st.integers(min_value=0, max_value=20))
+    @settings(max_examples=100, deadline=None)
+    def test_ordering_total(self, data, ct, n):
+        a = CellBuffer(vec_for(ct, data, n))
+        b = CellBuffer(vec_for(ct, data, n))
+        assert (a < b) + (a == b) + (a > b) == 1  # trichotomy
+        assert a == a and not (a < a)
