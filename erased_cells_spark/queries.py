@@ -193,8 +193,8 @@ WITH o AS (
 ),
 s AS (
   SELECT user_id, ts, event_id,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM o
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -243,7 +243,7 @@ def events_user_top3(spark, sf_dir):
     return (
         e.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("user_id", "event_id", F.round("value", 6).alias("value_r"), "rnk")
+        .select("user_id", "event_id", F.round("value", 6).alias("value_r"), F.col("rnk").cast("long").alias("rnk"))
         .orderBy("user_id", "rnk")
     )
 
@@ -592,7 +592,7 @@ SELECT q_id, nn_id, rnk FROM (
 def knn_docs(spark, sf_dir):
     p = _doc_points(spark, sf_dir)
     out = knn_join(p, _KNN_QUERIES, k=5, res=7, id_col="doc_id")
-    return out.select("q_id", "nn_id", F.col("rank").alias("rnk")).orderBy("q_id", "rnk")
+    return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
 
 
 @query(
@@ -603,7 +603,7 @@ fine AS (
   SELECT {CE.sql_ix('lon', 12)} AS ix, {CE.sql_iy('lat', 12)} AS iy, count(*) AS n
   FROM pts GROUP BY 1, 2
 )
-SELECT res, ix, iy, sum(n) AS n_docs FROM (
+SELECT res, ix, iy, sum(n)::BIGINT AS n_docs FROM (  -- ::BIGINT: duckdb sum(BIGINT) is HUGEINT
   SELECT 12 AS res, ix, iy, n FROM fine
   UNION ALL SELECT 8, ix // 16, iy // 16, n FROM fine
   UNION ALL SELECT 4, ix // 256, iy // 256, n FROM fine
@@ -673,7 +673,7 @@ def cosine_topk_embeddings(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = cosine_topk(e, q, k=10)
-    return out.select("q_id", "nn_id", F.col("rank").alias("rnk")).orderBy("q_id", "rnk")
+    return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
 
 
 @query("ann_lsh_embeddings")  # approximate → rows-only; recall proven in pytest
@@ -684,6 +684,6 @@ def ann_lsh_embeddings(spark, sf_dir):
     )
     return (
         ann_lsh_topk(e, q, k=10, dim=64, n_planes=4, probe_depth=2)
-        .select("q_id", "nn_id", F.col("rank").alias("rnk"))
+        .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
