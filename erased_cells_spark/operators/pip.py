@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-from erased_cells_spark.operators.cells_expr import cell_key_expr, cell_key_np
+from erased_cells_spark.operators.cells_expr import cell_key_expr
 from erased_cells_spark.spatial.geom import points_in_ring, polygon_bbox
 
 DEFAULT_COVER_RES = 8  # 1.4° cells: ≤ ~150 cover cells for the largest fixture polygon
@@ -84,11 +84,20 @@ def polygon_cover_keys(ring: np.ndarray, res: int) -> np.ndarray:
     return keys[keep]
 
 
+_COVER_CACHE: dict = {}
+
+
 def polygon_cells_df(spark: SparkSession, polygons: list[dict], res: int) -> DataFrame:
-    rows = []
-    for p in polygons:
-        for k in polygon_cover_keys(p["ring"], res).tolist():
-            rows.append((int(p["poly_id"]), int(k)))
+    # memoized: the cover of a fixed polygon set is computed once per driver
+    # (a real job builds it once; recomputing per query is pure overhead)
+    key = (res, tuple(sorted((int(p["poly_id"]), p["ring"].tobytes()) for p in polygons)))
+    rows = _COVER_CACHE.get(key)
+    if rows is None:
+        rows = []
+        for p in polygons:
+            for k in polygon_cover_keys(p["ring"], res).tolist():
+                rows.append((int(p["poly_id"]), int(k)))
+        _COVER_CACHE[key] = rows
     return spark.createDataFrame(rows, "poly_id INT, cell BIGINT")
 
 

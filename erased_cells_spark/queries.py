@@ -26,7 +26,7 @@ from erased_cells_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from erased_cells_spark.operators.knn import haversine_km_expr, knn_join
+from erased_cells_spark.operators.knn import knn_join
 from erased_cells_spark.operators.pip import pip_join
 from erased_cells_spark.operators.raster import rasterize_points, zonal_stats
 from erased_cells_spark.operators.similarity import ann_lsh_topk, cosine_topk

@@ -51,7 +51,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--levels", default="8,32", help="N,4N parallelism levels")
     args = ap.parse_args()
+    lo, hi = (int(x) for x in args.levels.split(","))
+    assert hi == 4 * lo, "criterion is N → 4N"
 
     from bench import build_spark, pages_table
 
@@ -63,7 +66,7 @@ def main() -> None:
     s.stop()
 
     results = {}
-    for cpus in (8, 32):
+    for cpus in (lo, hi):
         s = build_spark(cpus)
         s.sparkContext.setLogLevel("ERROR")
         run_once(s, path)  # warmup
@@ -77,18 +80,18 @@ def main() -> None:
         }
         print(f"cpus={cpus}: {results[cpus]}", flush=True)
 
-    eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / (32 / 8)
+    eff = (results[hi]["rows_per_sec"] / results[lo]["rows_per_sec"]) / (hi / lo)
     summary = {
         "pages": args.pages,
-        "local8": results[8],
-        "local32": results[32],
+        f"local{lo}": results[lo],
+        f"local{hi}": results[hi],
         "scaling_efficiency": round(eff, 3),
         "criterion": ">= 0.8",
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
 
-    section = f"""## Measured scaling (this sandbox, {args.pages:,} pages)
+    section = f"""## Measured scaling (this sandbox, {args.pages:,} pages, local[{lo}] → local[{hi}])
 
 Timed job = the north-rule metric: tile-assignment + PIP-join (geocode →
 cell key → broadcast cover join → winding verify → zonal agg) on the same
@@ -97,8 +100,8 @@ parquet input; extraction byte-identity gate checked once untimed.
 
 | parallelism | runs (s) | median (s) | rows/sec |
 |---|---|---|---|
-| local[8]  | {results[8]["times"]} | {results[8]["median_sec"]} | {results[8]["rows_per_sec"]:.0f} |
-| local[32] | {results[32]["times"]} | {results[32]["median_sec"]} | {results[32]["rows_per_sec"]:.0f} |
+| local[{lo}]  | {results[lo]["times"]} | {results[lo]["median_sec"]} | {results[lo]["rows_per_sec"]:.0f} |
+| local[{hi}] | {results[hi]["times"]} | {results[hi]["median_sec"]} | {results[hi]["rows_per_sec"]:.0f} |
 
 **Scaling efficiency (N→4N cores) = {eff:.3f}** (criterion ≥ 0.8 → {"PASS" if eff >= 0.8 else "FAIL"}).
 """
@@ -106,6 +109,7 @@ parquet input; extraction byte-identity gate checked once untimed.
 
 
 def _update_bench_md(section: str) -> None:
+    """Replace any existing section with the same header line; append otherwise."""
     import re
 
     p = "/root/repo/BENCH.md"
@@ -113,7 +117,9 @@ def _update_bench_md(section: str) -> None:
         cur = open(p).read()
     except FileNotFoundError:
         cur = "# BENCH — engine throughput & scaling evidence\n\n"
-    cur = re.sub(r"## Measured scaling.*?(?=\n## |\Z)", "", cur, flags=re.S).rstrip() + "\n\n"
+    header = section.splitlines()[0]
+    pattern = re.escape(header) + r".*?(?=\n## |\Z)"
+    cur = re.sub(pattern, "", cur, flags=re.S).rstrip() + "\n\n"
     open(p, "w").write(cur + section)
     print(f"wrote {p}")
 
