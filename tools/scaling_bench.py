@@ -38,20 +38,54 @@ def run_once(spark, path: str) -> float:
     zonal agg). The html-decode invariant is a correctness gate checked once
     untimed — in local mode it is memory-bandwidth-bound (single JVM shares
     one memory bus across all cores), which a multi-NODE 4N cluster does not
-    suffer; see BENCH.md analysis."""
+    suffer; see BENCH.md analysis. 512 polygons (admin-boundary scale) so the
+    winding/scoring compute — the part that grows with cluster size in real
+    deployments — dominates the fixed scan cost."""
     from erased_cells_spark.pipeline import flagship_zone_counts
+    from erased_cells_spark.spatial.geom import make_polygon_fixtures
 
+    polys = make_polygon_fixtures(512, seed=42)
     pages = spark.read.parquet(path).select("url")
     t0 = time.perf_counter()
-    flagship_zone_counts(pages).collect()
+    flagship_zone_counts(pages, polygons=polys).collect()
     return time.perf_counter() - t0
+
+
+def build_level(cores: int, mode: str):
+    from pyspark.sql import SparkSession
+
+    if mode == "local":
+        from bench import build_spark
+
+        return build_spark(cores)
+    n_exec = max(cores // 4, 1)
+    return (
+        SparkSession.builder.master(f"local-cluster[{n_exec},4,10240]")
+        .config("spark.driver.memory", "8g")
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+        .config("spark.sql.shuffle.partitions", str(cores * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=2_000_000)
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--levels", default="8,32", help="N,4N parallelism levels")
+    ap.add_argument("--levels", default="8,32", help="N,4N total cores")
+    ap.add_argument(
+        "--mode",
+        default="local",
+        choices=["local", "local-cluster"],
+        help="local = threads in one JVM; local-cluster = SEPARATE executor "
+        "JVMs (4 cores each) — the faithful N vs 4N EXECUTORS simulation",
+    )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
     assert hi == 4 * lo, "criterion is N → 4N"
@@ -67,7 +101,7 @@ def main() -> None:
 
     results = {}
     for cpus in (lo, hi):
-        s = build_spark(cpus)
+        s = build_level(cpus, args.mode)
         s.sparkContext.setLogLevel("ERROR")
         run_once(s, path)  # warmup
         times = [run_once(s, path) for _ in range(args.runs)]
@@ -91,7 +125,11 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
-    section = f"""## Measured scaling (this sandbox, {args.pages:,} pages, local[{lo}] → local[{hi}])
+    if args.mode == "local-cluster":
+        level_desc = f"{lo // 4} → {hi // 4} executor JVMs × 4 cores (local-cluster)"
+    else:
+        level_desc = f"local[{lo}] → local[{hi}]"
+    section = f"""## Measured scaling (this sandbox, {args.pages:,} pages, {level_desc})
 
 Timed job = the north-rule metric: tile-assignment + PIP-join (geocode →
 cell key → broadcast cover join → winding verify → zonal agg) on the same
