@@ -104,7 +104,14 @@ def knn_join(
     pending = {int(q["q_id"]): (float(q["lon"]), float(q["lat"])) for q in queries}
     acc: DataFrame | None = None
     prev_rk: dict[int, int] = {qid: -1 for qid in pending}
-    rk = 1
+    # keys already searched per query: once the ring wraps the antimeridian
+    # (2·rk+1 ≥ grid width) it re-covers earlier cells — subtract them so a
+    # candidate is joined exactly once across rounds
+    seen: dict[int, set] = {qid: set() for qid in pending}
+    # start at rk=2 and quadruple: each driver round costs ~1s of scheduling,
+    # so fewer/fatter rounds beat many thin ones (candidates stay bounded by
+    # the ring area; the stop bound is unchanged and still rigorous)
+    rk = 2
     n = 1 << res
 
     for _ in range(max_rounds):
@@ -112,8 +119,9 @@ def knn_join(
             break
         rows = []
         for qid, (qlon, qlat) in pending.items():
-            for key in _query_ring_keys(qlon, qlat, res, prev_rk[qid], rk).tolist():
-                rows.append((qid, int(key)))
+            fresh = set(map(int, _query_ring_keys(qlon, qlat, res, prev_rk[qid], rk))) - seen[qid]
+            seen[qid] |= fresh
+            rows.extend((qid, key) for key in fresh)
             prev_rk[qid] = rk
         qcells = spark.createDataFrame(rows, "q_id INT, cell BIGINT")
         qmeta = spark.createDataFrame(
@@ -154,7 +162,7 @@ def knn_join(
                 done.append(qid)
         for qid in done:
             pending.pop(qid)
-        rk = min(rk * 2, n)
+        rk = min(rk * 4, n)
 
     w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
     return (
