@@ -651,6 +651,121 @@ def pip_zone_counts(spark, sf_dir):
     )
 
 
+@query(
+    "events_value_percentiles",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont("value", 0.5), 6)  AS p50,
+       round(quantile_cont("value", 0.9), 6)  AS p90,
+       round(quantile_cont("value", 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). The approx_percentile sketch is the scale path; the exact
+    one is the oracle-checkable twin."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "doc_trigram_topk",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3),
+sh AS (SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram FROM idx)
+SELECT gram, count(*) AS n FROM sh GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+""",
+)
+def doc_trigram_topk(spark, sf_dir):
+    """Corpus-level n-gram frequency top-k: explode word trigrams → count →
+    top-20 (ties broken by gram). Map-side combine keeps the shuffle at
+    |distinct grams|, not |grams|."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), " ").alias("w")).filter(F.size("w") >= 3)
+    grams = toks.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        ).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )
+
+
+@query(
+    "radius_join_docs",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+q(q_id, q_lon, q_lat) AS (VALUES {_KNN_VALUES}),
+d AS (
+  SELECT q.q_id, p.doc_id AS nn_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(p.lat) - radians(q.q_lat)) / 2.0) * sin((radians(p.lat) - radians(q.q_lat)) / 2.0)
+           + cos(radians(q.q_lat)) * cos(radians(p.lat))
+             * sin((radians(p.lon) - radians(q.q_lon)) / 2.0) * sin((radians(p.lon) - radians(q.q_lon)) / 2.0)
+         )) AS dist
+  FROM pts p, q
+)
+SELECT q_id, nn_id, round(dist, 4) AS dist_r FROM d
+WHERE dist <= 1500.0 ORDER BY q_id, nn_id
+""",
+)
+def radius_join_docs(spark, sf_dir):
+    """Spatial radius join (all pairs within 1500 km): ring-cover equi-join
+    pre-filter — the candidate block provably contains the radius circle —
+    then the exact haversine predicate. One broadcast join over the big side,
+    no cross join."""
+    import math
+
+    from erased_cells_spark.operators.knn import _query_ring_keys, haversine_km_expr
+
+    radius_km = 1500.0
+    res = 6
+    n = 1 << res
+    spark_pts = _doc_points(spark, sf_dir)
+    pts = spark_pts.select(
+        "doc_id", "lon", "lat", CE.cell_key_expr(F.col("lon"), F.col("lat"), res).alias("cell")
+    )
+    # ring radius in cells that covers radius_km at the query latitude:
+    # lat span is uniform; lon span shrinks by cos(lat) — take the max need
+    rows = []
+    cell_h_deg = 180.0 / n
+    for q in _KNN_QUERIES:
+        lat_cells = radius_km / (111.195 * cell_h_deg)
+        band = min(89.0, abs(q["lat"]) + radius_km / 111.195 + cell_h_deg)
+        lon_cells = radius_km / (111.195 * math.cos(math.radians(band)) * (360.0 / n) / 2.0)
+        rk = int(math.ceil(max(lat_cells, lon_cells))) + 1
+        for key in _query_ring_keys(q["lon"], q["lat"], res, -1, min(rk, n)).tolist():
+            rows.append((q["q_id"], int(key)))
+    qcells = spark.createDataFrame(rows, "q_id INT, cell BIGINT")
+    qmeta = spark.createDataFrame(
+        [(q["q_id"], q["lon"], q["lat"]) for q in _KNN_QUERIES],
+        "q_id INT, q_lon DOUBLE, q_lat DOUBLE",
+    )
+    cand = pts.join(F.broadcast(qcells), "cell").join(F.broadcast(qmeta), "q_id")
+    dist = haversine_km_expr(F.col("q_lon"), F.col("q_lat"), F.col("lon"), F.col("lat"))
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= radius_km)
+        .select("q_id", F.col("doc_id").alias("nn_id"), F.round("dist", 4).alias("dist_r"))
+        .orderBy("q_id", "nn_id")
+    )
+
+
 # =========================================================== similarity ====
 @query(
     "cosine_topk_embeddings",
