@@ -791,6 +791,21 @@ def cosine_topk_embeddings(spark, sf_dir):
     return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
 
 
+@query("ann_ivf_embeddings")  # approximate → rows-only; recall proven in pytest
+def ann_ivf_embeddings(spark, sf_dir):
+    from erased_cells_spark.operators.similarity import ivf_ann_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        ivf_ann_topk(e, q, k=10, n_lists=16, n_probe=6)
+        .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )
+
+
 @query("ann_lsh_embeddings")  # approximate → rows-only; recall proven in pytest
 def ann_lsh_embeddings(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")

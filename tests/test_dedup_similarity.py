@@ -139,3 +139,21 @@ class TestSimilarity:
         # rank-1 self-match always found (query ∈ its own bucket)
         r1 = {r.q_id: r.nn_id for r in approx if r.rank == 1}
         assert all(r1[qid] == qid for qid in q.q_id.tolist())
+
+    def test_ivf_ann_recall(self, spark, emb, emb_pd):
+        from erased_cells_spark.operators.similarity import ivf_ann_topk
+
+        vecs, ids = emb_pd
+        queries = emb.limit(16).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        approx = ivf_ann_topk(emb, queries, k=10, n_lists=16, n_probe=6).collect()
+        q = queries.toPandas()
+        exact = cosine_topk_np(
+            vecs, ids, np.vstack(q.q_vec.to_numpy()).astype(np.float64), q.q_id.tolist(), 10
+        )
+        exact_set = {(a, b) for a, b, _, _ in exact}
+        hit = sum(1 for r in approx if (r.q_id, r.nn_id) in exact_set)
+        assert hit / len(exact_set) >= 0.5
+        r1 = {r.q_id: r.nn_id for r in approx if r.rank == 1}
+        assert all(r1[qid] == qid for qid in q.q_id.tolist())  # self in own list
