@@ -90,9 +90,22 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     max_rounds: int = 12,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """queries: [{q_id, lon, lat}, ...] (small). Returns (q_id, {id_col},
-    lon, lat, dist_km, rank) with rank ∈ [1, k], ties broken by id asc."""
+    lon, lat, dist_km, rank) with rank ∈ [1, k], ties broken by id asc.
+
+    checkpoint_dir: when set, the join FRONTIER (accumulated candidates +
+    per-query ring progress) is committed after every round — atomic
+    manifest, same protocol as the snapshot sink — and a restarted call with
+    the same dir resumes from the last committed round instead of round 0
+    (north rule: "checkpoints ... join frontiers ... for resumability").
+    The `seen` key sets are NOT persisted: they are a pure function of the
+    committed per-query ring radius, so resume reconstructs them."""
+    import json
+    import os
+    import uuid
+
     spark = points.sparkSession
     pts = points.select(
         F.col(id_col).alias("nn_id"),
@@ -113,8 +126,25 @@ def knn_join(
     # the ring area; the stop bound is unchanged and still rigorous)
     rk = 2
     n = 1 << res
+    round_no = 0
 
-    for _ in range(max_rounds):
+    # ---- frontier resume ---------------------------------------------------
+    if checkpoint_dir and os.path.exists(os.path.join(checkpoint_dir, "CURRENT")):
+        with open(os.path.join(checkpoint_dir, "CURRENT")) as f:
+            last = int(f.read().strip())
+        with open(os.path.join(checkpoint_dir, f"frontier-{last:04d}.json")) as f:
+            st = json.load(f)
+        pending = {int(q): tuple(v) for q, v in st["pending"].items()}
+        prev_rk.update({int(q): int(v) for q, v in st["prev_rk"].items()})
+        rk, round_no = int(st["rk"]), int(st["round"])
+        for qid, pr in prev_rk.items():
+            if pr >= 0 and qid in pending:
+                qlon, qlat = pending[qid]
+                seen[qid] = set(map(int, _query_ring_keys(qlon, qlat, res, -1, pr)))
+        acc = spark.read.parquet(os.path.join(checkpoint_dir, f"candidates-{last:04d}"))
+        acc = acc.localCheckpoint(eager=True)
+
+    while round_no < max_rounds:
         if not pending:
             break
         rows = []
@@ -163,6 +193,28 @@ def knn_join(
         for qid in done:
             pending.pop(qid)
         rk = min(rk * 4, n)
+        round_no += 1
+
+        # ---- frontier commit (atomic: data first, manifest rename last) ----
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            acc.write.mode("overwrite").parquet(
+                os.path.join(checkpoint_dir, f"candidates-{round_no:04d}")
+            )
+            state = {
+                "round": round_no,
+                "rk": rk,
+                "pending": {str(q): list(v) for q, v in pending.items()},
+                "prev_rk": {str(q): v for q, v in prev_rk.items()},
+            }
+            tmp = os.path.join(checkpoint_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.rename(tmp, os.path.join(checkpoint_dir, f"frontier-{round_no:04d}.json"))
+            cur_tmp = os.path.join(checkpoint_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(str(round_no))
+            os.rename(cur_tmp, os.path.join(checkpoint_dir, "CURRENT"))
 
     w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
     return (
