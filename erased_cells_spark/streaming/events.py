@@ -132,6 +132,37 @@ def _fmt(ms: int) -> str:
     return pd.Timestamp(ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
 
 
+def stream_to_snapshot(
+    stream: DataFrame, table_path: str, query_name: str = "to_snapshot", checkpoint: str | None = None
+):
+    """writeStream → Iceberg-style snapshot table: each micro-batch commits
+    atomically under lineage key 'batch-{id}' via the manifest protocol, so
+    downstream readers see only complete batches and a restarted query
+    (Spark's own streaming checkpoint + our manifest) never double-commits —
+    foreachBatch idempotence via lineage-skip."""
+    from erased_cells_spark.sources.snapshot import SnapshotTable
+
+    table = SnapshotTable(table_path)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        key = f"batch-{batch_id}"
+        if key in table.committed_lineage():
+            return  # replayed batch after restart: already committed, skip
+        from pyspark.sql import functions as F
+
+        table.write_partitions(
+            batch_df.withColumn("_lineage", F.lit(key)), "_lineage", [key]
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint or f"/tmp/ckpt_{query_name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize_stream(stream: DataFrame) -> DataFrame:
     """applyInPandasWithState gap-sessionization; emits sessions as they
     close. State per user is O(1)."""

@@ -58,6 +58,31 @@ class TestStreaming:
         }
         assert got == want and len(want) > 0
 
+    def test_stream_to_snapshot_commits_batches(self, spark, tmp_path):
+        import shutil
+
+        from erased_cells_spark.sources.snapshot import SnapshotTable
+        from erased_cells_spark.streaming.events import stream_to_snapshot
+
+        shutil.rmtree("/tmp/ckpt_snap_test", ignore_errors=True)
+        stream = events_stream(spark, SF_DIR, max_files=None)
+        q = stream_to_snapshot(
+            stream, str(tmp_path / "tbl"), "snap_test", checkpoint="/tmp/ckpt_snap_test"
+        )
+        q.awaitTermination(180)
+        table = SnapshotTable(str(tmp_path / "tbl"))
+        m = table.metrics()
+        n_batch = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        assert m["total_rows"] == n_batch
+        assert all(k.startswith("batch-") for k in m["partitions"])
+        # restart with same checkpoint: no new data → no double-commit
+        q2 = stream_to_snapshot(
+            events_stream(spark, SF_DIR, max_files=None),
+            str(tmp_path / "tbl"), "snap_test2", checkpoint="/tmp/ckpt_snap_test",
+        )
+        q2.awaitTermination(120)
+        assert SnapshotTable(str(tmp_path / "tbl")).metrics()["total_rows"] == n_batch
+
     def test_sessionize_stream_matches_batch(self, spark):
         import shutil
 
