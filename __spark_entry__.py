@@ -10,9 +10,16 @@ oracle_sql()     — DuckDB-equivalent SQL per query where expressible
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# importable regardless of the harness cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def entry(spark: SparkSession) -> DataFrame:
