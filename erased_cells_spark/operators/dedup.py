@@ -4,24 +4,30 @@
 - n-gram Jaccard: exact pairwise similarity via shingle-explode + equi-join —
                   correct but shuffle-heavy; the ground truth the approximate
                   paths must agree with.
-- MinHash + LSH: signature (vectorized numpy) → band buckets → bucket join →
-                 EXACT Jaccard verification of the candidates. At scale, the
-                 band join touches only same-bucket pairs, so the quadratic
-                 blow-up of the exact path disappears; verification keeps the
-                 output set exactly equal to {pairs ≥ threshold} (given LSH
-                 recall, which the band parameters overshoot hard).
-- SimHash:       64-bit signature → 4×16-bit block buckets (any pair with
-                 hamming ≤ 3 shares ≥1 exact block) → popcount verify with
-                 the builtin bit_count.
+- MinHash + LSH: signature (batch-vectorized numpy) → band buckets → id-only
+                 bucket join → EXACT Jaccard verification of the candidates.
+                 At scale the band join touches only same-bucket pairs; the
+                 shuffle payload is (id, band, bucket) triples only — shingle
+                 arrays are re-attached per candidate id by two narrow joins,
+                 never carried through the band explode.
+- SimHash:       63-bit signature built entirely from JVM builtins (explode →
+                 md5 word hash → bit-count aggregation) with an exact DuckDB
+                 SQL twin; 4×16-bit block buckets (any pair with hamming ≤ 3
+                 shares ≥1 exact block — pigeonhole) → bit_count verify.
+
+Shingling is pure JVM: word trigrams via transform(sequence(...)) and
+xxhash64 per shingle — no Python in the hot path anywhere in this family.
+Docs with fewer than n words produce NO shingles (empty set), matching the
+SQL oracle's `len(w) >= n` filter convention.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -43,22 +49,32 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 
 # ---------------------------------------------------------------- shingling --
-def shingle_hash(words: list[str], n: int = 3) -> np.ndarray:
-    """Deterministic u64 hashes of word n-gram shingles (crc32 pair fold)."""
+SHINGLE_N = 3
+
+
+def shingles_expr(text: Column, n: int = SHINGLE_N) -> Column:
+    """Distinct xxhash64 hashes of word n-gram shingles — pure JVM builtin
+    expression (whole-stage codegen, no Python worker). Docs shorter than n
+    words get an EMPTY shingle set, the same convention as the SQL oracle's
+    `len(w) >= n` filter (they participate in no Jaccard pairs)."""
+    w = F.split(text, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.xxhash64(F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def shingle_set(text: str, n: int = SHINGLE_N) -> set:
+    """String-level shingle set (pytest brute-force twin). Jaccard over the
+    hashed sets equals Jaccard over these (xxhash64 collision-free at corpus
+    scale), so the oracle works on strings directly."""
+    words = text.split(" ")
     if len(words) < n:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        b = s.encode("utf-8")
-        out[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
-    return np.unique(out)
-
-
-@pandas_udf(ArrayType(LongType()))
-def shingles_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: shingle_hash(t.split()).astype(np.int64).tolist())
+        return set()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
 def ngram_jaccard_pairs(
@@ -67,9 +83,8 @@ def ngram_jaccard_pairs(
     """EXACT all-pairs n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
     id_a < id_b. Shuffle profile: explode + equi-join on shingle hash."""
     sh = (
-        docs.select(F.col(id_col).alias("id"), shingles_udf(F.col(text_col)).alias("shs"))
+        docs.select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
         .select("id", F.explode("shs").alias("sh"))
-        .distinct()
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -95,37 +110,62 @@ def ngram_jaccard_pairs(
 N_HASHES = 128
 LSH_BANDS = 32  # r = 4 rows/band → s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42
 _SEEDS = splitmix64(np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-
-
-def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
-    """128 min-values of splitmix64(x ^ seed_i) over the shingle set."""
-    if len(sh_hashes) == 0:
-        return np.full(N_HASHES, np.iinfo(np.int64).max, dtype=np.int64)
-    m = splitmix64(sh_hashes[:, None] ^ _SEEDS[None, :])  # (n_sh, 128)
-    return (m.min(axis=0) >> np.uint64(1)).astype(np.int64)  # >>1: fits signed
+_EMPTY_SIG = np.full(N_HASHES, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
 
 
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(shs: pd.Series) -> pd.Series:
-    return shs.map(
-        lambda arr: minhash_signature(np.asarray(arr, dtype=np.int64).astype(np.uint64)).tolist()
-    )
+    """128 min-values of splitmix64(x ^ seed_i) per shingle set — vectorized
+    across the WHOLE Arrow batch (one flattened hash matrix + segment minima
+    via np.minimum.reduceat); no per-row Python loops."""
+    arrs = [np.asarray(a, dtype=np.int64).astype(np.uint64) for a in shs]
+    lens = np.array([len(a) for a in arrs], dtype=np.int64)
+    out = np.tile(_EMPTY_SIG, (len(arrs), 1))
+    nz = lens > 0
+    if nz.any():
+        flat = np.concatenate([a for a in arrs if len(a)])
+        m = splitmix64(flat[:, None] ^ _SEEDS[None, :])  # (total_shingles, 128)
+        starts = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        out[nz] = np.minimum.reduceat(m, starts, axis=0)
+    sig = (out >> np.uint64(1)).astype(np.int64)  # >>1: fits signed long
+    return pd.Series(list(sig))
+
+
+def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
+    """Single-set twin of minhash_udf (pytest oracle)."""
+    if len(sh_hashes) == 0:
+        return (_EMPTY_SIG >> np.uint64(1)).astype(np.int64)
+    m = splitmix64(sh_hashes.astype(np.uint64)[:, None] ^ _SEEDS[None, :])
+    return (m.min(axis=0) >> np.uint64(1)).astype(np.int64)
 
 
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """MinHash-LSH candidates → exact-Jaccard verification: returns the same
-    (id_a, id_b, jaccard ≥ threshold) set as the exact operator, at a
-    band-join cost profile instead of all-shingle-pairs."""
+    """MinHash-LSH candidates → exact-Jaccard verification: precision is
+    exact (every output pair is verified), recall is the LSH s-curve — with
+    32 bands × 4 rows the curve midpoint is ≈0.42, so pairs with jaccard
+    well above it are found with overwhelming probability (j=0.9 → miss
+    ≈1e-15) while pairs near/below the midpoint can be missed even if they
+    clear `threshold` (j=0.6 → ≈1% miss). Equality with the exact operator
+    therefore holds when the corpus' true duplicates sit far above the
+    midpoint (the planted-dup fixtures are all j ≥ 0.9); for a gray-zone
+    workload, raise N_HASHES / re-tune bands.
+
+    Shuffle sizing: the band explode and self-join carry ONLY (id, band,
+    bucket) — 3 longs/row — and the (distinct) candidate pairs re-attach the
+    shingle arrays by id with two narrow joins before verification, so the
+    corpus shingle volume crosses the wire once per side, not once per band."""
     r = N_HASHES // LSH_BANDS
     sh = docs.select(
-        F.col(id_col).alias("id"), shingles_udf(F.col(text_col)).alias("shs")
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")
     ).cache()
-    sig = sh.select("id", "shs", minhash_udf(F.col("shs")).alias("sig"))
+    # empty shingle sets (short docs) share the all-max signature — exclude
+    # them up front or every short doc band-joins every other short doc
+    sig = sh.filter(F.size("shs") > 0).select("id", minhash_udf(F.col("shs")).alias("sig"))
     bands = sig.select(
         "id",
-        "shs",
         F.explode(
             F.array(*[
                 F.struct(
@@ -135,7 +175,7 @@ def minhash_lsh_pairs(
                 for b in range(LSH_BANDS)
             ])
         ).alias("bb"),
-    ).select("id", "shs", "bb.band", "bb.bucket")
+    ).select("id", "bb.band", "bb.bucket")
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -145,17 +185,17 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.shs").alias("shs_a"), F.col("b.shs").alias("shs_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
+    sh_a = sh.select(F.col("id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sh_b = sh.select(F.col("id").alias("id_b"), F.col("shs").alias("shs_b"))
+    pairs = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     # exact verification with set arithmetic on the shingle arrays (builtin)
     inter = F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
     union = F.size(F.array_union("shs_a", "shs_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -163,35 +203,64 @@ def minhash_lsh_pairs(
 
 
 # ------------------------------------------------------------------ SimHash --
-@pandas_udf(LongType())
-def simhash_udf(text: pd.Series) -> pd.Series:
-    def sim(t: str) -> int:
-        words = t.split()
-        if not words:
-            return 0
-        hs = np.empty(len(words), dtype=np.uint64)
-        for i, w in enumerate(words):
-            b = w.encode("utf-8")
-            hs[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out = np.uint64(0)
-        for j in range(64):
-            if v[j] > 0:
-                out |= np.uint64(1) << np.uint64(j)
-        return int(out >> np.uint64(1))  # >>1 keeps it in signed-long range
+SIMHASH_BITS = 63  # bits 0..62: signature stays in a signed 64-bit lane on
+#                    both engines (DuckDB BIGINT has no unsigned-64 shift twin)
 
-    return text.map(sim)
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, sim): 63-bit SimHash — PURE JVM builtins, no Python anywhere:
+    explode words → md5-derived 64-bit word hash (hi/lo 32-bit halves via
+    conv) → per-bit majority vote as 63 conditional-sum aggregates. The md5
+    base makes the whole pipeline exactly expressible in DuckDB SQL (the
+    CORRECTNESS oracle); bit j of the word hash = bit j of (hi·2³² + lo).
+
+    Duplicate words vote once per occurrence (classic SimHash weighting)."""
+    words = docs.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    h = words.select(
+        "id",
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [F.count("*").alias("n")]
+    for j in range(SIMHASH_BITS):
+        src, off = ("lo", j) if j < 32 else ("hi", j - 32)
+        aggs.append(
+            F.sum(F.shiftrightunsigned(F.col(src), off).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        )
+    g = h.groupBy("id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        sim = sim + F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("id", sim.alias("sim"))
+
+
+def simhash_np(text: str) -> int:
+    """Single-doc brute-force twin of simhash_df (pytest oracle)."""
+    v = np.zeros(SIMHASH_BITS, dtype=np.int64)
+    for w in text.split(" "):
+        d = hashlib.md5(w.encode("utf-8")).hexdigest()
+        h = (int(d[:8], 16) << 32) | int(d[8:16], 16)
+        for j in range(SIMHASH_BITS):
+            v[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(SIMHASH_BITS) if v[j] > 0)
 
 
 def simhash_pairs(
     docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Near-dup pairs with simhash hamming distance ≤ max_hamming (≤ 15).
-    Block index: 4×16-bit chunks — any pair within distance 3 shares a chunk."""
-    sh = docs.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sim"))
+    """Near-dup pairs with simhash hamming distance ≤ max_hamming (≤ 3).
+    Block index: 4×16-bit chunks of the 63-bit signature — by pigeonhole any
+    pair within hamming 3 shares ≥1 exact chunk, so the bucket join has FULL
+    recall only for max_hamming ≤ 3 (asserted)."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming}: the 4-block index guarantees recall only for ≤ 3"
+        )
+    sh = simhash_df(docs, id_col, text_col)
     blocks = sh.select(
         "id",
         "sim",
@@ -219,7 +288,7 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
@@ -230,12 +299,12 @@ def simhash_pairs(
 
 # -------------------------------------------------- numpy oracles (pytest) --
 def jaccard_pairs_np(ids, texts, threshold: float):
-    sets = [set(shingle_hash(t.split()).tolist()) for t in texts]
+    sets = [shingle_set(t) for t in texts]
     out = []
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
             a, b = sets[i], sets[j]
-            if not a and not b:
+            if not a or not b:
                 continue
             jac = len(a & b) / len(a | b)
             if jac >= threshold:

@@ -65,6 +65,12 @@ def _outside_block_bound_km(q_lat: float, rk: int, res: int) -> float:
     return max(0.0, min(lat_bound, lon_bound))
 
 
+def _grid_iy(q_lat: float, res: int) -> int:
+    """Row index of the query's cell (clamped like _query_ring_keys)."""
+    n = 1 << res
+    return int(np.clip(np.floor((q_lat + 90.0) / 180.0 * n), 0, n - 1))
+
+
 def _query_ring_keys(q_lon: float, q_lat: float, res: int, rk_lo: int, rk_hi: int):
     """Grid keys with Chebyshev distance in (rk_lo, rk_hi] of the query cell
     (rk_lo = -1 means include the center). Lon wraps, lat clamps."""
@@ -95,7 +101,7 @@ def knn_join(
     """queries: [{q_id, lon, lat}, ...] (small). Returns (q_id, {id_col},
     lon, lat, dist_km, rank) with rank ∈ [1, k], ties broken by id asc.
 
-    checkpoint_dir: when set, the join FRONTIER (accumulated candidates +
+    checkpoint_dir: when set, the join FRONTIER (per-round candidate DELTAS +
     per-query ring progress) is committed after every round — atomic
     manifest, same protocol as the snapshot sink — and a restarted call with
     the same dir resumes from the last committed round instead of round 0
@@ -141,7 +147,10 @@ def knn_join(
             if pr >= 0 and qid in pending:
                 qlon, qlat = pending[qid]
                 seen[qid] = set(map(int, _query_ring_keys(qlon, qlat, res, -1, pr)))
-        acc = spark.read.parquet(os.path.join(checkpoint_dir, f"candidates-{last:04d}"))
+        # candidates are PER-ROUND DELTAS: accumulate every committed round
+        acc = spark.read.parquet(
+            *[os.path.join(checkpoint_dir, f"candidates-{i:04d}") for i in range(1, last + 1)]
+        )
         acc = acc.localCheckpoint(eager=True)
 
     while round_no < max_rounds:
@@ -169,6 +178,14 @@ def knn_join(
                 haversine_km_expr(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")).alias("dist_km"),
             )
         )
+        if checkpoint_dir:
+            # delta checkpoint: ONLY this round's new candidates hit disk —
+            # O(total candidates) IO across the whole run, not O(rounds²) —
+            # and the read-back doubles as the round's materialization
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            delta_dir = os.path.join(checkpoint_dir, f"candidates-{round_no + 1:04d}")
+            cand.write.mode("overwrite").parquet(delta_dir)
+            cand = spark.read.parquet(delta_dir)
         acc = cand if acc is None else acc.unionByName(cand)
         acc = acc.localCheckpoint(eager=True)  # keep the loop's lineage flat
 
@@ -188,8 +205,15 @@ def knn_join(
             r = by_q.get(qid)
             if r is not None and r.n >= k and r.kth <= bound:
                 done.append(qid)
-            elif prev_rk[qid] * 2 >= n:  # searched the whole grid
-                done.append(qid)
+            else:
+                # whole-grid coverage: rings wrap in x but CLAMP in lat, so
+                # "searched everything" needs the x wrap AND the ring to have
+                # reached both lat edges from the query's own row (a pure
+                # 2·rk ≥ n test can finalize a lat-edge query with rows
+                # [n/2, n) never searched)
+                iy = _grid_iy(qlat, res)
+                if (2 * prev_rk[qid] + 1 >= n) and prev_rk[qid] >= max(iy, n - 1 - iy):
+                    done.append(qid)
         for qid in done:
             pending.pop(qid)
         rk = min(rk * 4, n)
@@ -197,10 +221,6 @@ def knn_join(
 
         # ---- frontier commit (atomic: data first, manifest rename last) ----
         if checkpoint_dir:
-            os.makedirs(checkpoint_dir, exist_ok=True)
-            acc.write.mode("overwrite").parquet(
-                os.path.join(checkpoint_dir, f"candidates-{round_no:04d}")
-            )
             state = {
                 "round": round_no,
                 "rk": rk,

@@ -133,25 +133,32 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-style centroids partition the vectors
     into lists; each query probes its n_probe nearest lists and reranks
     exactly inside them. The scale path when LSH recall disappoints: list
     assignment is one narrow map, probing is a broadcast equi-join on
     list_id. Centroids are trained driver-side on a bounded sample (they are
-    model state, not data — at 100 TB you train on a 1M-row sample)."""
-    sample = np.vstack(
-        [r[0] for r in emb.select(vec_col).limit(100_000).collect()]
-    ).astype(np.float64)
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
-    for _ in range(max_iter):  # plain Lloyd iterations on the sample
-        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d.argmin(1)
-        for c in range(len(cent)):
-            sel = assign == c
-            if sel.any():
-                cent[c] = sample[sel].mean(0)
+    model state, not data — at 100 TB you train on a 1M-row sample); pass
+    `centroids` explicitly to skip training (e.g. for an oracle-reproducible
+    fixed-centroid index)."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+        n_lists = len(cent)
+    else:
+        sample = np.vstack(
+            [r[0] for r in emb.select(vec_col).limit(100_000).collect()]
+        ).astype(np.float64)
+        rng = np.random.default_rng(seed)
+        cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+        for _ in range(max_iter):  # plain Lloyd iterations on the sample
+            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(len(cent)):
+                sel = assign == c
+                if sel.any():
+                    cent[c] = sample[sel].mean(0)
 
     def assign_udf():
         from pyspark.sql.pandas.functions import pandas_udf
@@ -175,7 +182,8 @@ def ivf_ann_topk(
         def _probe(vec: pd.Series) -> pd.Series:
             m = np.vstack(vec.to_numpy()).astype(np.float64)
             d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            order = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+            # stable: ties resolve to the lowest list_id (oracle convention)
+            order = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
             return pd.Series(list(order))
 
         return _probe

@@ -336,9 +336,41 @@ def minhash_dups(spark, sf_dir):
     )
 
 
-@query("simhash_dups")  # signature algebra is not SQL-expressible → rows-only check
+# SimHash oracle: the md5-based word hash makes the whole signature pipeline
+# SQL-expressible — same 63-bit signature (bits 0..62 of hi·2³²+lo), same
+# per-bit majority, then ALL-PAIRS hamming ≤ 3 (the Spark side's 4×16-bit
+# block index has full recall at ≤ 3 by pigeonhole, so the sets must match).
+_SIMHASH_SQL = """
+WITH words AS (
+  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+h AS (
+  SELECT id,
+         ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+         ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+  FROM words
+),
+bits AS (
+  SELECT id, j,
+         CASE WHEN j < 32 THEN (lo >> j) & 1 ELSE (hi >> (j - 32)) & 1 END AS b
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS j)
+),
+v AS (SELECT id, j, sum(b) AS cnt, count(*) AS n FROM bits GROUP BY 1, 2),
+sims AS (
+  SELECT id, sum(CASE WHEN 2 * cnt > n THEN (1::BIGINT << j::INTEGER) ELSE 0 END)::BIGINT AS sim
+  FROM v GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM sims a JOIN sims b ON a.id < b.id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query("simhash_dups", oracle=_SIMHASH_SQL)
 def simhash_dups(spark, sf_dir):
-    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=8)
+    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 # =========================================================== geospatial ====
@@ -639,12 +671,45 @@ def multires_cell_rollup(spark, sf_dir):
     )
 
 
-@query("pip_zone_counts")  # winding-number test is not SQL-expressible → rows-only
+# PIP oracle: the winding-number test IS SQL-expressible — inline the 64
+# fixture polygons as an edge VALUES table and count signed crossings per
+# (point, poly) with EXACTLY the arithmetic and half-open edge convention of
+# spatial/geom.py:points_in_ring (same doubles in, same ops, same order).
+_PIP_POLYS = make_polygon_fixtures(64, seed=42)
+
+
+def _pip_edges_sql(polys: list[dict]) -> str:
+    vals = []
+    for p in polys:
+        v = np.asarray(p["ring"], np.float64)
+        for (x0, y0), (x1, y1) in zip(v[:-1], v[1:]):
+            vals.append(
+                f"({int(p['poly_id'])}, {float(x0)!r}, {float(y0)!r}, {float(x1)!r}, {float(y1)!r})"
+            )
+    return "edges(poly_id, ex0, ey0, ex1, ey1) AS (VALUES " + ", ".join(vals) + ")"
+
+
+_PIP_CROSS = "(e.ex1 - e.ex0) * (p.lat - e.ey0) - (p.lon - e.ex0) * (e.ey1 - e.ey0)"
+_PIP_SQL = f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+{_pip_edges_sql(_PIP_POLYS)},
+w AS (
+  SELECT e.poly_id, p.doc_id,
+         sum(CASE WHEN e.ey0 <= p.lat AND e.ey1 > p.lat AND {_PIP_CROSS} > 0 THEN 1
+                  WHEN e.ey0 > p.lat AND e.ey1 <= p.lat AND {_PIP_CROSS} < 0 THEN -1
+                  ELSE 0 END) AS wn
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT poly_id, count(*) AS n_docs FROM w WHERE wn != 0 GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+@query("pip_zone_counts", oracle=_PIP_SQL)
 def pip_zone_counts(spark, sf_dir):
     p = _doc_points(spark, sf_dir)
-    polys = make_polygon_fixtures(64, seed=42)
     return (
-        pip_join(p, polys)
+        pip_join(p, _PIP_POLYS)
         .groupBy("poly_id")
         .agg(F.count("*").alias("n_docs"))
         .orderBy("poly_id")
@@ -791,22 +856,110 @@ def cosine_topk_embeddings(spark, sf_dir):
     return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
 
 
-@query("ann_ivf_embeddings")  # approximate → rows-only; recall proven in pytest
+# IVF oracle: centroids are DATA-DERIVED (the embeddings of vec_id 100..115),
+# so both engines index from the same 16 vectors with no training step —
+# assign each vector to its nearest centroid (ties → lowest list), probe the
+# query's 6 nearest lists, rerank exactly by cosine inside them.
+_IVF_SQL = """
+WITH cent AS (
+  SELECT vec_id - 100 AS list_id, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id BETWEEN 100 AND 115
+),
+ea AS (
+  SELECT e.vec_id, e.embedding, c.list_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.embedding::DOUBLE[], c.c), c.list_id) AS rn
+  FROM embeddings e CROSS JOIN cent c
+),
+ev AS (SELECT vec_id, embedding, list_id FROM ea WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 8),
+qp AS (
+  SELECT q.q_id, q.q_vec, c.list_id,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY list_distance(q.q_vec::DOUBLE[], c.c), c.list_id) AS rn
+  FROM q CROSS JOIN cent c
+),
+probes AS (SELECT q_id, q_vec, list_id FROM qp WHERE rn <= 6),
+cand AS (
+  SELECT p.q_id, v.vec_id AS nn_id,
+         list_cosine_similarity(v.embedding::DOUBLE[], p.q_vec::DOUBLE[]) AS cos
+  FROM ev v JOIN probes p ON v.list_id = p.list_id
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  FROM cand
+) WHERE rnk <= 10
+ORDER BY q_id, rnk
+"""
+
+
+@query("ann_ivf_embeddings", oracle=_IVF_SQL)
 def ann_ivf_embeddings(spark, sf_dir):
     from erased_cells_spark.operators.similarity import ivf_ann_topk
 
     e = t(spark, sf_dir, "embeddings")
+    cent_rows = (
+        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 115))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent = np.vstack(
+        [np.asarray(r.embedding, np.float64) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
+    )
     q = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return (
-        ivf_ann_topk(e, q, k=10, n_lists=16, n_probe=6)
+        ivf_ann_topk(e, q, k=10, n_probe=6, centroids=cent)
         .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
 
 
-@query("ann_lsh_embeddings")  # approximate → rows-only; recall proven in pytest
+# LSH oracle: the 4 hyperplanes are deterministic driver-side floats —
+# inline them as SQL literals, rebuild the sign bucket, probe all buckets
+# within hamming ≤ 2 of the query bucket (the same 11 sign-flip masks as
+# multi-probe in ann_lsh_topk), rerank exactly by cosine.
+def _lsh_oracle_sql() -> str:
+    from erased_cells_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 4, seed=7)
+
+    def bucket(vec_expr: str) -> str:
+        terms = []
+        for i in range(4):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_inner_product({vec_expr}::DOUBLE[], {lit}) > 0"
+                f" THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    flips = "(0), (1), (2), (4), (8), (3), (5), (9), (6), (10), (12)"
+    return f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {bucket('embedding')} AS bucket FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {bucket('embedding')} AS bucket0
+  FROM embeddings WHERE vec_id < 8
+),
+flips(m) AS (VALUES {flips}),
+probes AS (SELECT q_id, q_vec, xor(bucket0, m) AS bucket FROM qb CROSS JOIN flips),
+cand AS (
+  SELECT DISTINCT p.q_id, e.vec_id AS nn_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], p.q_vec::DOUBLE[]) AS cos
+  FROM eb e JOIN probes p ON e.bucket = p.bucket
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  FROM cand
+) WHERE rnk <= 10
+ORDER BY q_id, rnk
+"""
+
+
+@query("ann_lsh_embeddings", oracle=_lsh_oracle_sql())
 def ann_lsh_embeddings(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(

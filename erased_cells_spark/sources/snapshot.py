@@ -87,21 +87,65 @@ class SnapshotTable:
         lineage_values: list,
         metrics_cols: list[str] | None = None,
     ) -> dict:
-        """Write df slices one lineage partition at a time, skipping already-
-        committed ones; each slice commit is atomic, so a crash mid-job loses
-        at most the in-flight partition. Returns {lineage: metrics}."""
+        """Write ALL pending lineage partitions in ONE partitioned Spark job
+        (a single scan of the input plan — never one filtered rescan per
+        partition), skipping already-committed ones. Row counts come from the
+        written parquet footers (pure metadata, no second data pass). Commits
+        stay per-partition and atomic — staged files are invisible until their
+        manifest rename — so a crash mid-commit-loop loses at most the
+        in-flight partition and resume skips the committed ones.
+
+        Returns {lineage: metrics}."""
+        import glob
+        import shutil
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
         done = self.committed_lineage()
-        stats = {}
+        manifest_parts = self.current_manifest()["partitions"]
+        stats: dict = {}
+        pending = []
         for lv in lineage_values:
             key = str(lv)
             if key in done:
-                stats[key] = {**self.current_manifest()["partitions"][key], "skipped": True}
-                continue
-            part = df.filter(df[lineage_col] == lv)
-            fname = f"part-{key}-{uuid.uuid4().hex}"
-            out_dir = os.path.join(self.data_dir, fname)
-            part.write.mode("overwrite").parquet(out_dir)
-            n = part.sparkSession.read.parquet(out_dir).count()
+                stats[key] = {**manifest_parts[key], "skipped": True}
+            else:
+                pending.append(lv)
+        if not pending:
+            return stats
+
+        # one job: partitionBy on a DUPLICATE of the lineage column, so the
+        # committed data files keep the original column (partition dirs strip
+        # their partitioning key from the file contents)
+        stage = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
+        sl = df.filter(F.col(lineage_col).isin(pending)).withColumn(
+            "__lineage", F.col(lineage_col).cast("string")
+        )
+        sl.write.mode("overwrite").partitionBy("__lineage").parquet(stage)
+
+        staged = {}
+        for d in os.listdir(stage):
+            if d.startswith("__lineage="):
+                staged[unquote(d[len("__lineage="):])] = os.path.join(stage, d)
+
+        for lv in pending:
+            key = str(lv)
+            out_dir = os.path.join(self.data_dir, f"part-{key}-{uuid.uuid4().hex}")
+            src = staged.get(key)
+            if src is None:
+                # zero-row lineage value: commit an empty (schema-only)
+                # partition so read() resolves every manifest path
+                df.sparkSession.createDataFrame([], df.schema).write.mode(
+                    "overwrite"
+                ).parquet(out_dir)
+            else:
+                os.rename(src, out_dir)
+            n = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+            )
             meta = {
                 "lineage": key,
                 "path": os.path.relpath(out_dir, self.path),
@@ -110,6 +154,7 @@ class SnapshotTable:
             }
             self._commit({key: meta})
             stats[key] = meta
+        shutil.rmtree(stage, ignore_errors=True)
         return stats
 
     # ----- read path ---------------------------------------------------------

@@ -4,7 +4,6 @@ similarity search vs exact numpy cosine on the driver embeddings table."""
 import numpy as np
 import pandas as pd
 import pytest
-import zlib
 from pyspark.sql import functions as F
 
 from erased_cells_spark.operators.dedup import (
@@ -12,6 +11,7 @@ from erased_cells_spark.operators.dedup import (
     jaccard_pairs_np,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_np,
     simhash_pairs,
 )
 from erased_cells_spark.operators.similarity import (
@@ -70,22 +70,7 @@ class TestDedup:
         df, pdf = corpus
         got = {(r.id_a, r.id_b): r.hamming for r in simhash_pairs(df, 3).collect()}
 
-        # brute-force simhash twin
-        def sim(t):
-            words = t.split()
-            hs = np.empty(len(words), np.uint64)
-            for i, w in enumerate(words):
-                b = w.encode()
-                hs[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(zlib.crc32(b[::-1]))
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            out = 0
-            for j in range(64):
-                if v[j] > 0:
-                    out |= 1 << j
-            return out >> 1
-
-        sigs = {r.doc_id: sim(r.text) for r in pdf.itertuples(index=False)}
+        sigs = {r.doc_id: simhash_np(r.text) for r in pdf.itertuples(index=False)}
         want = {}
         ids = sorted(sigs)
         for i, a in enumerate(ids):
