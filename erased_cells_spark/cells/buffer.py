@@ -123,7 +123,11 @@ class CellBuffer:
 
     def put(self, i: int, value: CellValue) -> None:
         """Converts the value to the buffer's type first; NarrowingError if
-        the lattice forbids it (src/buffer.rs:136-148)."""
+        the lattice forbids it (src/buffer.rs:136-148). Copy-on-write when
+        the backing array is read-only (np.frombuffer views from
+        from_bytes), matching the reference's mutable transmuted Vec."""
+        if not self.data.flags.writeable:
+            self.data = self.data.copy()
         self.data[i] = value.get(self.cell_type)
 
     def __iter__(self):

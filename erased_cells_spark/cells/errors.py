@@ -33,4 +33,11 @@ class ExpectedError(CellsError):
 
 
 class NoDataConversionError(CellsError):
-    """NODATA sentinel not representable in target type (src/error.rs:26)."""
+    """NODATA sentinel not representable in target type (src/error.rs:26,
+    raised from the GdalND→NoData conversion, src/gdal/mod.rs:47-70).
+    Carries the offending f64 and the destination cell type."""
+
+    def __init__(self, value=None, dst=None):
+        self.value = value
+        self.dst = dst
+        super().__init__(f"unable to convert NODATA value {value!r} to {dst}")

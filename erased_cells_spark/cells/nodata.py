@@ -36,6 +36,30 @@ class NoData:
     def value(cls, ct: CellType, v) -> "NoData":
         return cls("value", ct, v)
 
+    @classmethod
+    def from_float(cls, ct: CellType, nd: float | None) -> "NoData":
+        """Checked band-nodata ingestion (reference GdalND→NoData conversion,
+        src/gdal/mod.rs:47-70): None ⇒ NoData.none; a float cell type takes
+        the value as-is (NaN included — `as`-cast semantics); an integral
+        cell type range-checks then truncates toward zero (num-traits
+        ToPrimitive), raising NoDataConversionError on NaN/±inf/out-of-range."""
+        import math
+
+        from erased_cells_spark.cells.errors import NoDataConversionError
+
+        if nd is None:
+            return cls.none(ct)
+        nd = float(nd)
+        if not ct.is_integral:
+            return cls.value(ct, ct.dtype.type(nd))
+        if math.isnan(nd) or math.isinf(nd):
+            raise NoDataConversionError(nd, ct)
+        t = math.trunc(nd)
+        info = np.iinfo(ct.dtype)
+        if t < info.min or t > info.max:
+            raise NoDataConversionError(nd, ct)
+        return cls.value(ct, t)
+
     def sentinel(self):
         """The sentinel as a numpy scalar, or None (NoData::value(), :23-40)."""
         if self.mode == "none":

@@ -45,13 +45,18 @@ def extract_text(html: Column) -> Column:
     """html BINARY → text STRING; byte-identical per url (north-rule
     invariant, tested in test_pages_pipeline).
 
-    Hot path is pure JVM builtins (utf-8 decode + substring_index between
-    the <p> markers) — whole-stage codegen, no Python worker hop; proven
-    byte-identical to extract_text_pandas/extract_text_bytes in tests."""
+    Hot path is pure JVM builtins — whole-stage codegen, no Python worker
+    hop — and mirrors the byte twin's FIRST-'<p>' → LAST-'</p>' semantics
+    exactly (not first-close/last-open), so pages whose body itself contains
+    marker pairs extract identically on both paths. Markers are ASCII, so
+    char-slicing the decoded string equals byte-slicing the raw payload."""
     s = html.cast("string")
-    body = F.substring_index(F.substring_index(s, "</p>", 1), "<p>", -1)
-    # missing markers ⇒ "" (exact parity with extract_text_bytes)
-    return F.when(s.contains("<p>") & s.contains("</p>"), body).otherwise(F.lit(""))
+    p1 = F.locate("<p>", s)  # 1-based, 0 = missing
+    t = F.substr(s, p1 + F.lit(3))  # everything after the FIRST <p>
+    lr = F.locate(">p/<", F.reverse(t))  # LAST </p> in t, found from the right
+    body = F.substr(t, F.lit(1), F.length(t) - lr - F.lit(3))
+    # missing markers (or last close before first open) ⇒ "" (byte-twin parity)
+    return F.when((p1 > 0) & (lr > 0), body).otherwise(F.lit(""))
 
 
 # --------------------------------------------------------------- token count --

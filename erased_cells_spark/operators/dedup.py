@@ -113,21 +113,36 @@ _SEEDS = splitmix64(np.arange(1, N_HASHES + 1, dtype=np.uint64) * np.uint64(0x9E
 _EMPTY_SIG = np.full(N_HASHES, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
 
 
+_MINHASH_CHUNK = 1 << 16  # shingles per vectorized slab: 64k × 128 lanes
+#                           ≈ 64 MB of hash matrix — big enough to amortize
+#                           numpy dispatch, small enough to stay cache/RAM-sane
+#                           regardless of the Arrow batch size
+
+
 @pandas_udf(ArrayType(LongType()))
 def minhash_udf(shs: pd.Series) -> pd.Series:
     """128 min-values of splitmix64(x ^ seed_i) per shingle set — vectorized
-    across the WHOLE Arrow batch (one flattened hash matrix + segment minima
-    via np.minimum.reduceat); no per-row Python loops."""
+    in bounded multi-row slabs (flattened hash matrix + segment minima via
+    np.minimum.reduceat); no per-row Python hashing, no unbounded temporaries
+    (a whole-batch matrix at 10k docs × ~200 shingles would be ~1 GB)."""
     arrs = [np.asarray(a, dtype=np.int64).astype(np.uint64) for a in shs]
     lens = np.array([len(a) for a in arrs], dtype=np.int64)
     out = np.tile(_EMPTY_SIG, (len(arrs), 1))
-    nz = lens > 0
-    if nz.any():
-        flat = np.concatenate([a for a in arrs if len(a)])
-        m = splitmix64(flat[:, None] ^ _SEEDS[None, :])  # (total_shingles, 128)
-        starts = np.zeros(int(nz.sum()), dtype=np.int64)
-        np.cumsum(lens[nz][:-1], out=starts[1:])
-        out[nz] = np.minimum.reduceat(m, starts, axis=0)
+    i = 0
+    while i < len(arrs):
+        j, tot = i, 0
+        while j < len(arrs) and (tot == 0 or tot + lens[j] <= _MINHASH_CHUNK):
+            tot += int(lens[j])
+            j += 1
+        seg = lens[i:j]
+        nz = seg > 0
+        if tot and nz.any():
+            flat = np.concatenate([a for a in arrs[i:j] if len(a)])
+            m = splitmix64(flat[:, None] ^ _SEEDS[None, :])  # (tot, 128)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(seg[nz][:-1], out=starts[1:])
+            out[i:j][nz] = np.minimum.reduceat(m, starts, axis=0)
+        i = j
     sig = (out >> np.uint64(1)).astype(np.int64)  # >>1: fits signed long
     return pd.Series(list(sig))
 
@@ -162,20 +177,23 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")
     ).cache()
     # empty shingle sets (short docs) share the all-max signature — exclude
-    # them up front or every short doc band-joins every other short doc
+    # them up front or every short doc band-joins every other short doc.
     sig = sh.filter(F.size("shs") > 0).select("id", minhash_udf(F.col("shs")).alias("sig"))
+    # bands is cached: the self-join scans it from BOTH sides, and the cache
+    # stops the minhash UDF + the bucket-hash expression running 2×. Cached
+    # payload is (id, band, bucket) — 3 longs/row, NOT shingle arrays. The
+    # bucket hash is ONE compact expression (xxhash64 over an array slice
+    # inside transform), not 32 unrolled hash calls — the unrolled form costs
+    # multiple seconds of Janino codegen compile alone.
     bands = sig.select(
         "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(*[F.col("sig")[b * r + i] for i in range(r)]).alias("bucket"),
-                )
-                for b in range(LSH_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    ).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -75,6 +75,16 @@ def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> np.ndarray:
     return np.arange(0, duration_ms, every_ms, dtype=np.int64)
 
 
+def decode_video_frame_stub(payload: bytes, offset_ms: int, width: int, height: int) -> np.ndarray:
+    """STUB CODEC — deterministic fake frame decode at a time offset: seeds
+    from (payload crc, offset). Replace with ffmpeg seek+decode when the
+    library exists. Raises like a real codec on empty payloads."""
+    if not payload:
+        raise NotImplementedError("empty payload; real codec unavailable in this env")
+    rng = np.random.Generator(np.random.PCG64((zlib.crc32(payload) << 32) ^ int(offset_ms)))
+    return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
 def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
     """decode(stub) → resize → pack as an erased-cells tile struct + stats.
 
@@ -109,8 +119,53 @@ def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic media fixture: payload bytes from a counter hash."""
+VIDEO_FRAME_W, VIDEO_FRAME_H = 32, 24  # stub decode plane for video frames
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("mean_luma", StringType(), False),  # decimal string
+    ]
+)
+
+
+def extract_video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video feature extraction: frame_sample_offsets plans the frames, the
+    (stub) codec decodes each sampled frame, mean luma aggregates across
+    frames. Same partition-preserving mapInPandas shape as the image path."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                dur = int(r.duration_ms) if r.duration_ms == r.duration_ms else 0
+                offs = frame_sample_offsets(dur, every_ms)
+                if len(offs) == 0:
+                    continue
+                frames = np.stack(
+                    [
+                        decode_video_frame_stub(r.payload, int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
+                        for o in offs
+                    ]
+                )
+                rows.append(
+                    {
+                        "media_id": int(r.media_id),
+                        "n_frames": int(len(offs)),
+                        "mean_luma": f"{frames.astype(np.float64).mean():.6f}",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
+    """Deterministic media fixture rows: payload bytes from a seeded PCG.
+    Shared verbatim by the Spark fixture and the local oracle twin."""
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     kinds = ["image", "audio", "video"]
@@ -122,10 +177,41 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
                 "media_id": i,
                 "kind": kind,
                 "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                "payload": bytearray(payload),
+                "payload": payload,
                 "width": 32 + (i % 4) * 16 if kind == "image" else None,
                 "height": 24 + (i % 3) * 16 if kind == "image" else None,
                 "duration_ms": 4000 + i * 250 if kind != "image" else None,
             }
         )
+    return rows
+
+
+def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic media fixture as a DataFrame."""
+    rows = [{**r, "payload": bytearray(r["payload"])} for r in synthetic_media_rows(n, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: int = 1000):
+    """Local brute-force twin of extract_image_features ∪ extract_video_features
+    over the synthetic fixture: [(media_id, kind, n_frames, mean_luma)]. Used
+    by the pytest oracle AND inlined into the DuckDB CORRECTNESS oracle (the
+    stub codec is deterministic, so expected rows are computable driver-side)."""
+    out = []
+    for r in synthetic_media_rows(n, seed):
+        if r["kind"] == "image":
+            img = decode_image_stub(r["payload"], r["width"], r["height"])
+            small = resize_nearest(img, out_size, out_size)
+            out.append((r["media_id"], "image", 1, f"{small.astype(np.float64).mean():.6f}"))
+        elif r["kind"] == "video":
+            offs = frame_sample_offsets(r["duration_ms"], every_ms)
+            frames = np.stack(
+                [
+                    decode_video_frame_stub(r["payload"], int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
+                    for o in offs
+                ]
+            )
+            out.append(
+                (r["media_id"], "video", len(offs), f"{frames.astype(np.float64).mean():.6f}")
+            )
+    return out

@@ -207,6 +207,84 @@ def ivf_ann_topk(
     )
 
 
+# ---------------------------------------------------- cosine near-dup pairs --
+def cosine_dup_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """EXACT all-pairs embedding near-dup: (id_a, id_b, cosine ≥ threshold),
+    id_a < id_b, JVM-only scoring. Quadratic by construction — the
+    ground-truth/oracle twin; at corpus scale use cosine_dup_pairs_lsh."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def cosine_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: n_tables independent sign-LSH
+    tables; a pair is a candidate iff it shares a bucket in ≥1 table, then
+    exact cosine verification keeps precision exact. Recall for a pair at
+    angle θ is 1-(1-(1-θ/π)^n_planes)^n_tables — near-identical embeddings
+    (θ→0) are found with overwhelming probability; pairs close to the
+    decision boundary are probabilistic (the classic LSH envelope, proven in
+    pytest, not assumed). Shuffle payload of the bucket self-join is
+    (id, table, bucket) triples; vectors re-attach per candidate id."""
+    sigs = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+        def mk(planes=planes, weights=weights):
+            @pandas_udf(LongType())
+            def _sig(vec: pd.Series) -> pd.Series:
+                m = np.vstack(vec.to_numpy())
+                return pd.Series(((m @ planes.T) > 0) @ weights)
+
+            return _sig
+
+        sigs.append(mk())
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = e.select(
+        "id",
+        F.posexplode(F.array(*[s(F.col("v")) for s in sigs])).alias("tbl", "bucket"),
+    )
+    a, b = tables.alias("a"), tables.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").cast("array<double>").alias("va"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").cast("array<double>").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def cosine_topk_np(vecs: np.ndarray, ids, q_vecs: np.ndarray, q_ids, k: int):
     """Brute-force oracle."""
     out = []

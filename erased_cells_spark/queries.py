@@ -831,6 +831,45 @@ def radius_join_docs(spark, sf_dir):
     )
 
 
+# =========================================================== multimodal ====
+def _media_oracle_sql() -> str:
+    """Expected rows computed locally with the SAME deterministic stub codec
+    the Spark path ships to executors (media_features_np), inlined as VALUES:
+    the oracle checks the distributed mapInPandas plumbing end-to-end."""
+    from erased_cells_spark.operators.multimodal import media_features_np
+
+    vals = ", ".join(
+        f"({mid}, '{kind}', {nf}, '{luma}')" for mid, kind, nf, luma in media_features_np()
+    )
+    return f"""
+SELECT media_id::BIGINT AS media_id, kind, n_frames::BIGINT AS n_frames, mean_luma
+FROM (VALUES {vals}) t(media_id, kind, n_frames, mean_luma)
+ORDER BY media_id
+"""
+
+
+@query("media_features", oracle=_media_oracle_sql())
+def media_features(spark, sf_dir):
+    """Multimodal columns end-to-end: opaque BINARY payloads + typed metadata
+    → (stub) decode → resize / frame-sample → luma features, as two
+    partition-preserving mapInPandas passes (image tiles reuse the
+    erased-cells buffer layout; video decodes frame_sample_offsets frames)."""
+    from erased_cells_spark.operators.multimodal import (
+        extract_image_features,
+        extract_video_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64, seed=5)
+    img = extract_image_features(media, out_size=16).select(
+        "media_id", F.lit("image").alias("kind"), F.lit(1).cast("long").alias("n_frames"), "mean_luma"
+    )
+    vid = extract_video_features(media, every_ms=1000).select(
+        "media_id", F.lit("video").alias("kind"), F.col("n_frames"), "mean_luma"
+    )
+    return img.unionByName(vid).orderBy("media_id")
+
+
 # =========================================================== similarity ====
 @query(
     "cosine_topk_embeddings",
@@ -854,6 +893,31 @@ def cosine_topk_embeddings(spark, sf_dir):
     )
     out = cosine_topk(e, q, k=10)
     return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
+
+
+@query(
+    "embedding_cosine_dups",
+    oracle="""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_r
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY id_a, id_b
+""",
+)
+def embedding_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.4): the EXACT operator is
+    the oracle twin; cosine_dup_pairs_lsh is the bucketed 100 TB path (recall
+    envelope proven in pytest — test_dedup_similarity.py)."""
+    from erased_cells_spark.operators.similarity import cosine_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        cosine_dup_pairs(e, 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 # IVF oracle: centroids are DATA-DERIVED (the embeddings of vec_id 100..115),

@@ -45,7 +45,20 @@ def _read_tag_values(buf, endian, ttype, count, value_field):
     return raw
 
 
-def read_tiff(path: str) -> TiffBand:
+def read_tiff(
+    path: str,
+    window: tuple[int, int] | None = None,
+    window_size: tuple[int, int] | None = None,
+    size: tuple[int, int] | None = None,
+) -> TiffBand:
+    """Read a band, optionally a sub-window with nearest-neighbor resampling.
+
+    Mirrors the reference's `read_cells(window, window_size, size, resample)`
+    (src/gdal/rasterband.rs:37-43,82-103): `window` is the (x, y) offset from
+    the top-left, `window_size` the (w, h) source extent, `size` the output
+    buffer (w, h) — when it differs from window_size the source region is
+    resampled with GDAL's default NearestNeighbour (pixel-center mapping:
+    src_idx = floor((i + 0.5) · src/dst)). Defaults read the full band."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:2] == b"II":
@@ -82,6 +95,19 @@ def read_tiff(path: str) -> TiffBand:
         rows_out.append(strip.reshape(nrows, width))
     arr = np.vstack(rows_out).astype(dtype.newbyteorder("="))
 
+    if window is not None:
+        wx, wy = window
+        ww, wh = window_size if window_size is not None else (width - wx, height - wy)
+        if not (0 <= wx and 0 <= wy and wx + ww <= width and wy + wh <= height and ww > 0 and wh > 0):
+            raise ValueError(f"window {(wx, wy)}+{(ww, wh)} outside raster {(width, height)}")
+        arr = arr[wy : wy + wh, wx : wx + ww]
+        if size is not None and size != (ww, wh):
+            out_w, out_h = size
+            ys = np.minimum(((np.arange(out_h) + 0.5) * wh / out_h).astype(np.int64), wh - 1)
+            xs = np.minimum(((np.arange(out_w) + 0.5) * ww / out_w).astype(np.int64), ww - 1)
+            arr = arr[ys][:, xs]
+        height, width = arr.shape
+
     nodata = None
     nd = tags.get(GDAL_NODATA_TAG)
     if isinstance(nd, str):
@@ -90,3 +116,17 @@ def read_tiff(path: str) -> TiffBand:
         except ValueError:
             nodata = None
     return TiffBand(width=width, height=height, array=arr, nodata=nodata)
+
+
+def band_to_masked(band: TiffBand):
+    """TiffBand → MaskedCellBuffer via the CHECKED band-nodata ingestion
+    (reference read_cells_masked + GdalND→NoData: src/gdal/rasterband.rs:
+    104-126, src/gdal/mod.rs:47-70): the band's f64 nodata must be
+    representable in the band's cell type, else NoDataConversionError."""
+    from erased_cells_spark.cells.celltype import CellType
+    from erased_cells_spark.cells.masked import MaskedCellBuffer
+    from erased_cells_spark.cells.nodata import NoData
+
+    ct = CellType.from_dtype(band.array.dtype)
+    nd = NoData.from_float(ct, band.nodata)
+    return MaskedCellBuffer.from_vec_with_nodata(band.array.ravel(), nd)

@@ -456,3 +456,19 @@ class TestMaskedCellBuffer:
         m.extend([(2, False)])
         assert len(m) == 2 and m.counts() == (1, 1)
         assert [(int(v.v), b) for v, b in m] == [(1, True), (2, False)]
+
+
+class TestFromBytesMutability:
+    def test_put_after_from_bytes_copies_on_write(self):
+        # np.frombuffer views are read-only; the reference's transmuted Vec is
+        # mutable — put() must copy-on-write instead of raising
+        raw = bytes(CellBuffer.from_vec([1, 2, 3], CellType.UInt8).to_bytes())
+        buf = CellBuffer.from_bytes(raw, CellType.UInt8)
+        buf.put(1, CellValue(np.uint8(9)))
+        assert list(buf.data) == [1, 9, 3]
+        assert raw == b"\x01\x02\x03"  # the source payload is untouched
+
+    def test_extend_after_from_bytes(self):
+        buf = CellBuffer.from_bytes(b"\x01\x02", CellType.UInt8)
+        buf.extend([3])
+        assert list(buf.data) == [1, 2, 3]

@@ -125,6 +125,47 @@ class TestSimilarity:
         r1 = {r.q_id: r.nn_id for r in approx if r.rank == 1}
         assert all(r1[qid] == qid for qid in q.q_id.tolist())
 
+    def test_cosine_dup_pairs_exact_vs_numpy(self, spark, emb, emb_pd):
+        from erased_cells_spark.operators.similarity import cosine_dup_pairs
+
+        vecs, ids = emb_pd
+        got = {(r.id_a, r.id_b): r.cosine for r in cosine_dup_pairs(emb, 0.4).collect()}
+        nv = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = nv @ nv.T
+        want = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= 0.4:
+                    a, b = sorted((ids[i], ids[j]))
+                    want[(a, b)] = sims[i, j]
+        assert set(got) == set(want)
+        for k, c in got.items():
+            assert c == pytest.approx(want[k], abs=1e-9)
+
+    def test_cosine_dup_pairs_lsh_planted_recall(self, spark):
+        """LSH near-dup must find PLANTED near-identical embeddings (the
+        workload it exists for) with exact precision: every emitted pair
+        passes the exact threshold."""
+        from erased_cells_spark.operators.similarity import (
+            cosine_dup_pairs,
+            cosine_dup_pairs_lsh,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 64)).astype(np.float32)
+        rows = [(i, base[i].tolist()) for i in range(60)]
+        # planted dups: tiny perturbations of vectors 0..9 (cosine ≥ 0.99)
+        for i in range(10):
+            noisy = base[i] + 0.02 * rng.standard_normal(64).astype(np.float32)
+            rows.append((100 + i, noisy.tolist()))
+        df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+        exact = {(r.id_a, r.id_b) for r in cosine_dup_pairs(df, 0.9).collect()}
+        lsh = {(r.id_a, r.id_b) for r in cosine_dup_pairs_lsh(df, 0.9).collect()}
+        planted = {(i, 100 + i) for i in range(10)}
+        assert planted <= exact  # the plant is real
+        assert planted <= lsh  # LSH recalls every planted near-dup
+        assert lsh <= exact  # verification keeps precision exact
+
     def test_ivf_ann_recall(self, spark, emb, emb_pd):
         from erased_cells_spark.operators.similarity import ivf_ann_topk
 

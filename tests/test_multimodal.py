@@ -6,8 +6,11 @@ import pytest
 from erased_cells_spark.cells import CellBuffer, CellType
 from erased_cells_spark.operators.multimodal import (
     decode_image_stub,
+    decode_video_frame_stub,
     extract_image_features,
+    extract_video_features,
     frame_sample_offsets,
+    media_features_np,
     resize_nearest,
     synthetic_media,
 )
@@ -48,3 +51,22 @@ class TestMultimodal:
         assert (a == decode_image_stub(b"payload", 8, 6)).all()  # deterministic
         with pytest.raises(NotImplementedError):
             decode_image_stub(b"", 8, 8)
+
+    def test_video_frame_stub_contract(self):
+        f0 = decode_video_frame_stub(b"payload", 0, 8, 6)
+        f1 = decode_video_frame_stub(b"payload", 1000, 8, 6)
+        assert f0.shape == (6, 8) and f0.dtype == np.uint8
+        assert not (f0 == f1).all()  # distinct frames at distinct offsets
+        assert (f0 == decode_video_frame_stub(b"payload", 0, 8, 6)).all()
+        with pytest.raises(NotImplementedError):
+            decode_video_frame_stub(b"", 0, 8, 8)
+
+    def test_video_features_match_local_twin(self, spark):
+        media = synthetic_media(spark, 64)
+        got = {r.media_id: (r.n_frames, r.mean_luma) for r in extract_video_features(media).collect()}
+        want = {
+            mid: (nf, luma) for mid, kind, nf, luma in media_features_np() if kind == "video"
+        }
+        assert got == want
+        # frame plan drives the decode count: 4000+i*250 ms → 4 + i//4 frames
+        assert got[2][0] == len(frame_sample_offsets(4000 + 2 * 250, 1000))

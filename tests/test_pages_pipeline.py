@@ -130,3 +130,35 @@ class TestPIPJoin:
             if hit.any():
                 want[p["poly_id"]] = (int(hit.sum()), int(pts.host[hit].nunique()))
         assert got == want
+
+
+class TestExtractionEdgeCases:
+    """Marker-pair edge cases: the builtin path must mirror the byte twin's
+    FIRST-'<p>' → LAST-'</p>' semantics on real-HTML-ish bodies (multiple
+    pairs, nested/stray markers, closes before opens, unicode)."""
+
+    CASES = [
+        b"<html><p>plain body</p></html>",
+        b"<html><p>first</p> middle <p>second</p></html>",      # multi-pair
+        b"<p>a</p><p>b</p><p>c</p>",
+        b"</p>stray close first<p>body</p>",
+        b"<p>open only, no close",
+        b"close only</p>",
+        b"no markers at all",
+        b"",
+        b"<p></p>",
+        b"<p>unicode \xc3\xa9\xc3\xa0\xe2\x82\xac</p>",
+        b"</p><p>",                                             # close before open, empty body
+        b"<p>outer <p>inner</p> tail</p>",                      # nested opens
+    ]
+
+    def test_builtin_matches_byte_twin_on_marker_edge_cases(self, spark):
+        from erased_cells_spark.functions.text import (
+            extract_text,
+            extract_text_bytes,
+        )
+
+        df = spark.createDataFrame([(bytearray(h),) for h in self.CASES], "html binary")
+        got = [r.t for r in df.select(extract_text(F.col("html")).alias("t")).collect()]
+        want = [extract_text_bytes(h) for h in self.CASES]
+        assert got == want

@@ -83,6 +83,74 @@ class TestStreaming:
         q2.awaitTermination(120)
         assert SnapshotTable(str(tmp_path / "tbl")).metrics()["total_rows"] == n_batch
 
+    def test_late_event_beyond_watermark_is_dropped(self, spark, tmp_path):
+        """Multi-trigger watermark semantics: an event arriving in a later
+        micro-batch with event time older than the current watermark must NOT
+        appear in the appended window output (it would raise hour-00's count
+        from 2 to 3 if counted)."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        src = str(tmp_path / "late_src")
+        os.makedirs(src)
+
+        def add_file(name, rows, mtime):
+            pdf = pd.DataFrame(
+                {
+                    "ts": pd.to_datetime([r[0] for r in rows]),
+                    "event_type": [r[1] for r in rows],
+                    "value": [r[2] for r in rows],
+                }
+            )
+            tmp = str(tmp_path / f"stage_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))  # file order = trigger order
+
+        # batch 0: hour-00 has 2 events; 03:30 drives the watermark to 01:30
+        add_file("f1.parquet", [
+            ("2025-06-01 00:10:00", "a", 1.0),
+            ("2025-06-01 00:40:00", "a", 1.0),
+            ("2025-06-01 03:30:00", "a", 1.0),
+        ], mtime=1_000_000)
+        # batch 1 (watermark 01:30 > hour-00 end): hour-00 closes and is
+        # EMITTED with its 2 on-time rows; watermark advances to 02:30
+        add_file("f2.parquet", [
+            ("2025-06-01 04:30:00", "a", 1.0),
+        ], mtime=2_000_000)
+        # batch 2: 00:45 arrives AFTER its window was emitted — append-mode
+        # watermark semantics require the row to be dropped on the floor
+        add_file("f3.parquet", [
+            ("2025-06-01 00:45:00", "a", 1.0),
+            ("2025-06-01 05:30:00", "a", 1.0),
+        ], mtime=3_000_000)
+
+        schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        shutil.rmtree("/tmp/ckpt_late", ignore_errors=True)
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("memory")
+            .queryName("late_counts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", "/tmp/ckpt_late")
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r.hour_s, r.event_type): r.n for r in spark.table("late_counts").collect()
+        }
+        # hour 00 closed with the 2 ON-TIME events; the late 00:45 row is
+        # absent (it would read 3 had the watermark not dropped it)
+        assert got[("2025-06-01 00", "a")] == 2
+        # hours 03/04/05 are still above the final watermark → withheld
+        assert set(got) == {("2025-06-01 00", "a")}
+
     def test_sessionize_stream_matches_batch(self, spark):
         import shutil
 
