@@ -52,6 +52,17 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 SHINGLE_N = 3
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Ensure the expensive per-doc stages (shingling, signatures) run at
+    cluster parallelism: a small parquet table arrives as 1-2 splits, which
+    would serialize the whole dedup family on one core. At real scale the
+    scan has plenty of splits and this is a no-op."""
+    want = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want:
+        return docs.repartition(want)
+    return docs
+
+
 def shingles_expr(text: Column, n: int = SHINGLE_N) -> Column:
     """Distinct xxhash64 hashes of word n-gram shingles — pure JVM builtin
     expression (whole-stage codegen, no Python worker). Docs shorter than n
@@ -83,7 +94,8 @@ def ngram_jaccard_pairs(
     """EXACT all-pairs n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
     id_a < id_b. Shuffle profile: explode + equi-join on shingle hash."""
     sh = (
-        docs.select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
+        _spread(docs)
+        .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
         .select("id", F.explode("shs").alias("sh"))
     )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
@@ -173,7 +185,7 @@ def minhash_lsh_pairs(
     shingle arrays by id with two narrow joins before verification, so the
     corpus shingle volume crosses the wire once per side, not once per band."""
     r = N_HASHES // LSH_BANDS
-    sh = docs.select(
+    sh = _spread(docs).select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")
     ).cache()
     # empty shingle sets (short docs) share the all-max signature — exclude
@@ -233,7 +245,7 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     CORRECTNESS oracle); bit j of the word hash = bit j of (hi·2³² + lo).
 
     Duplicate words vote once per occurrence (classic SimHash weighting)."""
-    words = docs.select(
+    words = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     h = words.select(
