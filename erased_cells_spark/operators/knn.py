@@ -73,16 +73,38 @@ def _grid_iy(q_lat: float, res: int) -> int:
 
 def _query_ring_keys(q_lon: float, q_lat: float, res: int, rk_lo: int, rk_hi: int):
     """Grid keys with Chebyshev distance in (rk_lo, rk_hi] of the query cell
-    (rk_lo = -1 means include the center). Lon wraps, lat clamps."""
+    (rk_lo = -1 means include the center). Lon wraps, lat clamps.
+
+    The annulus is generated DIRECTLY (per-radius frame edges), never as a
+    full (2·rk_hi+1)² meshgrid masked down — driver memory stays O(|output|)
+    so high-res grids (res ≥ 10) don't blow up the per-round key build."""
     n = np.int64(1) << np.int64(res)
     ix = np.int64(np.mod(np.floor((q_lon + 180.0) / 360.0 * float(n)), n))
     iy = np.int64(np.clip(np.floor((q_lat + 90.0) / 180.0 * float(n)), 0, int(n) - 1))
-    d = np.arange(-rk_hi, rk_hi + 1)
-    dx, dy = np.meshgrid(d, d)
-    cheb = np.maximum(np.abs(dx), np.abs(dy))
-    sel = (cheb > rk_lo) & (cheb <= rk_hi)
-    nx = np.mod(ix + dx[sel], n)
-    ny = iy + dy[sel]
+    dxs, dys = [], []
+    for r in range(max(rk_lo + 1, 0), rk_hi + 1):
+        if r == 0:
+            dxs.append(np.zeros(1, dtype=np.int64))
+            dys.append(np.zeros(1, dtype=np.int64))
+            continue
+        span = np.arange(-r, r + 1, dtype=np.int64)
+        # top + bottom rows of the frame
+        dxs.append(span)
+        dys.append(np.full(len(span), -r, dtype=np.int64))
+        dxs.append(span)
+        dys.append(np.full(len(span), r, dtype=np.int64))
+        if r > 0 and len(span) > 2:
+            inner = span[1:-1]
+            dxs.append(np.full(len(inner), -r, dtype=np.int64))
+            dys.append(inner)
+            dxs.append(np.full(len(inner), r, dtype=np.int64))
+            dys.append(inner)
+    if not dxs:
+        return np.empty(0, dtype=np.int64)
+    dx = np.concatenate(dxs)
+    dy = np.concatenate(dys)
+    nx = np.mod(ix + dx, n)
+    ny = iy + dy
     ok = (ny >= 0) & (ny < n)
     return np.unique(ny[ok] * n + nx[ok])
 

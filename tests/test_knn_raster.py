@@ -103,3 +103,45 @@ class TestRasterZonal:
             assert g.z_sum == pytest.approx(sm)
             assert g.z_count == ct
             assert g.z_mean == pytest.approx(mean)
+
+
+class TestRingKeys:
+    def test_annulus_equals_masked_meshgrid(self):
+        """_query_ring_keys builds the Chebyshev annulus directly; must equal
+        the naive full-meshgrid-then-mask construction on random cases."""
+        import numpy as np
+
+        from erased_cells_spark.operators.knn import _query_ring_keys
+
+        def brute(q_lon, q_lat, res, rk_lo, rk_hi):
+            n = np.int64(1) << np.int64(res)
+            ix = np.int64(np.mod(np.floor((q_lon + 180.0) / 360.0 * float(n)), n))
+            iy = np.int64(np.clip(np.floor((q_lat + 90.0) / 180.0 * float(n)), 0, int(n) - 1))
+            d = np.arange(-rk_hi, rk_hi + 1)
+            dx, dy = np.meshgrid(d, d)
+            cheb = np.maximum(np.abs(dx), np.abs(dy))
+            sel = (cheb > rk_lo) & (cheb <= rk_hi)
+            nx = np.mod(ix + dx[sel], n)
+            ny = iy + dy[sel]
+            ok = (ny >= 0) & (ny < n)
+            return np.unique(ny[ok] * n + nx[ok])
+
+        rng = np.random.default_rng(1)
+        for _ in range(80):
+            lon = float(rng.uniform(-180, 180))
+            lat = float(rng.uniform(-90, 90))
+            res = int(rng.integers(2, 9))
+            rk_hi = int(rng.integers(0, 1 << res))
+            rk_lo = int(rng.integers(-1, rk_hi + 1)) if rk_hi else -1
+            got = _query_ring_keys(lon, lat, res, rk_lo, rk_hi)
+            assert np.array_equal(got, brute(lon, lat, res, rk_lo, rk_hi))
+        # pole / antimeridian-wrap / full-grid edges
+        for lon, lat, res, lo, hi in [
+            (179.9, 89.9, 7, -1, 2),
+            (-180.0, -90.0, 7, 2, 8),
+            (0, 0, 3, -1, 8),
+            (10, 10, 5, 5, 5),
+        ]:
+            assert np.array_equal(
+                _query_ring_keys(lon, lat, res, lo, hi), brute(lon, lat, res, lo, hi)
+            )
