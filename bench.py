@@ -125,8 +125,9 @@ def main() -> None:
             "warmup_sec_sf0.001": warmup_sec,
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
-            "scaling_evidence": "BENCH.md: N→4N efficiency 0.938 on the "
-            "tile+PIP metric job at 64M pages (tools/scaling_bench.py)",
+            "scaling_evidence": "BENCH.md: N→4N efficiency 0.833 (r2 re-run; "
+            "r1: 0.938) on the tile+PIP metric job at 64M pages, absolute "
+            "throughput up ~20% vs r1 (tools/scaling_bench.py)",
         },
     }
     print(json.dumps(out))
