@@ -1,0 +1,44 @@
+"""Bucketed tables: shuffle-free co-located joins.
+
+The third leg of the engine's shuffle-control toolkit (with salting and AQE,
+plans/skew.py): writing both sides of a recurring equi-join bucketed by the
+join key with the same bucket count lets Spark plan a SortMergeJoin with NO
+Exchange on either side — at 100 TB that deletes the dominant cost of every
+repeated fact-to-fact join (e.g. page-set self-joins on cell, lineitem ⋈
+orders). Proof lives in tests/test_bucketing.py: the joined plan of two
+bucketed tables contains zero Exchange operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int,
+    path: str | None = None,
+    sort: bool = True,
+) -> None:
+    """Persist df as a bucketed (and bucket-sorted) table. `path` makes it an
+    external table (keeps the warehouse out of the repo in tests)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of SHUFFLE Exchange operators in the EXECUTED physical plan
+    (BroadcastExchange is not a shuffle and is excluded). Call after an
+    action so AQE has finalized the plan."""
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return s.count("Exchange") - s.count("BroadcastExchange")
