@@ -209,7 +209,10 @@ def knn_join(
             cand.write.mode("overwrite").parquet(delta_dir)
             cand = spark.read.parquet(delta_dir)
         acc = cand if acc is None else acc.unionByName(cand)
-        acc = acc.localCheckpoint(eager=True)  # keep the loop's lineage flat
+        # lazy localCheckpoint: lineage stays flat, but materialization rides
+        # the stats job below instead of costing its own round-trip — one
+        # Spark job per round, not two
+        acc = acc.localCheckpoint(eager=False)
 
         # per-query k-th distance so far (tiny collect: |queries| rows)
         w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())

@@ -1,0 +1,96 @@
+"""Plan-shape regression tests: the scale discipline the engine promises is
+asserted on ACTUAL physical plans, so a refactor that silently introduces a
+row-at-a-time Python stage, loses filter pushdown, or swaps a broadcast join
+for a shuffled one fails CI — not a 100 TB run.
+
+(Plan strings come from queryExecution; AQE-finalized where an action ran.)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from erased_cells_spark.queries import SPARK_QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df, executed=False) -> str:
+    qe = df._jdf.queryExecution()
+    return (qe.executedPlan() if executed else qe.sparkPlan()).toString()
+
+
+class TestPlanShapes:
+    def test_flagship_has_no_row_python_and_one_arrow_stage(self, spark):
+        from erased_cells_spark.pipeline import flagship_with_invariant
+        from erased_cells_spark.sources.pages import generate_pages
+
+        out, _ = flagship_with_invariant(generate_pages(spark, 200))
+        p = plan_of(out)
+        assert p.count("BatchEvalPython") == 0  # never row-at-a-time Python
+        assert p.count("ArrowEvalPython") == 1  # exactly the winding verify
+
+    def test_q1_pushdown_and_pruning(self, spark):
+        df = SPARK_QUERIES["q1_pricing_summary"](spark, SF_DIR)
+        p = plan_of(df)
+        scan = next(line for line in p.split("\n") if "FileScan parquet" in line)
+        # the shipdate filter reaches the scan (plan toString truncates the
+        # PushedFilters field, so assert on the scan's DataFilters)
+        assert "DataFilters: [isnotnull(l_shipdate" in scan
+        # pruned scan: the 16-column lineitem table is read with 7 columns
+        cols = scan.split("FileScan parquet [")[1].split("]")[0].split(",")
+        assert len(cols) == 7, cols
+        assert not any("l_comment" in c for c in cols)
+
+    def test_q5_joins_are_all_broadcast(self, spark):
+        df = SPARK_QUERIES["q5_region_revenue"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "SortMergeJoin" not in p
+        assert p.count("BroadcastHashJoin") >= 4
+
+    def test_pip_join_broadcasts_cover_and_stays_narrow(self, spark):
+        df = SPARK_QUERIES["pip_zone_counts"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+        assert p.count("ArrowEvalPython") == 1
+        assert p.count("BatchEvalPython") == 0
+
+    def test_minhash_band_join_payload_is_id_band_bucket(self, spark):
+        """The LSH band self-join must not carry shingle arrays: no `shs`
+        column may appear below the band join."""
+        from erased_cells_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = minhash_lsh_pairs(docs, 0.2)
+        p = plan_of(df)
+        # the cached band table feeds both join sides with EXACTLY
+        # (id, band, bucket) — any shingle array there means the r01
+        # 32×-shuffle regression is back
+        band_scans = [
+            seg.split("\n")[0]
+            for seg in p.split("InMemoryTableScan")[1:]
+            if "band" in seg.split("\n")[0]
+        ]
+        assert len(band_scans) >= 2, p  # both sides of the self-join
+        for head in band_scans:
+            assert "shs" not in head, head
+        assert "shs_a" in p and "shs_b" in p  # verification re-attach exists
+
+    def test_exact_dedup_is_pure_builtin(self, spark):
+        df = SPARK_QUERIES["exact_dup_groups"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "Python" not in p  # md5 fingerprint groupBy is all JVM
+
+    def test_simhash_is_pure_builtin(self, spark):
+        df = SPARK_QUERIES["simhash_dups"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "Python" not in p  # md5/shift/sum signature algebra is all JVM
+
+    def test_doc_stats_is_pure_builtin(self, spark):
+        df = SPARK_QUERIES["doc_stats"](spark, SF_DIR)
+        assert "Python" not in plan_of(df)
+
+    def test_radius_join_has_no_cartesian(self, spark):
+        df = SPARK_QUERIES["radius_join_docs"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
