@@ -259,9 +259,9 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         return F.shiftrightunsigned(F.col(src), off).bitwiseAND(F.lit(1))
 
     # SWAR-packed bit counters: 4 × 16-bit lanes per long → 16 packed sums
-    # (+ count) instead of 63 independent sums. 63 aggregate columns push the
-    # operator past spark.sql.codegen.maxFields (100) into INTERPRETED
-    # aggregation (measured ~3× slower); 17 fields keep whole-stage codegen.
+    # (+ count) instead of 63 independent sums. Each input row updates 16
+    # aggregation buffer slots instead of 63 (and the shuffle rows carry 17
+    # longs instead of 64) — measured ~25% faster end-to-end at sf0.1.
     # 16-bit lanes are exact for docs up to 2^15 words; beyond that the ANSI
     # sum-overflow check fails loudly rather than corrupting counts.
     aggs = [F.count("*").alias("n")]
