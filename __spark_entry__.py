@@ -3,9 +3,11 @@
 entry(spark)     — flagship pipeline smoke on sf0.001.
 queries()        — every implemented operator (SURVEY.md §2 Part B + the
                    training-data ops) as (spark, sf_dir) → DataFrame.
-oracle_sql()     — DuckDB-equivalent SQL per query where expressible
-                   (winding-number PIP / LSH-approximate / simhash algebra are
-                   rows-only by design; each has a pytest brute-force oracle).
+oracle_sql()     — a DuckDB twin for EVERY query (28/28 since round 2):
+                   winding-number PIP as an edge-crossing VALUES query,
+                   simhash as md5 signature algebra in SQL, IVF with
+                   data-derived centroids, LSH with literal hyperplanes,
+                   multimodal with inlined deterministic expected rows.
 """
 
 from __future__ import annotations

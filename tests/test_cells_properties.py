@@ -88,8 +88,13 @@ class TestBufferProperties:
         lo, hi = m.min_max()
         if mask.any():
             valid = arr[mask]
-            assert float(lo.v) == float(valid.min())
-            assert float(hi.v) == float(valid.max())
+            # the reference fold SEEDS with (max_value, min_value) and the
+            # seed participates (src/buffer.rs:168-172) — ±inf lanes clamp
+            # to the finite float extremes, exactly like the Rust fold
+            exp_lo = min(float(ct.max_value().v), float(valid.min()))
+            exp_hi = max(float(ct.min_value().v), float(valid.max()))
+            assert float(lo.v) == exp_lo
+            assert float(hi.v) == exp_hi
         else:  # inverted extremes
             assert lo == ct.max_value() and hi == ct.min_value()
 
