@@ -149,11 +149,17 @@ def knn_join(
     # (2·rk+1 ≥ grid width) it re-covers earlier cells — subtract them so a
     # candidate is joined exactly once across rounds
     seen: dict[int, set] = {qid: set() for qid in pending}
-    # start at rk=2 and quadruple: each driver round costs ~1s of scheduling,
-    # so fewer/fatter rounds beat many thin ones (candidates stay bounded by
-    # the ring area; the stop bound is unchanged and still rigorous)
-    rk = 2
     n = 1 << res
+    # density-adaptive initial radius: each driver round costs ~1s of
+    # scheduling, so size round 1 to (likely) contain k neighbors AND a
+    # stop-bound margin — expected k-th distance ≈ sqrt(k/(π·density)) cells,
+    # doubled for slack. The count runs on the cached points (round 1 would
+    # materialize them anyway); the stop bound stays rigorous regardless, the
+    # heuristic only shifts WHERE the geometric rk progression starts. Dense
+    # tables (the 100 TB case) start at the floor rk=2; sparse ones skip the
+    # guaranteed-empty early rounds instead of paying a driver round each.
+    density = pts.count() / float(n * n)
+    rk = int(min(n, max(2, math.ceil(2.0 * math.sqrt(k / max(density, 1e-12))))))
     round_no = 0
 
     # ---- frontier resume ---------------------------------------------------
