@@ -119,6 +119,7 @@ def knn_join(
     lat_col: str = "lat",
     max_rounds: int = 12,
     checkpoint_dir: str | None = None,
+    points_count: int | None = None,
 ) -> DataFrame:
     """queries: [{q_id, lon, lat}, ...] (small). Returns (q_id, {id_col},
     lon, lat, dist_km, rank) with rank ∈ [1, k], ties broken by id asc.
@@ -158,7 +159,10 @@ def knn_join(
     # heuristic only shifts WHERE the geometric rk progression starts. Dense
     # tables (the 100 TB case) start at the floor rk=2; sparse ones skip the
     # guaranteed-empty early rounds instead of paying a driver round each.
-    density = pts.count() / float(n * n)
+    # points_count: pass it when the table's row count is already known
+    # (catalog statistics / manifest metrics) — at warehouse scale that makes
+    # this a zero-cost lookup instead of a count job
+    density = (points_count if points_count is not None else pts.count()) / float(n * n)
     rk = int(min(n, max(2, math.ceil(2.0 * math.sqrt(k / max(density, 1e-12))))))
     round_no = 0
 

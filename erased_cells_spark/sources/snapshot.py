@@ -85,7 +85,6 @@ class SnapshotTable:
         df: DataFrame,
         lineage_col: str,
         lineage_values: list,
-        metrics_cols: list[str] | None = None,
     ) -> dict:
         """Write ALL pending lineage partitions in ONE partitioned Spark job
         (a single scan of the input plan — never one filtered rescan per
@@ -142,14 +141,14 @@ class SnapshotTable:
                 ).parquet(out_dir)
             else:
                 os.rename(src, out_dir)
-            n = sum(
-                pq.ParquetFile(f).metadata.num_rows
-                for f in glob.glob(os.path.join(out_dir, "*.parquet"))
-            )
+            files = glob.glob(os.path.join(out_dir, "*.parquet"))
+            n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             meta = {
                 "lineage": key,
                 "path": os.path.relpath(out_dir, self.path),
                 "rows": n,
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "n_files": len(files),
                 "committed_at": time.time(),
             }
             self._commit({key: meta})
