@@ -248,10 +248,12 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     words = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    h = words.select(
+    # md5 evaluated ONCE per word via the intermediate projection (doesn't
+    # rely on codegen common-subexpression elimination across conv calls)
+    h = words.select("id", F.md5("w").alias("d")).select(
         "id",
-        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("long").alias("lo"),
+        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("lo"),
     )
 
     def bit(j: int):
