@@ -183,3 +183,40 @@ class TestSimilarity:
         assert hit / len(exact_set) >= 0.5
         r1 = {r.q_id: r.nn_id for r in approx if r.rank == 1}
         assert all(r1[qid] == qid for qid in q.q_id.tolist())  # self in own list
+
+
+class TestShingleParity:
+    def test_jvm_shingles_match_python_twin_on_random_corpora(self, spark):
+        """shingles_expr (JVM transform+xxhash64) must produce sets with the
+        same SIZES and same pairwise intersections as the string-level twin —
+        on random word soups including <3-word docs, repeated words, empty
+        strings, and unicode."""
+        import numpy as np
+
+        from erased_cells_spark.operators.dedup import shingle_set, shingles_expr
+
+        rng = np.random.default_rng(11)
+        vocab = ["ba", "be", "zz", "q", "長い", "x y"[0:1], "deed", "na"]
+        texts = []
+        for i in range(120):
+            k = int(rng.integers(0, 12))
+            texts.append(" ".join(rng.choice(vocab, size=k)) if k else "")
+        texts += ["one two", "a b c a b c", "solo", ""]
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+        got = {
+            r.doc_id: set(r.shs)
+            for r in df.select("doc_id", shingles_expr(F.col("text")).alias("shs")).collect()
+        }
+        want = {i: shingle_set(t) for i, t in enumerate(texts)}
+        # sizes match per doc (hash collisions would shrink a set)
+        for i in want:
+            assert len(got[i]) == len(want[i]), (i, texts[i])
+        # pairwise intersection sizes match (Jaccard equivalence)
+        ids = sorted(want)
+        for i in ids:
+            for j in ids[: min(len(ids), 40)]:
+                if i < j:
+                    assert len(got[i] & got[j]) == len(want[i] & want[j]), (i, j)
