@@ -237,57 +237,77 @@ SIMHASH_BITS = 63  # bits 0..62: signature stays in a signed 64-bit lane on
 #                    both engines (DuckDB BIGINT has no unsigned-64 shift twin)
 
 
+SIMHASH_MAX_WORDS = 1 << 15  # enforced: packed 16-bit lanes are exact below this
+
+
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, sim): 63-bit SimHash — PURE JVM builtins, no Python anywhere:
-    explode words → md5-derived 64-bit word hash (hi/lo 32-bit halves via
-    conv) → per-bit majority vote as 63 conditional-sum aggregates. The md5
-    base makes the whole pipeline exactly expressible in DuckDB SQL (the
-    CORRECTNESS oracle); bit j of the word hash = bit j of (hi·2³² + lo).
+    explode words → occurrence counts per DISTINCT (id, word) → md5-derived
+    64-bit word hash (hi/lo 32-bit halves via conv) → count-weighted per-bit
+    majority vote. The md5 base makes the whole pipeline exactly expressible
+    in DuckDB SQL (the CORRECTNESS oracle); bit j of the word hash = bit j of
+    (hi·2³² + lo).
 
-    Duplicate words vote once per occurrence (classic SimHash weighting)."""
+    Duplicate words vote once per occurrence (classic SimHash weighting) —
+    the pre-aggregation computes the identical majorities (±1 per occurrence
+    ≡ ±cnt per distinct word) while hashing each (id, word) pair ONCE: under
+    a zipfian corpus occurrences ≫ distinct pairs, so this deletes most of
+    the md5+conv work, the dominant cost of the signature stage."""
     words = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    # md5 evaluated ONCE per word via the intermediate projection (doesn't
-    # rely on codegen common-subexpression elimination across conv calls)
-    h = words.select("id", F.md5("w").alias("d")).select(
+    wc = words.groupBy("id", "w").agg(F.count("*").alias("cnt"))
+    # md5 evaluated ONCE per (id, word) via the intermediate projection
+    # (doesn't rely on codegen common-subexpression elimination across convs)
+    h = wc.select("id", "cnt", F.md5("w").alias("d")).select(
         "id",
-        F.conv(F.substring("d", 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring("d", 9, 8), 16, 10).cast("long").alias("lo"),
+        "cnt",
+        F.expr("cast(conv(substring(d, 1, 8), 16, 10) AS bigint)").alias("hi"),
+        F.expr("cast(conv(substring(d, 9, 8), 16, 10) AS bigint)").alias("lo"),
     )
 
-    def bit(j: int):
+    # The signature expressions are built as SQL STRINGS (one JVM parse per
+    # aggregate) rather than Column-builder chains: the 63-bit tree costs
+    # thousands of py4j round-trips as Columns — measured 2.2 s of pure
+    # driver time per query construction at sf0.1, dwarfing the executor
+    # work. One F.expr per aggregate collapses that to milliseconds.
+    def bit_sql(j: int) -> str:
         src, off = ("lo", j) if j < 32 else ("hi", j - 32)
-        return F.shiftrightunsigned(F.col(src), off).bitwiseAND(F.lit(1))
+        return f"(shiftrightunsigned({src}, {off}) & 1)"
 
     # SWAR-packed bit counters: 4 × 16-bit lanes per long → 16 packed sums
     # (+ count) instead of 63 independent sums. Each input row updates 16
     # aggregation buffer slots instead of 63 (and the shuffle rows carry 17
     # longs instead of 64) — measured ~25% faster end-to-end at sf0.1.
-    # 16-bit lanes are exact for docs up to 2^15 words; beyond that the ANSI
-    # sum-overflow check fails loudly rather than corrupting counts.
-    aggs = [F.count("*").alias("n")]
+    # Every lane sum is bounded by the doc's total word occurrences n, so
+    # n < 2^15 guarantees (a) no 16-bit lane ever carries into its neighbor
+    # (bound 2^16) and (b) the packed long sum (lane 3 shifted by 48) stays
+    # below 2^63. The bound is ENFORCED below with raise_error — an
+    # oversized doc fails loudly instead of silently corrupting lanes.
+    aggs = [F.expr("sum(cnt) AS n")]
     for gi in range(16):
-        term = None
-        for t in range(4):
-            j = 4 * gi + t
-            if j >= SIMHASH_BITS:
-                break
-            lane = F.shiftleft(bit(j).cast("long"), 16 * t)
-            term = lane if term is None else term + lane
-        aggs.append(F.sum(term).alias(f"p{gi}"))
+        terms = [
+            f"shiftleft({bit_sql(4 * gi + t)} * cnt, {16 * t})"
+            for t in range(4)
+            if 4 * gi + t < SIMHASH_BITS
+        ]
+        aggs.append(F.expr(f"sum({' + '.join(terms)}) AS p{gi}"))
     g = h.groupBy("id").agg(*aggs)
-    sim = F.lit(0).cast("long")
-    for gi in range(16):
-        for t in range(4):
-            j = 4 * gi + t
-            if j >= SIMHASH_BITS:
-                break
-            cnt = F.shiftrightunsigned(F.col(f"p{gi}"), 16 * t).bitwiseAND(F.lit(0xFFFF))
-            sim = sim + F.when(
-                cnt * 2 > F.col("n"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-    return g.select("id", sim.alias("sim"))
+    # majority vote per lane via the sign bit of (n - 2·cnt_j): negative ⟺
+    # 2·cnt_j > n ⟺ signature bit j set — branch-free, one expression for
+    # the whole 63-bit reconstruction.
+    sim_terms = []
+    for j in range(SIMHASH_BITS):
+        gi, t = divmod(j, 4)
+        cnt = f"(shiftrightunsigned(p{gi}, {16 * t}) & 65535)"
+        sim_terms.append(f"shiftleft(shiftrightunsigned(n - 2 * {cnt}, 63), {j})")
+    guard = (
+        f"CASE WHEN n < {SIMHASH_MAX_WORDS} THEN ({' + '.join(sim_terms)}) "
+        f"ELSE raise_error(concat('simhash: doc ', cast(id AS string), ' has ', "
+        f"cast(n AS string), ' word occurrences (>= 2^15); "
+        f"packed 16-bit lane counters would overflow')) END"
+    )
+    return g.select("id", F.expr(guard).alias("sim"))
 
 
 def simhash_np(text: str) -> int:

@@ -81,6 +81,27 @@ class TestDedup:
         assert got == want
         assert len(want) >= 5  # exact dups have distance 0
 
+    def test_simhash_oversized_doc_fails_loudly(self, spark):
+        """ADVICE r2: the packed-lane invariant is ENFORCED, not assumed — a
+        doc with ≥ 2^15 word occurrences raises instead of silently aliasing
+        counts into the adjacent 16-bit lane."""
+        from erased_cells_spark.operators.dedup import SIMHASH_MAX_WORDS, simhash_df
+
+        big = " ".join(["w"] * SIMHASH_MAX_WORDS)
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [big]}))
+        with pytest.raises(Exception, match="word occurrences"):
+            simhash_df(df).collect()
+
+    def test_simhash_boundary_doc_is_exact(self, spark):
+        """One under the enforced limit, with a bit-skewed word mix (one hot
+        word dominating) — the count-weighted lanes must still be exact."""
+        from erased_cells_spark.operators.dedup import SIMHASH_MAX_WORDS, simhash_df
+
+        n = SIMHASH_MAX_WORDS - 1
+        text = " ".join(["hot"] * (n - 100) + [f"t{i}" for i in range(100)])
+        df = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [text]}))
+        assert simhash_df(df).collect()[0].sim == simhash_np(text)
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
