@@ -133,7 +133,11 @@ VIDEO_FEATURE_SCHEMA = StructType(
 def extract_video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video feature extraction: frame_sample_offsets plans the frames, the
     (stub) codec decodes each sampled frame, mean luma aggregates across
-    frames. Same partition-preserving mapInPandas shape as the image path."""
+    frames. Same partition-preserving mapInPandas shape as the image path.
+
+    Degenerate input convention (shared with the local twin
+    media_features_np): media with duration_ms <= 0 sample ZERO frames and
+    produce NO feature row on either path."""
 
     def run(batches):
         for pdf in batches:
@@ -161,6 +165,60 @@ def extract_video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
 
     return media.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+
+
+AUDIO_SAMPLE_RATE = 8000  # stub decode rate (Hz)
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("rms", StringType(), False),  # decimal string: cross-engine-safe
+    ]
+)
+
+
+def decode_audio_stub(
+    payload: bytes, duration_ms: int, sample_rate: int = AUDIO_SAMPLE_RATE
+) -> np.ndarray:
+    """STUB CODEC — deterministic fake PCM decode: seeds a PCG from the
+    payload crc and emits duration_ms·rate/1000 int16 samples. Replace with
+    soundfile/ffmpeg when the library exists. Raises like a real codec on
+    empty payloads."""
+    if not payload:
+        raise NotImplementedError("empty payload; real codec unavailable in this env")
+    n = int(duration_ms) * sample_rate // 1000
+    rng = np.random.Generator(np.random.PCG64((zlib.crc32(payload) << 16) ^ 0xAD10))
+    return rng.integers(-32768, 32768, size=n, dtype=np.int16)
+
+
+def extract_audio_features(media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RATE) -> DataFrame:
+    """Audio feature extraction: (stub) PCM decode → waveform stats
+    (n_samples, RMS amplitude). Same partition-preserving mapInPandas shape
+    as the image/video paths; per-item Python loop is inherent to codec
+    calls. Zero-duration audio produces NO row (the shared degenerate-input
+    convention with media_features_np)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                dur = int(r.duration_ms) if r.duration_ms == r.duration_ms else 0
+                if dur <= 0:
+                    continue
+                x = decode_audio_stub(r.payload, dur, sample_rate).astype(np.float64)
+                rows.append(
+                    {
+                        "media_id": int(r.media_id),
+                        "n_samples": int(len(x)),
+                        "rms": f"{np.sqrt((x ** 2).mean()):.6f}",
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
@@ -194,9 +252,14 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
 
 def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: int = 1000):
     """Local brute-force twin of extract_image_features ∪ extract_video_features
-    over the synthetic fixture: [(media_id, kind, n_frames, mean_luma)]. Used
-    by the pytest oracle AND inlined into the DuckDB CORRECTNESS oracle (the
-    stub codec is deterministic, so expected rows are computable driver-side)."""
+    ∪ extract_audio_features over the synthetic fixture:
+    [(media_id, kind, n_units, feature)] — n_units is 1/frames/samples and
+    feature is mean-luma/mean-luma/RMS per kind. Used by the pytest oracle
+    AND inlined into the DuckDB CORRECTNESS oracle (the stub codecs are
+    deterministic, so expected rows are computable driver-side).
+
+    Degenerate-input convention shared with the distributed operators:
+    media with duration_ms <= 0 produce NO row on either path."""
     out = []
     for r in synthetic_media_rows(n, seed):
         if r["kind"] == "image":
@@ -204,7 +267,9 @@ def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: 
             small = resize_nearest(img, out_size, out_size)
             out.append((r["media_id"], "image", 1, f"{small.astype(np.float64).mean():.6f}"))
         elif r["kind"] == "video":
-            offs = frame_sample_offsets(r["duration_ms"], every_ms)
+            offs = frame_sample_offsets(r["duration_ms"] or 0, every_ms)
+            if len(offs) == 0:
+                continue
             frames = np.stack(
                 [
                     decode_video_frame_stub(r["payload"], int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
@@ -214,4 +279,10 @@ def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: 
             out.append(
                 (r["media_id"], "video", len(offs), f"{frames.astype(np.float64).mean():.6f}")
             )
+        elif r["kind"] == "audio":
+            dur = r["duration_ms"] or 0
+            if dur <= 0:
+                continue
+            x = decode_audio_stub(r["payload"], dur).astype(np.float64)
+            out.append((r["media_id"], "audio", len(x), f"{np.sqrt((x ** 2).mean()):.6f}"))
     return out

@@ -833,28 +833,32 @@ def radius_join_docs(spark, sf_dir):
 
 # =========================================================== multimodal ====
 def _media_oracle_sql() -> str:
-    """Expected rows computed locally with the SAME deterministic stub codec
+    """Expected rows computed locally with the SAME deterministic stub codecs
     the Spark path ships to executors (media_features_np), inlined as VALUES:
     the oracle checks the distributed mapInPandas plumbing end-to-end."""
     from erased_cells_spark.operators.multimodal import media_features_np
 
     vals = ", ".join(
-        f"({mid}, '{kind}', {nf}, '{luma}')" for mid, kind, nf, luma in media_features_np()
+        f"({mid}, '{kind}', {nu}, '{feat}')" for mid, kind, nu, feat in media_features_np()
     )
     return f"""
-SELECT media_id::BIGINT AS media_id, kind, n_frames::BIGINT AS n_frames, mean_luma
-FROM (VALUES {vals}) t(media_id, kind, n_frames, mean_luma)
+SELECT media_id::BIGINT AS media_id, kind, n_units::BIGINT AS n_units, feature
+FROM (VALUES {vals}) t(media_id, kind, n_units, feature)
 ORDER BY media_id
 """
 
 
 @query("media_features", oracle=_media_oracle_sql())
 def media_features(spark, sf_dir):
-    """Multimodal columns end-to-end: opaque BINARY payloads + typed metadata
-    → (stub) decode → resize / frame-sample → luma features, as two
-    partition-preserving mapInPandas passes (image tiles reuse the
-    erased-cells buffer layout; video decodes frame_sample_offsets frames)."""
+    """Multimodal columns end-to-end, ALL THREE media kinds: opaque BINARY
+    payloads + typed metadata → (stub) decode → resize / frame-sample /
+    waveform stats, as three partition-preserving mapInPandas passes (image
+    tiles reuse the erased-cells buffer layout; video decodes
+    frame_sample_offsets frames; audio computes RMS over the PCM samples).
+    n_units is 1 / n_frames / n_samples per kind; feature is mean luma for
+    image+video, RMS amplitude for audio."""
     from erased_cells_spark.operators.multimodal import (
+        extract_audio_features,
         extract_image_features,
         extract_video_features,
         synthetic_media,
@@ -862,12 +866,24 @@ def media_features(spark, sf_dir):
 
     media = synthetic_media(spark, 64, seed=5)
     img = extract_image_features(media, out_size=16).select(
-        "media_id", F.lit("image").alias("kind"), F.lit(1).cast("long").alias("n_frames"), "mean_luma"
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(1).cast("long").alias("n_units"),
+        F.col("mean_luma").alias("feature"),
     )
     vid = extract_video_features(media, every_ms=1000).select(
-        "media_id", F.lit("video").alias("kind"), F.col("n_frames"), "mean_luma"
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("n_frames").alias("n_units"),
+        F.col("mean_luma").alias("feature"),
     )
-    return img.unionByName(vid).orderBy("media_id")
+    aud = extract_audio_features(media).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        F.col("n_samples").alias("n_units"),
+        F.col("rms").alias("feature"),
+    )
+    return img.unionByName(vid).unionByName(aud).orderBy("media_id")
 
 
 # =========================================================== similarity ====
@@ -915,6 +931,65 @@ def embedding_cosine_dups(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     return (
         cosine_dup_pairs(e, 0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# Bucketed-LSH near-dup oracle: the 8×8 hyperplanes are deterministic
+# driver-side floats — inline them as SQL literals, rebuild each table's sign
+# bucket, take the same (table, bucket) self-join candidates, and apply the
+# same EXACT cosine-threshold verification. The candidate set is a pure
+# function of the inlined planes and precision is exact, so the SQL twin
+# reproduces the Spark output set exactly (recall relative to the all-pairs
+# exact twin `embedding_cosine_dups` is the LSH envelope, proven in pytest).
+def _cosine_lsh_oracle_sql(threshold: float = 0.4, n_tables: int = 8, n_planes: int = 8) -> str:
+    from erased_cells_spark.operators.similarity import _hyperplanes
+
+    def bucket(planes) -> str:
+        terms = []
+        for i in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    tables = "\n  UNION ALL ".join(
+        f"SELECT id, {t} AS tbl, {bucket(_hyperplanes(64, n_planes, 7 * 1000 + t))} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+tb AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+p AS (
+  SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM cand c JOIN e ea ON ea.id = c.id_a JOIN e eb ON eb.id = c.id_b
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine_r
+FROM p WHERE cos >= {threshold} ORDER BY id_a, id_b
+"""
+
+
+@query("embedding_cosine_dups_lsh", oracle=_cosine_lsh_oracle_sql())
+def embedding_cosine_dups_lsh(spark, sf_dir):
+    """The 100 TB-path embedding near-dup (the PRIMARY registered near-dup
+    surface — the exact all-pairs twin above is its oracle-shaped ground
+    truth): 8 independent sign-LSH tables bucket the vectors, the candidate
+    self-join carries only (id, table, bucket) triples, vectors re-attach by
+    id, and the exact cosine filter keeps precision exact. No full-table
+    broadcast, no `<`-only join — plan-asserted in tests/test_plans.py."""
+    from erased_cells_spark.operators.similarity import cosine_dup_pairs_lsh
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        cosine_dup_pairs_lsh(e, 0.4, n_tables=8, n_planes=8, seed=7, dim=64)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
         .orderBy("id_a", "id_b")
     )

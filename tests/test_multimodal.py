@@ -70,3 +70,57 @@ class TestMultimodal:
         assert got == want
         # frame plan drives the decode count: 4000+i*250 ms → 4 + i//4 frames
         assert got[2][0] == len(frame_sample_offsets(4000 + 2 * 250, 1000))
+
+    def test_audio_features_match_local_twin(self, spark):
+        from erased_cells_spark.operators.multimodal import (
+            AUDIO_SAMPLE_RATE,
+            extract_audio_features,
+        )
+
+        media = synthetic_media(spark, 64)
+        got = {r.media_id: (r.n_samples, r.rms) for r in extract_audio_features(media).collect()}
+        want = {
+            mid: (ns, rms) for mid, kind, ns, rms in media_features_np() if kind == "audio"
+        }
+        assert got == want and len(got) > 0
+        # duration drives the sample count: 4000+i*250 ms at 8 kHz
+        assert got[1][0] == (4000 + 1 * 250) * AUDIO_SAMPLE_RATE // 1000
+
+    def test_audio_stub_contract(self):
+        from erased_cells_spark.operators.multimodal import decode_audio_stub
+
+        x = decode_audio_stub(b"payload", 1000)
+        assert x.shape == (8000,) and x.dtype == np.int16
+        assert (x == decode_audio_stub(b"payload", 1000)).all()  # deterministic
+        with pytest.raises(NotImplementedError):
+            decode_audio_stub(b"", 1000)
+
+    def test_zero_duration_media_skipped_on_both_paths(self, spark):
+        """ADVICE r2: the distributed operators and the local oracle twin must
+        agree on degenerate input — duration_ms <= 0 produces NO feature row
+        on EITHER path (video would otherwise np.stack an empty list)."""
+        import pandas as pd
+
+        from erased_cells_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            extract_audio_features,
+        )
+
+        rows = [
+            {"media_id": 0, "kind": "video", "mime": "video/mp4",
+             "payload": bytearray(b"x" * 64), "width": None, "height": None, "duration_ms": 0},
+            {"media_id": 1, "kind": "audio", "mime": "audio/wav",
+             "payload": bytearray(b"y" * 64), "width": None, "height": None, "duration_ms": 0},
+            {"media_id": 2, "kind": "video", "mime": "video/mp4",
+             "payload": bytearray(b"z" * 64), "width": None, "height": None, "duration_ms": 1500},
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        vid = extract_video_features(df).collect()
+        aud = extract_audio_features(df).collect()
+        assert [r.media_id for r in vid] == [2]  # zero-duration video dropped
+        assert aud == []  # zero-duration audio dropped
+        # the local twin applies the same convention (media_features_np skips
+        # duration <= 0) — asserted directly on its video branch
+        from erased_cells_spark.operators.multimodal import frame_sample_offsets
+
+        assert len(frame_sample_offsets(0)) == 0

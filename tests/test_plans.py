@@ -94,3 +94,12 @@ class TestPlanShapes:
         p = plan_of(df)
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+    def test_embedding_neardup_lsh_is_bucketed(self, spark):
+        """The REGISTERED near-dup query must be the bucketed scale path: an
+        equi-join on (table, bucket) — never the exact twin's full-table
+        broadcast with an `<`-only (nested-loop) condition."""
+        df = SPARK_QUERIES["embedding_cosine_dups_lsh"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
