@@ -30,6 +30,8 @@ HEADLINE = [
     "knn_docs",
     "pip_zone_counts",
     "cosine_topk_embeddings",
+    "embedding_cosine_dups_lsh",
+    "bucketed_returns_revenue",
 ]
 
 N_PAGES_FLAGSHIP = 200_000
@@ -97,6 +99,36 @@ def main() -> None:
         SPARK_QUERIES[name](spark, "/root/testdata/sf0.001").count()
     warmup_sec = round(time.perf_counter() - t0, 3)
 
+    # bucketed-table SETUP is untimed (the one-time ingest-side write a real
+    # deployment amortizes across every subsequent join); measure the
+    # shuffled equivalent of the same join for the comparison entry
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from erased_cells_spark.plans.bucketing import ensure_bucketed_tpch
+
+    ensure_bucketed_tpch(spark, sf_dir)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def shuffled_equivalent():
+        return (
+            li.filter(F.col("l_returnflag") == "R")
+            .join(od.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                    "revenue"
+                ),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    shuffled_equivalent().count()  # warm
+    t0 = time.perf_counter()
+    shuffled_equivalent().count()
+    shuffled_join_sec = round(time.perf_counter() - t0, 3)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -123,6 +155,7 @@ def main() -> None:
         "extra": {
             "cpus": cpus,
             "warmup_sec_sf0.001": warmup_sec,
+            "orderkey_join_shuffled_sec_for_comparison": shuffled_join_sec,
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
             "scaling_evidence": "BENCH.md: N→4N efficiency 0.833 (r2 re-run; "

@@ -121,6 +121,42 @@ def ann_lsh_topk(
     )
 
 
+IVF_TRAIN_CAP = 100_000
+
+
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_lists: int = 16,
+    seed: int = 11,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Driver-side Lloyd/KMeans on a bounded, REPRODUCIBLE sample: a seeded
+    Bernoulli sample overshooting the cap, then a deterministic top-cap by
+    id — two trainings on the same data see the same rows and produce
+    identical centroids (the r2 `limit().collect()` sample had no ordering,
+    so trained-mode centroids were run-to-run nondeterministic). Centroids
+    are model state, not data: at 100 TB you train on a bounded sample."""
+    s = emb.select(id_col, vec_col)
+    n_total = emb.count()
+    if n_total > IVF_TRAIN_CAP:
+        frac = min(1.0, (IVF_TRAIN_CAP * 1.2) / n_total)
+        s = s.sample(fraction=frac, seed=seed)
+    rows = s.orderBy(id_col).limit(IVF_TRAIN_CAP).collect()
+    sample = np.vstack([np.asarray(r[1], np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
+    for _ in range(max_iter):  # plain Lloyd iterations on the sample
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            sel = assign == c
+            if sel.any():
+                cent[c] = sample[sel].mean(0)
+    return cent
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -147,18 +183,8 @@ def ivf_ann_topk(
         cent = np.asarray(centroids, dtype=np.float64)
         n_lists = len(cent)
     else:
-        sample = np.vstack(
-            [r[0] for r in emb.select(vec_col).limit(100_000).collect()]
-        ).astype(np.float64)
-        rng = np.random.default_rng(seed)
-        cent = sample[rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)]
-        for _ in range(max_iter):  # plain Lloyd iterations on the sample
-            d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
-            for c in range(len(cent)):
-                sel = assign == c
-                if sel.any():
-                    cent[c] = sample[sel].mean(0)
+        cent = train_ivf_centroids(emb, n_lists, seed, max_iter, id_col, vec_col)
+        n_lists = len(cent)
 
     def assign_udf():
         from pyspark.sql.pandas.functions import pandas_udf

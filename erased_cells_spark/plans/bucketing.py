@@ -11,6 +11,9 @@ bucketed tables contains zero Exchange operators.
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,6 +37,27 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def ensure_bucketed_tpch(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """(lineitem, orders) as co-bucketed tables on the orderkey join key —
+    the recurring fact-to-fact join of the suite. Written once per (sf_dir,
+    session) under /tmp and reused across calls: the one-time bucketed write
+    is the amortized cost that deletes the join-side Exchange from EVERY
+    subsequent orderkey join (the 100 TB pattern: land the fact tables
+    bucketed at ingest, join shuffle-free forever after)."""
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_buckets}".encode()).hexdigest()[:10]
+    base = f"/tmp/erased_cells_buckets/{tag}"
+    out = []
+    for tb, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+        name = f"bkt_{tb}_{tag}"
+        if not spark.catalog.tableExists(name):
+            df = spark.read.parquet(f"{sf_dir}/{tb}.parquet")
+            write_bucketed(df, name, key, n_buckets, path=os.path.join(base, tb))
+        out.append(spark.table(name))
+    return out[0], out[1]
 
 
 def shuffle_count(df: DataFrame) -> int:

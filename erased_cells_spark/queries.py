@@ -160,6 +160,40 @@ def q5(spark, sf_dir):
     )
 
 
+@query(
+    "bucketed_returns_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                          AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def bucketed_returns_revenue(spark, sf_dir):
+    """The recurring fact-to-fact join on BUCKETED tables: lineitem and
+    orders are co-bucketed on the orderkey (one amortized write per sf_dir),
+    so the join plans with ZERO shuffle Exchange on either side — the only
+    shuffle in the whole query is the final 5-group aggregation. The
+    shuffle-free claim is plan-asserted in tests/test_plans.py and the win
+    over the shuffled equivalent is measured in bench.py."""
+    from erased_cells_spark.plans.bucketing import ensure_bucketed_tpch
+
+    li, od = ensure_bucketed_tpch(spark, sf_dir)
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ============================================================== events ====
 @query(
     "events_hourly",

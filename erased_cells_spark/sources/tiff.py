@@ -45,20 +45,44 @@ def _read_tag_values(buf, endian, ttype, count, value_field):
     return raw
 
 
+def _bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """GDAL-style bilinear resample with pixel-center mapping and edge
+    replication: src coordinate = (i + 0.5)·src/dst − 0.5; integer bands
+    round to nearest (GDAL's convention for integer outputs)."""
+    h, w = arr.shape
+    src = arr.astype(np.float64)
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :]
+    top = src[y0][:, x0] * (1 - wx) + src[y0][:, x1] * wx
+    bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if np.issubdtype(arr.dtype, np.integer):
+        return np.rint(out).astype(arr.dtype)
+    return out.astype(arr.dtype)
+
+
 def read_tiff(
     path: str,
     window: tuple[int, int] | None = None,
     window_size: tuple[int, int] | None = None,
     size: tuple[int, int] | None = None,
+    resample: str = "nearest",
 ) -> TiffBand:
-    """Read a band, optionally a sub-window with nearest-neighbor resampling.
+    """Read a band, optionally a sub-window with resampling.
 
     Mirrors the reference's `read_cells(window, window_size, size, resample)`
     (src/gdal/rasterband.rs:37-43,82-103): `window` is the (x, y) offset from
     the top-left, `window_size` the (w, h) source extent, `size` the output
     buffer (w, h) — when it differs from window_size the source region is
-    resampled with GDAL's default NearestNeighbour (pixel-center mapping:
-    src_idx = floor((i + 0.5) · src/dst)). Defaults read the full band."""
+    resampled with `resample` ∈ {"nearest" (GDAL default NearestNeighbour:
+    src_idx = floor((i + 0.5) · src/dst)), "bilinear"}. Defaults read the
+    full band."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:2] == b"II":
@@ -103,9 +127,14 @@ def read_tiff(
         arr = arr[wy : wy + wh, wx : wx + ww]
         if size is not None and size != (ww, wh):
             out_w, out_h = size
-            ys = np.minimum(((np.arange(out_h) + 0.5) * wh / out_h).astype(np.int64), wh - 1)
-            xs = np.minimum(((np.arange(out_w) + 0.5) * ww / out_w).astype(np.int64), ww - 1)
-            arr = arr[ys][:, xs]
+            if resample == "nearest":
+                ys = np.minimum(((np.arange(out_h) + 0.5) * wh / out_h).astype(np.int64), wh - 1)
+                xs = np.minimum(((np.arange(out_w) + 0.5) * ww / out_w).astype(np.int64), ww - 1)
+                arr = arr[ys][:, xs]
+            elif resample == "bilinear":
+                arr = _bilinear(arr, out_h, out_w)
+            else:
+                raise ValueError(f"unsupported resample algorithm {resample!r}")
         height, width = arr.shape
 
     nodata = None

@@ -187,6 +187,15 @@ class TestSimilarity:
         assert planted <= lsh  # LSH recalls every planted near-dup
         assert lsh <= exact  # verification keeps precision exact
 
+    def test_ivf_training_is_reproducible(self, spark, emb):
+        """ADVICE r2: trained-mode centroids must be identical run-to-run
+        (the old unordered limit().collect() sample was nondeterministic)."""
+        from erased_cells_spark.operators.similarity import train_ivf_centroids
+
+        a = train_ivf_centroids(emb, n_lists=8, seed=11)
+        b = train_ivf_centroids(emb, n_lists=8, seed=11)
+        assert np.array_equal(a, b)
+
     def test_ivf_ann_recall(self, spark, emb, emb_pd):
         from erased_cells_spark.operators.similarity import ivf_ann_topk
 

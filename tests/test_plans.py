@@ -95,6 +95,29 @@ class TestPlanShapes:
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
 
+    def test_bucketed_query_join_is_shuffle_free(self, spark):
+        """The registered bucketed query's join must add ZERO shuffle
+        Exchanges (the only shuffle in the full query is the final tiny
+        aggregation) — forced to SortMergeJoin so bucket co-location, not
+        broadcast, is what's proven."""
+        from erased_cells_spark.plans.bucketing import ensure_bucketed_tpch, shuffle_count
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            li, od = ensure_bucketed_tpch(spark, SF_DIR)
+            j = li.filter(F.col("l_returnflag") == "R").join(
+                od, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            j.count()
+            assert shuffle_count(j) == 0
+            full = SPARK_QUERIES["bucketed_returns_revenue"](spark, SF_DIR)
+            full.count()
+            # join contributes nothing; agg + orderBy are the only exchanges
+            assert shuffle_count(full) <= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
     def test_embedding_neardup_lsh_is_bucketed(self, spark):
         """The REGISTERED near-dup query must be the bucketed scale path: an
         equi-join on (table, bucket) — never the exact twin's full-table

@@ -99,6 +99,66 @@ class TestWindowedRead:
         base = read_tiff(f"{GOLD}/L8-Elkton-VA-B4.tiff", window=(0, 0), window_size=(4, 4))
         assert np.array_equal(sub.array[::2, ::2], base.array)  # centers hit each source pixel
 
+    def test_bilinear_upsample_hand_checked(self):
+        """2×2 → 4×4 bilinear with pixel-center mapping, checked by hand:
+        out coords map to src {-0.25, 0.25, 0.75, 1.25}, so weights are
+        {edge, 1/4, 3/4, edge} along each axis."""
+        from erased_cells_spark.sources.tiff import _bilinear
+
+        arr = np.array([[0.0, 10.0], [20.0, 30.0]])
+        out = _bilinear(arr, 4, 4)
+        want = np.array(
+            [
+                [0.0, 2.5, 7.5, 10.0],
+                [5.0, 7.5, 12.5, 15.0],
+                [15.0, 17.5, 22.5, 25.0],
+                [20.0, 22.5, 27.5, 30.0],
+            ]
+        )
+        assert np.allclose(out, want)
+        # integer band: same math, rounded to nearest, dtype preserved
+        out_i = _bilinear(arr.astype(np.uint16), 4, 4)
+        assert out_i.dtype == np.uint16
+        assert np.array_equal(out_i, np.rint(want).astype(np.uint16))
+
+    def test_bilinear_downsample_golden_matches_local_average_map(self):
+        """bilinear through read_tiff on the golden band: exact 2× downsample
+        with pixel-center mapping lands every output at the center of a 2×2
+        block — the value must be the mean of that block."""
+        full = read_tiff(f"{GOLD}/L8-Elkton-VA-B4.tiff")
+        h2, w2 = full.height // 2, full.width // 2
+        small = read_tiff(
+            f"{GOLD}/L8-Elkton-VA-B4.tiff",
+            window=(0, 0),
+            window_size=(w2 * 2, h2 * 2),
+            size=(w2, h2),
+            resample="bilinear",
+        )
+        blocks = full.array[: h2 * 2, : w2 * 2].astype(np.float64)
+        want = (blocks.reshape(h2, 2, w2, 2).mean(axis=(1, 3))).round()
+        assert np.array_equal(small.array.astype(np.float64), want)
+
+    def test_bilinear_identity_size_is_plain_read(self):
+        full = read_tiff(f"{GOLD}/L8-Elkton-VA-B4.tiff")
+        same = read_tiff(
+            f"{GOLD}/L8-Elkton-VA-B4.tiff",
+            window=(0, 0),
+            window_size=(full.width, full.height),
+            size=(full.width, full.height),
+            resample="bilinear",
+        )
+        assert np.array_equal(full.array, same.array)
+
+    def test_unknown_resample_raises(self):
+        with pytest.raises(ValueError, match="resample"):
+            read_tiff(
+                f"{GOLD}/L8-Elkton-VA-B4.tiff",
+                window=(0, 0),
+                window_size=(4, 4),
+                size=(8, 8),
+                resample="cubic",
+            )
+
     def test_out_of_bounds_window_raises(self):
         full = read_tiff(f"{GOLD}/L8-Elkton-VA-B4.tiff")
         with pytest.raises(ValueError):
