@@ -183,7 +183,16 @@ def minhash_lsh_pairs(
     Shuffle sizing: the band explode and self-join carry ONLY (id, band,
     bucket) — 3 longs/row — and the (distinct) candidate pairs re-attach the
     shingle arrays by id with two narrow joins before verification, so the
-    corpus shingle volume crosses the wire once per side, not once per band."""
+    corpus shingle volume crosses the wire once per side, not once per band.
+
+    Cache lifetime (ADVICE r2): the returned DataFrame references two cached
+    intermediates (shingle sets; band triples) that each feed ≥2 plan
+    branches — both are required for correctness-with-one-computation and
+    stay registered in executor storage until the session drops them.
+    CALLERS OWN THE LIFETIME: in a long-lived session, call
+    `spark.catalog.clearCache()` (or unpersist via the storage UI) after
+    materializing the result; per-job sessions (the driver, bench, the
+    submit jobs) release them at session stop."""
     r = N_HASHES // LSH_BANDS
     sh = _spread(docs).select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")

@@ -323,6 +323,24 @@ def doc_langid(spark, sf_dir):
 
 
 @query(
+    "salted_source_counts",
+    oracle="""
+SELECT source, count(*) AS n FROM documents GROUP BY source ORDER BY source
+""",
+)
+def salted_source_counts(spark, sf_dir):
+    """Two-phase SALTED aggregation on the (zipfian-skewed) source key: the
+    partial aggregate on (source, salt) turns one hot reducer into n_salts
+    reducers, the final aggregate moves only the tiny partials — exact for
+    algebraic aggregates, verified against the plain GROUP BY oracle. The
+    skew toolkit (plans/skew.py) exercised through the registered surface."""
+    from erased_cells_spark.plans.skew import salted_agg_counts
+
+    d = t(spark, sf_dir, "documents")
+    return salted_agg_counts(d, ["source"], "doc_id").orderBy("source")
+
+
+@query(
     "exact_dup_groups",
     oracle=f"""
 SELECT {T.sql_doc_fingerprint('text')} AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -666,42 +684,42 @@ def knn_docs(spark, sf_dir):
     oracle=f"""
 WITH pts AS ({_DOC_PTS_SQL}),
 fine AS (
-  SELECT {CE.sql_ix('lon', 12)} AS ix, {CE.sql_iy('lat', 12)} AS iy, count(*) AS n
-  FROM pts GROUP BY 1, 2
+  SELECT {CE.sql_cell_key('lon', 'lat', 12)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
 )
-SELECT res, ix, iy, sum(n)::BIGINT AS n_docs FROM (  -- ::BIGINT: duckdb sum(BIGINT) is HUGEINT
-  SELECT 12 AS res, ix, iy, n FROM fine
-  UNION ALL SELECT 8, ix // 16, iy // 16, n FROM fine
-  UNION ALL SELECT 4, ix // 256, iy // 256, n FROM fine
-) GROUP BY res, ix, iy ORDER BY res, ix, iy
+SELECT res, cell, sum(n)::BIGINT AS n_docs FROM (  -- ::BIGINT: duckdb sum(BIGINT) is HUGEINT
+  SELECT 12 AS res, cell, n FROM fine
+  UNION ALL SELECT 8, ((cell // 4096) // 16) * 256 + ((cell % 4096) // 16), n FROM fine
+  UNION ALL SELECT 4, ((cell // 4096) // 256) * 16 + ((cell % 4096) // 256), n FROM fine
+) GROUP BY res, cell ORDER BY res, cell
 """,
 )
 def multires_cell_rollup(spark, sf_dir):
-    """Multi-resolution cell encode + hierarchical rollup: count at res 12,
-    then parents at 8 and 4 via pure bit arithmetic on the already-aggregated
-    fine cells — the coarser levels re-aggregate the (tiny) fine counts, not
-    the raw points. This is the hypertable-rollup pattern at 100 TB: one
-    shuffle at the finest res, map-side arithmetic for every ancestor level."""
+    """Multi-resolution cell encode + hierarchical rollup ON PACKED GRID
+    KEYS: count per cell_key at res 12, then parents at 8 and 4 via
+    parent_key_expr's pure bit arithmetic on the already-aggregated fine
+    cells — the coarser levels re-aggregate the (tiny) fine counts, not the
+    raw points. This is the hypertable-rollup pattern at 100 TB: one shuffle
+    at the finest res, map-side arithmetic for every ancestor level, and the
+    packed single-column key is what the join/shuffle machinery wants."""
     p = _doc_points(spark, sf_dir)
     fine = (
-        p.select(CE.ix_expr(F.col("lon"), 12).alias("ix"), CE.iy_expr(F.col("lat"), 12).alias("iy"))
-        .groupBy("ix", "iy")
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 12).alias("cell"))
+        .groupBy("cell")
         .agg(F.count("*").alias("n"))
     )
-    levels = [fine.select(F.lit(12).alias("res"), "ix", "iy", "n")]
+    levels = [fine.select(F.lit(12).alias("res"), "cell", "n")]
     for res in (8, 4):
-        shift = 12 - res
         levels.append(
             fine.select(
                 F.lit(res).alias("res"),
-                F.shiftright("ix", shift).alias("ix"),
-                F.shiftright("iy", shift).alias("iy"),
+                CE.parent_key_expr(F.col("cell"), 12, res).alias("cell"),
                 "n",
             )
         )
     allres = levels[0].unionByName(levels[1]).unionByName(levels[2])
     return (
-        allres.groupBy("res", "ix", "iy").agg(F.sum("n").alias("n_docs")).orderBy("res", "ix", "iy")
+        allres.groupBy("res", "cell").agg(F.sum("n").alias("n_docs")).orderBy("res", "cell")
     )
 
 

@@ -129,6 +129,22 @@ class SnapshotTable:
             if d.startswith("__lineage="):
                 staged[unquote(d[len("__lineage="):])] = os.path.join(stage, d)
 
+        # FAIL LOUDLY if any staged partition would not be consumed by the
+        # commit loop below (ADVICE r2): dir names come from Spark's
+        # cast-to-string of the lineage value, the lookup keys from Python's
+        # str() — a representation mismatch (bool True vs 'true', float or
+        # timestamp formatting) would otherwise commit an EMPTY partition and
+        # then rmtree the stage dir holding the real rows. Silent data loss
+        # is the one failure mode a snapshot sink may never have.
+        orphans = set(staged) - {str(lv) for lv in pending}
+        if orphans:
+            raise RuntimeError(
+                f"snapshot write_partitions: staged lineage dirs {sorted(orphans)} "
+                f"match no pending value in {[str(lv) for lv in pending]} — "
+                "Spark's partition-dir string differs from str(lineage_value); "
+                f"stage kept for inspection at {stage}"
+            )
+
         for lv in pending:
             key = str(lv)
             out_dir = os.path.join(self.data_dir, f"part-{key}-{uuid.uuid4().hex}")

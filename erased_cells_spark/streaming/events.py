@@ -100,7 +100,11 @@ GAP_MS = 30 * 60 * 1000
 
 def _sessionize(key, pdfs, state: GroupState):
     """Custom stateful operator: gap-based sessions (30 min), one state row
-    per user; emits closed sessions on timeout or gap."""
+    per user; emits closed sessions on gap (in-data) or EVENT-time timeout
+    (the watermark passing last_event + gap). Event-time — not wall-clock —
+    timeouts make replayed/backfilled streams close sessions identically to
+    live ones: a processing-time pause between micro-batches never splits a
+    session (tested in tests/test_streaming.py)."""
     user_id = key[0]
     if state.hasTimedOut:
         start_ms, last_ms, n = state.get
@@ -124,7 +128,11 @@ def _sessionize(key, pdfs, state: GroupState):
         last_ms = t
         n += 1
     state.update((start_ms, last_ms, n))
-    state.setTimeoutDuration(GAP_MS)
+    # the timeout must sit strictly above the current watermark (Spark
+    # rejects it otherwise); a session already expired relative to the
+    # watermark times out at the next trigger
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(last_ms + GAP_MS, wm + 1))
     yield pd.DataFrame(out, columns=["user_id", "session_start_s", "n_events"])
 
 
@@ -163,17 +171,20 @@ def stream_to_snapshot(
     )
 
 
-def sessionize_stream(stream: DataFrame) -> DataFrame:
-    """applyInPandasWithState gap-sessionization; emits sessions as they
-    close. State per user is O(1)."""
+def sessionize_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """applyInPandasWithState gap-sessionization with EVENT-time timeouts
+    (watermark-driven): sessions close when the event-time watermark passes
+    last_event + gap, never on wall-clock — replay/backfill safe. State per
+    user is O(1); the watermark bounds both state retention and late data."""
     return (
-        stream.select("user_id", "ts")
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
             _sessionize,
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -28,13 +28,11 @@ def main() -> None:
     args = ap.parse_args()
 
     from erased_cells_spark.pipeline import flagship_with_invariant
-    from erased_cells_spark.plans.skew import SCALE_CONF
+    from erased_cells_spark.plans.skew import apply_scale_conf
     from erased_cells_spark.sources.pages import generate_pages
     from erased_cells_spark.sources.snapshot import SnapshotTable
 
-    builder = SparkSession.builder.appName("erased-cells-flagship")
-    for k, v in SCALE_CONF.items():
-        builder = builder.config(k, v)
+    builder = apply_scale_conf(SparkSession.builder.appName("erased-cells-flagship"))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

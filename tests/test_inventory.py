@@ -1,0 +1,124 @@
+"""Registered-surface inventory (r2 verdict item 8, made executable):
+
+1. every registered query has a DuckDB oracle — `queries().keys() ==
+   oracle_sql().keys()` on the actual driver contract module;
+2. every public engine operator is reachable from the engine surface
+   (queries.py / pipeline.py / streaming / jobs / bench / another operator
+   module) — an operator that lands TEST-ONLY fails here immediately, which
+   is exactly how the r2 gaps (unregistered LSH near-dup, test-only
+   bucketing) slipped through a round.
+
+Local twins (`*_np` et al.) exist to back oracles and pytest, not the
+registered surface — they are allowlisted BY NAME with the reason recorded.
+"""
+
+from __future__ import annotations
+
+import importlib
+import inspect
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+OPERATOR_MODULES = [
+    "erased_cells_spark.operators.dedup",
+    "erased_cells_spark.operators.similarity",
+    "erased_cells_spark.operators.knn",
+    "erased_cells_spark.operators.pip",
+    "erased_cells_spark.operators.raster",
+    "erased_cells_spark.operators.multimodal",
+    "erased_cells_spark.operators.cells_expr",
+    "erased_cells_spark.functions.text",
+    "erased_cells_spark.functions.geocode",
+    "erased_cells_spark.plans.skew",
+    "erased_cells_spark.plans.bucketing",
+]
+
+# the engine surface an operator must be reachable from (tests NOT included)
+SURFACE_MODULES = [
+    "erased_cells_spark.queries",
+    "erased_cells_spark.pipeline",
+    "erased_cells_spark.streaming.events",
+    "erased_cells_spark.streaming.pages",
+]
+SURFACE_FILES = ["bench.py", "__spark_entry__.py", "jobs/run_pipeline.py"]
+
+# name → why it legitimately has no registered query
+ALLOWED_UNREGISTERED = {
+    # driver-side brute-force twins backing oracles/pytest (the *_np suffix
+    # is the convention; listed explicitly so a typo'd suffix can't hide)
+    "jaccard_pairs_np": "pytest oracle twin",
+    "simhash_np": "pytest oracle twin",
+    "minhash_signature": "pytest oracle twin (single-set minhash)",
+    "shingle_set": "pytest oracle twin (string shingles)",
+    "cosine_topk_np": "pytest oracle twin",
+    "knn_np": "pytest oracle twin",
+    "haversine_km_np": "pytest oracle twin",
+    "pip_join_np": "pytest oracle twin",
+    "geocode_np": "pytest oracle twin",
+    "cell_key_np": "pytest oracle twin",
+    "media_features_np": "oracle twin (expected rows inlined into SQL)",
+    "extract_text_bytes": "local byte-identity twin of extract_text",
+    "synthetic_media_rows": "fixture rows shared by operator and oracle",
+    # inspection / catalog utilities, not operators
+    "shuffle_count": "plan-inspection utility (used by plan tests)",
+    "read_table": "catalog convenience wrapper",
+    # deploy-time plan utilities / reserved SQL twins
+    "repartition_by_cell": "deploy-time plan utility (range partition before "
+    "wide stateful ops); exactness+spread covered in test_skew",
+    "extract_text_pandas": "Arrow-UDF twin of the builtin extract_text; "
+    "byte-parity asserted in test_pages_pipeline",
+    "sql_host": "SQL twin of host_of for oracle construction over URL tables",
+}
+
+
+def _surface_source() -> str:
+    parts = []
+    for m in SURFACE_MODULES:
+        parts.append(inspect.getsource(importlib.import_module(m)))
+    for f in SURFACE_FILES:
+        with open(os.path.join(REPO, f)) as fh:
+            parts.append(fh.read())
+    return "\n".join(parts)
+
+
+def test_every_registered_query_has_an_oracle():
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    entry = importlib.import_module("__spark_entry__")
+    q, o = set(entry.queries()), set(entry.oracle_sql())
+    assert q == o, (
+        f"queries without oracle: {sorted(q - o)}; oracles without query: {sorted(o - q)}"
+    )
+
+
+def test_every_public_operator_reaches_the_engine_surface():
+    surface = _surface_source()
+    # an operator referenced by ANOTHER operator module, or COMPOSED by a
+    # sibling operator in its own module (occurrence count beyond its own
+    # def), is transitively reachable once those operators are registered
+    mod_sources = {
+        m: inspect.getsource(importlib.import_module(m)) for m in OPERATOR_MODULES
+    }
+    missing = []
+    for mod_name, src_own in mod_sources.items():
+        mod = importlib.import_module(mod_name)
+        for name, obj in vars(mod).items():
+            if name.startswith("_") or not callable(obj) or inspect.isclass(obj):
+                continue
+            if getattr(obj, "__module__", None) != mod_name:
+                continue  # re-export from elsewhere
+            if name in ALLOWED_UNREGISTERED:
+                continue
+            reachable = (
+                name in surface
+                or any(name in s for m, s in mod_sources.items() if m != mod_name)
+                or src_own.count(name) > 1
+            )
+            if not reachable:
+                missing.append(f"{mod_name}.{name}")
+    assert not missing, (
+        "operators with NO engine-surface reference (register a query or "
+        f"allowlist with a reason): {missing}"
+    )

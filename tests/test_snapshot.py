@@ -41,6 +41,17 @@ class TestSnapshot:
         assert not stats["2"].get("skipped") and not stats["3"].get("skipped")
         assert table.read(spark).count() == 2000
 
+    def test_lineage_string_mismatch_fails_loudly(self, spark, table):
+        """ADVICE r2: if Spark's partition-dir string for a lineage value
+        differs from Python's str() (bool True → dir 'true' vs key 'True'),
+        write_partitions must RAISE — never commit an empty partition and
+        delete the staged rows (silent data loss)."""
+        df = generate_pages(spark, 200).withColumn("flag", F.lit(True))
+        with pytest.raises(RuntimeError, match="staged lineage dirs"):
+            table.write_partitions(df, "flag", [True])
+        # nothing was committed for the mismatched value
+        assert table.metrics()["n_partitions"] == 0
+
     def test_crash_atomicity_uncommitted_invisible(self, spark, table):
         df = pages_with_lineage(spark)
         table.write_partitions(df, "bucket", [0, 1])

@@ -151,6 +151,71 @@ class TestStreaming:
         # hours 03/04/05 are still above the final watermark → withheld
         assert set(got) == {("2025-06-01 00", "a")}
 
+    def test_sessionize_replay_event_time_semantics(self, spark, tmp_path):
+        """Replay/backfill semantics (r2 verdict item): with EVENT-time
+        timeouts, (a) a session spanning two micro-batches with a small
+        EVENT gap is NOT split, regardless of wall-clock between triggers,
+        and (b) a user whose events stopped is closed by the WATERMARK
+        advancing (via other users' events), not by wall-clock waiting."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        src = str(tmp_path / "sess_src")
+        os.makedirs(src)
+
+        def add_file(name, rows, mtime):
+            pdf = pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows]),
+                }
+            )
+            tmp = str(tmp_path / f"stage_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))  # file order = trigger order
+
+        # batch 0: u100 starts a session; u200's event sets the watermark pace
+        add_file("f1.parquet", [
+            (100, "2025-06-01 00:00:00"),
+            (100, "2025-06-01 00:10:00"),
+            (200, "2025-06-01 00:20:00"),
+        ], mtime=1_000_000)
+        # batch 1: u100 continues with a 10-min EVENT gap (same session —
+        # must NOT split at the trigger boundary); u200 jumps to 01:30,
+        # pushing the watermark to 01:20 ≫ u100's last+gap (00:50)
+        add_file("f2.parquet", [
+            (100, "2025-06-01 00:20:00"),
+            (200, "2025-06-01 01:30:00"),
+        ], mtime=2_000_000)
+        # batch 2: the watermark (01:20) now closes u100's session via
+        # EVENT-time timeout; u200's in-data gap closes its first two
+        add_file("f3.parquet", [
+            (200, "2025-06-01 02:30:00"),
+        ], mtime=3_000_000)
+
+        schema = "user_id LONG, ts TIMESTAMP"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        shutil.rmtree("/tmp/ckpt_sess_replay", ignore_errors=True)
+        out = run_stream_to_memory(
+            spark, sessionize_stream(stream), "sess_replay", timeout=180
+        )
+        got = {
+            (r.user_id, r.session_start_s): r.n_events for r in out.collect()
+        }
+        # u100: ONE session of 3 events (00:00, 00:10, 00:20) closed by the
+        # watermark — not two sessions split at the trigger boundary
+        assert got[(100, "2025-06-01 00:00:00")] == 3
+        assert not any(u == 100 and s != "2025-06-01 00:00:00" for u, s in got)
+        # u200: gap-closed singleton sessions at 00:20 and 01:30; 02:30 open
+        assert got[(200, "2025-06-01 00:20:00")] == 1
+        assert got[(200, "2025-06-01 01:30:00")] == 1
+        assert (200, "2025-06-01 02:30:00") not in got
+
     def test_sessionize_stream_matches_batch(self, spark):
         import shutil
 
