@@ -129,6 +129,24 @@ def main() -> None:
     shuffled_equivalent().count()
     shuffled_join_sec = round(time.perf_counter() - t0, 3)
 
+    # join-only comparison (median of 3): at this SF the registered query is
+    # dominated by scan+agg, so the shuffle the bucketing deletes is best
+    # seen on the raw join itself
+    import statistics
+
+    bli, bod = ensure_bucketed_tpch(spark, sf_dir)
+    jb = bli.join(bod, F.col("l_orderkey") == F.col("o_orderkey"))
+    js = li.join(od.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+    raw = {}
+    for nm, j in [("bucketed", jb), ("shuffled", js)]:
+        j.count()
+        laps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            j.count()
+            laps.append(time.perf_counter() - t0)
+        raw[nm] = round(statistics.median(laps), 3)
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -156,6 +174,7 @@ def main() -> None:
             "cpus": cpus,
             "warmup_sec_sf0.001": warmup_sec,
             "orderkey_join_shuffled_sec_for_comparison": shuffled_join_sec,
+            "orderkey_raw_join_median_sec": raw,
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
             "scaling_evidence": "BENCH.md: N→4N efficiency 0.833 (r2 re-run; "

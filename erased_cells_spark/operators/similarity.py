@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _dot(a, b):
@@ -268,26 +268,28 @@ def cosine_dup_pairs_lsh(
     (θ→0) are found with overwhelming probability; pairs close to the
     decision boundary are probabilistic (the classic LSH envelope, proven in
     pytest, not assumed). Shuffle payload of the bucket self-join is
-    (id, table, bucket) triples; vectors re-attach per candidate id."""
-    sigs = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed * 1000 + t)
-        weights = (1 << np.arange(n_planes)).astype(np.int64)
+    (id, table, bucket) triples; vectors re-attach per candidate id.
 
-        def mk(planes=planes, weights=weights):
-            @pandas_udf(LongType())
-            def _sig(vec: pd.Series) -> pd.Series:
-                m = np.vstack(vec.to_numpy())
-                return pd.Series(((m @ planes.T) > 0) @ weights)
+    All n_tables signatures come out of ONE pandas UDF (a single
+    (batch, tables·planes) matmul + reshape) and the exploded (id, tbl,
+    bucket) table is cached — it feeds both sides of the self-join, so an
+    uncached plan would run the signature stage twice. Cache lifetime is
+    caller-owned (see minhash_lsh_pairs)."""
+    planes = np.stack([_hyperplanes(dim, n_planes, seed * 1000 + t) for t in range(n_tables)])
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
 
-            return _sig
+    @pandas_udf(ArrayType(LongType()))
+    def sigs_udf(vec: pd.Series) -> pd.Series:
+        m = np.vstack(vec.to_numpy())
+        signs = (m @ flat.T) > 0  # (batch, tables·planes)
+        sigs = signs.reshape(len(m), n_tables, n_planes) @ weights  # (batch, tables)
+        return pd.Series(list(sigs))
 
-        sigs.append(mk())
     e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     tables = e.select(
-        "id",
-        F.posexplode(F.array(*[s(F.col("v")) for s in sigs])).alias("tbl", "bucket"),
-    )
+        "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
+    ).cache()
     a, b = tables.alias("a"), tables.alias("b")
     cand = (
         a.join(

@@ -40,7 +40,7 @@ def read_table(spark: SparkSession, table_name: str) -> DataFrame:
 
 
 def ensure_bucketed_tpch(
-    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+    spark: SparkSession, sf_dir: str, n_buckets: int = 32
 ) -> tuple[DataFrame, DataFrame]:
     """(lineitem, orders) as co-bucketed tables on the orderkey join key —
     the recurring fact-to-fact join of the suite. Written once per (sf_dir,
