@@ -1,15 +1,19 @@
-"""Minimal pure-numpy reader for uncompressed strip TIFFs.
+"""Minimal pure-numpy TIFF band reader.
 
-Scope: exactly what the golden files need (single-band, single-IFD,
-uncompressed strips, little- or big-endian, 8/16/32-bit int or float
-samples, GDAL_NODATA ascii tag). This replaces the reference's GDAL
-dependency for tests only (reference: src/gdal/rasterband.rs:37-126);
-the engine proper produces rasters by rasterizing vectors, not file scans.
+Scope: what the golden files need plus the common GDAL outputs (single-band,
+single-IFD, little- or big-endian, 8/16/32-bit int or float samples,
+GDAL_NODATA ascii tag), in STRIP or TILED layout, uncompressed or
+DEFLATE/zlib-compressed (compression 8 / legacy 32946) with the optional
+horizontal-differencing predictor (tag 317 = 2). This replaces the
+reference's GDAL dependency for tests only (reference:
+src/gdal/rasterband.rs:37-126 delegates all codecs to GDAL); the engine
+proper produces rasters by rasterizing vectors, not file scans.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 
 import numpy as np
@@ -103,21 +107,47 @@ def read_tiff(
     width, height = tags[256][0], tags[257][0]
     bits = tags.get(258, [8])[0]
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 8, 32946):  # none | DEFLATE | legacy deflate
         raise ValueError(f"unsupported compression {compression}")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     sample_format = tags.get(339, [1])[0]  # 1 uint, 2 int, 3 float
     kind = {1: "u", 2: "i", 3: "f"}[sample_format]
     dtype = np.dtype(f"{endian}{kind}{bits // 8}")
+    if predictor == 2 and kind == "f":
+        raise ValueError("predictor 2 (horizontal differencing) is integer-only")
 
-    offsets = tags[273]
-    counts = tags[279]
-    rows_per_strip = tags.get(278, [height])[0]
-    rows_out = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        nrows = min(rows_per_strip, height - si * rows_per_strip)
-        strip = np.frombuffer(buf, dtype=dtype, count=nrows * width, offset=off)
-        rows_out.append(strip.reshape(nrows, width))
-    arr = np.vstack(rows_out).astype(dtype.newbyteorder("="))
+    def decode_block(off: int, cnt: int, rows: int, cols: int) -> np.ndarray:
+        raw = buf[off : off + cnt]
+        if compression in (8, 32946):
+            raw = zlib.decompress(raw)
+        block = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
+        if predictor == 2:  # horizontal differencing: undo per row
+            block = np.cumsum(block.astype(np.int64), axis=1).astype(dtype)
+        return block
+
+    if 322 in tags:  # tiled layout (TileWidth/TileLength/TileOffsets/Counts)
+        tw, tl = tags[322][0], tags[323][0]
+        t_offsets, t_counts = tags[324], tags[325]
+        tiles_across = (width + tw - 1) // tw
+        arr = np.zeros((height, width), dtype=dtype)
+        for ti, (off, cnt) in enumerate(zip(t_offsets, t_counts)):
+            ty, tx = divmod(ti, tiles_across)
+            tile = decode_block(off, cnt, tl, tw)  # tiles are always full-size
+            y0, x0 = ty * tl, tx * tw
+            h_in, w_in = min(tl, height - y0), min(tw, width - x0)
+            arr[y0 : y0 + h_in, x0 : x0 + w_in] = tile[:h_in, :w_in]
+    else:
+        offsets = tags[273]
+        counts = tags[279]
+        rows_per_strip = tags.get(278, [height])[0]
+        rows_out = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, height - si * rows_per_strip)
+            rows_out.append(decode_block(off, cnt, nrows, width))
+        arr = np.vstack(rows_out)
+    arr = arr.astype(dtype.newbyteorder("="))
 
     if window is not None:
         wx, wy = window

@@ -171,6 +171,18 @@ def stream_to_snapshot(
     )
 
 
+def dedupe_stream(
+    stream: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming EXACT dedup for at-least-once sources (replayed Kafka
+    offsets, retried file commits): dropDuplicatesWithinWatermark keeps a
+    key in state only until the watermark passes its event time, so state
+    is O(distinct keys within the watermark window) — bounded regardless of
+    stream length — while duplicates arriving within the window are dropped
+    exactly like the batch twin's dropDuplicates."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def sessionize_stream(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """applyInPandasWithState gap-sessionization with EVENT-time timeouts
     (watermark-driven): sessions close when the event-time watermark passes

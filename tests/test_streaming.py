@@ -151,6 +151,52 @@ class TestStreaming:
         # hours 03/04/05 are still above the final watermark → withheld
         assert set(got) == {("2025-06-01 00", "a")}
 
+    def test_streaming_dedup_drops_cross_batch_replays(self, spark, tmp_path):
+        """At-least-once ingest: the same event_id replayed in a LATER
+        micro-batch (within the watermark window) must be emitted exactly
+        once — the streaming twin of batch dropDuplicates."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        from erased_cells_spark.streaming.events import dedupe_stream
+
+        src = str(tmp_path / "dup_src")
+        os.makedirs(src)
+
+        def add_file(name, rows, mtime):
+            pdf = pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "ts": pd.to_datetime([r[1] for r in rows]),
+                    "v": [r[2] for r in rows],
+                }
+            )
+            tmp = str(tmp_path / f"stage_{name}")
+            spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+            dst = os.path.join(src, name)
+            shutil.move(os.path.join(tmp, part), dst)
+            os.utime(dst, (mtime, mtime))
+
+        add_file("f1.parquet", [
+            (1, "2025-06-01 00:00:00", "a"),
+            (2, "2025-06-01 00:05:00", "b"),
+            (2, "2025-06-01 00:05:00", "b"),  # in-batch duplicate
+        ], mtime=1_000_000)
+        add_file("f2.parquet", [
+            (1, "2025-06-01 00:00:00", "a"),  # cross-batch replay
+            (3, "2025-06-01 00:10:00", "c"),
+        ], mtime=2_000_000)
+
+        schema = "event_id LONG, ts TIMESTAMP, v STRING"
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        shutil.rmtree("/tmp/ckpt_dedup", ignore_errors=True)
+        out = run_stream_to_memory(spark, dedupe_stream(stream), "dedup_stream")
+        got = sorted((r.event_id, r.v) for r in out.collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+
     def test_sessionize_replay_event_time_semantics(self, spark, tmp_path):
         """Replay/backfill semantics (r2 verdict item): with EVENT-time
         timeouts, (a) a session spanning two micro-batches with a small

@@ -1,0 +1,180 @@
+"""DEFLATE-compressed and tiled TIFF layouts (reference delegates every codec
+to GDAL — src/gdal/rasterband.rs:90-102; this covers the common GDAL outputs
+without the dependency). Fixtures are synthesized by a minimal in-test TIFF
+writer so each layout/codec combination is exercised against ground truth."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from erased_cells_spark.sources.tiff import read_tiff
+
+GDAL_NODATA_TAG = 42113
+
+
+def write_tiff_bytes(
+    arr: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    tile: tuple[int, int] | None = None,
+    rows_per_strip: int | None = None,
+    nodata: float | None = None,
+) -> bytes:
+    """Minimal little-endian classic-TIFF writer (single band, single IFD)."""
+    endian = "<"
+    h, w = arr.shape
+    dt = arr.dtype
+    kind = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+    arr_le = arr.astype(dt.newbyteorder("<"))
+
+    blocks = []
+    if tile:
+        tw, tl = tile
+        for ty in range((h + tl - 1) // tl):
+            for tx in range((w + tw - 1) // tw):
+                t = np.zeros((tl, tw), dt)
+                sub = arr_le[ty * tl : ty * tl + tl, tx * tw : tx * tw + tw]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(t)
+    else:
+        rps = rows_per_strip or h
+        blocks = [arr_le[y : y + rps] for y in range(0, h, rps)]
+
+    payloads = []
+    for b in blocks:
+        if predictor == 2:
+            d = b.astype(np.int64)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            b = d.astype(dt)  # horizontal differencing, wraps mod 2^bits
+        raw = b.tobytes()
+        if compression == 8:
+            raw = zlib.compress(raw)
+        payloads.append(raw)
+
+    data = b"".join(payloads)
+    offsets, counts, pos = [], [], 8
+    for p in payloads:
+        offsets.append(pos)
+        counts.append(len(p))
+        pos += len(p)
+
+    tags = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [bits]),
+        (259, 3, [compression]),
+        (262, 3, [1]),
+    ]
+    if tile:
+        tags += [(322, 4, [tile[0]]), (323, 4, [tile[1]]), (324, 4, offsets), (325, 4, counts)]
+    else:
+        tags += [
+            (273, 4, offsets),
+            (277, 3, [1]),
+            (278, 4, [rows_per_strip or h]),
+            (279, 4, counts),
+        ]
+    if predictor != 1:
+        tags.append((317, 3, [predictor]))
+    tags.append((339, 3, [kind]))
+    if nodata is not None:
+        tags.append((GDAL_NODATA_TAG, 2, f"{nodata:g}".encode("ascii") + b"\0"))
+    tags.sort(key=lambda t: t[0])
+
+    ifd_off = 8 + len(data)
+    extra_base = ifd_off + 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    entries = b""
+    fmt = {3: "H", 4: "I"}
+    for tag, ttype, values in tags:
+        if ttype == 2:
+            payload, count = values, len(values)
+        else:
+            count = len(values)
+            payload = struct.pack(endian + fmt[ttype] * count, *values)
+        if len(payload) <= 4:
+            field = payload + b"\0" * (4 - len(payload))
+        else:
+            field = struct.pack(endian + "I", extra_base + len(extra))
+            extra += payload
+        entries += struct.pack(endian + "HHI", tag, ttype, count) + field
+
+    header = b"II" + struct.pack(endian + "HI", 42, ifd_off)
+    ifd = struct.pack(endian + "H", len(tags)) + entries + struct.pack(endian + "I", 0)
+    return header + data + ifd + bytes(extra)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(17)
+
+
+def roundtrip(tmp_path, arr, **kw):
+    p = str(tmp_path / "t.tiff")
+    with open(p, "wb") as f:
+        f.write(write_tiff_bytes(arr, **kw))
+    return p, read_tiff(p)
+
+
+class TestCodecs:
+    def test_deflate_strips_uint16(self, tmp_path, rng):
+        arr = rng.integers(0, 65536, size=(60, 50), dtype=np.uint16)
+        _, band = roundtrip(tmp_path, arr, compression=8, rows_per_strip=16, nodata=7)
+        assert np.array_equal(band.array, arr)
+        assert band.nodata == 7.0
+
+    def test_deflate_with_predictor_uint8(self, tmp_path, rng):
+        arr = rng.integers(0, 256, size=(33, 41), dtype=np.uint8)
+        _, band = roundtrip(tmp_path, arr, compression=8, predictor=2, rows_per_strip=8)
+        assert np.array_equal(band.array, arr)
+
+    def test_deflate_with_predictor_int16_negative(self, tmp_path, rng):
+        arr = rng.integers(-32768, 32768, size=(20, 20), dtype=np.int16)
+        _, band = roundtrip(tmp_path, arr, compression=8, predictor=2)
+        assert np.array_equal(band.array, arr)
+
+    def test_tiled_uncompressed_partial_edge_tiles(self, tmp_path, rng):
+        arr = rng.integers(0, 256, size=(40, 35), dtype=np.uint8)
+        _, band = roundtrip(tmp_path, arr, tile=(16, 16))
+        assert np.array_equal(band.array, arr)
+
+    def test_tiled_deflate_predictor(self, tmp_path, rng):
+        arr = rng.integers(0, 1 << 30, size=(37, 29), dtype=np.uint32)
+        _, band = roundtrip(tmp_path, arr, compression=8, predictor=2, tile=(16, 8))
+        assert np.array_equal(band.array, arr)
+
+    def test_deflate_float32(self, tmp_path, rng):
+        arr = rng.standard_normal((25, 30)).astype(np.float32)
+        _, band = roundtrip(tmp_path, arr, compression=8, rows_per_strip=7)
+        assert np.array_equal(band.array, arr)
+
+    def test_predictor_on_float_raises(self, tmp_path, rng):
+        arr = rng.standard_normal((8, 8)).astype(np.float32)
+        p = str(tmp_path / "bad.tiff")
+        with open(p, "wb") as f:
+            f.write(write_tiff_bytes(arr, compression=8, predictor=2))
+        with pytest.raises(ValueError, match="predictor"):
+            read_tiff(p)
+
+    def test_windowed_read_on_tiled_deflate(self, tmp_path, rng):
+        arr = rng.integers(0, 65536, size=(48, 64), dtype=np.uint16)
+        p, _ = roundtrip(tmp_path, arr, compression=8, tile=(16, 16))
+        sub = read_tiff(p, window=(5, 9), window_size=(20, 12))
+        assert np.array_equal(sub.array, arr[9:21, 5:25])
+
+    def test_unsupported_compression_still_raises(self, tmp_path, rng):
+        arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        p = str(tmp_path / "lzw.tiff")
+        with open(p, "wb") as f:
+            f.write(write_tiff_bytes(arr, compression=1))
+        raw = bytearray(open(p, "rb").read())
+        # flip the compression SHORT (tag 259) to LZW (5) in place
+        i = raw.find(struct.pack("<HHI", 259, 3, 1))
+        raw[i + 8 : i + 10] = struct.pack("<H", 5)
+        with open(p, "wb") as f:
+            f.write(bytes(raw))
+        with pytest.raises(ValueError, match="compression"):
+            read_tiff(p)
