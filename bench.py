@@ -177,9 +177,10 @@ def main() -> None:
             "orderkey_raw_join_median_sec": raw,
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
-            "scaling_evidence": "BENCH.md: N→4N efficiency 0.833 (r2 re-run; "
-            "r1: 0.938) on the tile+PIP metric job at 64M pages, absolute "
-            "throughput up ~20% vs r1 (tools/scaling_bench.py)",
+            "scaling_evidence": "BENCH.md: N→4N efficiency 0.986 (r3 re-run; "
+            "r2: 0.833, r1: 0.938) on the tile+PIP metric job at 64M pages, "
+            "local[2]→local[8] medians 160.1s→40.6s = 400k→1.58M rows/s, the "
+            "fastest 4N level of all rounds (tools/scaling_bench.py)",
         },
     }
     print(json.dumps(out))
