@@ -282,6 +282,71 @@ def events_user_top3(spark, sf_dir):
     )
 
 
+@query(
+    "events_purchase_asof_view",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, v.view_id,
+       date_diff('second', v.ts, p.ts) AS gap_s
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+ORDER BY p.event_id
+""",
+)
+def events_purchase_asof_view(spark, sf_dir):
+    """AS-OF join (time-series enrichment): each purchase picks the LATEST
+    view of the same user at-or-before its timestamp, or NULL if none.
+    Implemented with the union-sort trick (operators/asof.py) — one shuffle
+    on user_id, no range explosion; the oracle is DuckDB's native ASOF LEFT
+    JOIN. The right side is pre-aggregated to one row per (user, ts) so the
+    answer is deterministic on both engines."""
+    from erased_cells_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.col("ts").alias("_view_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    out = asof_join(purchases, views, by_col="user_id", ts_col="ts",
+                    right_cols=["view_id", "_view_ts"])
+    gap = (F.col("ts").cast("timestamp").cast("long")
+           - F.col("_view_ts").cast("timestamp").cast("long"))
+    return out.select("event_id", "user_id", "view_id", gap.alias("gap_s")).orderBy("event_id")
+
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+       count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY rf, ls
+""",
+)
+def lineitem_rollup(spark, sf_dir):
+    """Hierarchical GROUPING SETS (ROLLUP) over lineitem: Catalyst's Expand
+    turns the three grouping levels into one scan + one shuffle of partial
+    aggregates — the relational rollup twin of the spatial multires rollup."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
 # =========================================================== documents ====
 @query(
     "doc_stats",

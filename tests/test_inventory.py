@@ -22,6 +22,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OPERATOR_MODULES = [
+    "erased_cells_spark.operators.asof",
     "erased_cells_spark.operators.dedup",
     "erased_cells_spark.operators.similarity",
     "erased_cells_spark.operators.knn",
@@ -58,6 +59,7 @@ ALLOWED_UNREGISTERED = {
     "pip_join_np": "pytest oracle twin",
     "geocode_np": "pytest oracle twin",
     "cell_key_np": "pytest oracle twin",
+    "asof_join_np": "pytest oracle twin",
     "media_features_np": "oracle twin (expected rows inlined into SQL)",
     "extract_text_bytes": "local byte-identity twin of extract_text",
     "synthetic_media_rows": "fixture rows shared by operator and oracle",
