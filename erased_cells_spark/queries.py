@@ -347,6 +347,83 @@ def lineitem_rollup(spark, sf_dir):
     )
 
 
+def _window_values_sql() -> str:
+    from erased_cells_spark.operators.interval import time_window_fixtures
+
+    vals = ", ".join(
+        f"({w}, TIMESTAMP '{lo}', TIMESTAMP '{hi}')" for w, lo, hi in time_window_fixtures()
+    )
+    return f"win(w_id, t_lo, t_hi) AS (VALUES {vals})"
+
+
+@query(
+    "events_window_interval_join",
+    oracle=f"""
+WITH {_window_values_sql()}
+SELECT w_id, count(*) AS n, round(sum("value"), 4) AS sum_value
+FROM events e JOIN win w ON e.ts >= w.t_lo AND e.ts <= w.t_hi
+GROUP BY w_id ORDER BY w_id
+""",
+)
+def events_window_interval_join(spark, sf_dir):
+    """Interval (point-in-window) join: events × 16 deterministic time
+    windows via the bucket-cover equi-join (operators/interval.py) — the
+    temporal twin of the PIP join; the oracle plans the same containment as
+    a literal inequality join. Never a theta/nested-loop join on the Spark
+    side (plan-asserted)."""
+    from erased_cells_spark.operators.interval import interval_join, time_window_fixtures
+
+    e = t(spark, sf_dir, "events").select("ts", "value")
+    win = spark.createDataFrame(
+        [(w, lo, hi) for w, lo, hi in time_window_fixtures()], "w_id INT, t_lo STRING, t_hi STRING"
+    ).select("w_id", F.col("t_lo").cast("timestamp_ntz"), F.col("t_hi").cast("timestamp_ntz"))
+    j = interval_join(e, win, ts_col="ts", lo_col="t_lo", hi_col="t_hi")
+    return (
+        j.groupBy("w_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("w_id")
+    )
+
+
+@query(
+    "doc_hash_sample_by_source",
+    oracle="""
+WITH keyed AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS h
+  FROM documents
+),
+quota AS (
+  SELECT source, CASE WHEN source LIKE 'source-0%' THEN 10 ELSE 50 END AS pct
+  FROM (SELECT DISTINCT source FROM documents)
+)
+SELECT k.source, count(*) AS n_sampled, min(k.doc_id) AS first_id
+FROM keyed k JOIN quota q ON k.source = q.source
+WHERE k.h < q.pct
+GROUP BY k.source ORDER BY k.source
+""",
+)
+def doc_hash_sample_by_source(spark, sf_dir):
+    """Deterministic stratified downsampling — the curation op that rebalances
+    over-represented sources in a training corpus. The 'randomness' is an
+    md5 hash of the stable doc id, so the sample is reproducible across
+    engines, runs, and cluster sizes (no RNG state), and membership is a
+    pure per-row JVM expression: at 100 TB this is a scan-side filter with
+    zero shuffle until the audit aggregation."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    pct = F.when(F.col("source").startswith("source-0"), F.lit(10)).otherwise(F.lit(50))
+    return (
+        d.select("source", "doc_id", h.alias("h"), pct.alias("pct"))
+        .filter(F.col("h") < F.col("pct"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_id"))
+        .orderBy("source")
+    )
+
+
 # =========================================================== documents ====
 @query(
     "doc_stats",
