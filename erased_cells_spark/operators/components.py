@@ -1,0 +1,80 @@
+"""Connected components over an edge list — the last step of every dedup
+pipeline: pairwise near-dup EDGES (minhash/simhash/embedding verify output)
+become duplicate CLUSTERS with one canonical survivor per component.
+
+Spark-first: iterative min-label propagation (one-hop equi-join +
+groupBy(min)) followed by POINTER-JUMPING each round (component ←
+component's component, a self-join) — the shortcutting makes convergence
+O(log n) rounds even on a path graph, not O(diameter); a 40-node chain
+converges in ~7 rounds where plain propagation needs 40. Convergence is
+detected by the label-sum fixpoint (the sum strictly decreases until the
+fixpoint, so one tiny agg per round — no extra comparison join), and
+exhausting max_iter without the fixpoint RAISES rather than returning a
+silently under-merged labeling."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`; component =
+    the minimum node id reachable through undirected edges."""
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).cache()
+    lab = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        nbr = und.join(lab.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), "component"
+        )
+        lab = lab.union(nbr).groupBy("node").agg(F.min("component").alias("component"))
+        # pointer-jumping: every label IS a node id (labels start as node
+        # ids and min-folds only move them), so one self-join compresses
+        # component → component's component — the doubling step
+        l2 = lab.select(F.col("node").alias("component"), F.col("component").alias("_c2"))
+        lab = (
+            lab.join(l2, "component")
+            .select("node", F.col("_c2").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        s = lab.agg(F.sum("component").alias("s")).collect()[0].s
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    und.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(pointer-jumping converges in O(log n) — raise max_iter only "
+            "for graphs with > 2^max_iter nodes)"
+        )
+    return lab
+
+
+def connected_components_np(edges: list[tuple]) -> dict:
+    """Union-find twin (pytest oracle): {node: min-id component}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}

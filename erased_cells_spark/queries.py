@@ -530,6 +530,47 @@ def minhash_dups(spark, sf_dir):
     )
 
 
+# Duplicate clusters: pairwise near-dup edges → connected components →
+# (cluster, size, max member). The oracle computes the SAME pair set with
+# the exact-Jaccard SQL (proven equal to the minhash path) and resolves
+# components with a recursive reachability CTE + min-label fold.
+_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node)
+SELECT component AS cluster_id, count(*) AS n_docs, max(node) AS max_id
+FROM comp GROUP BY component ORDER BY cluster_id
+"""
+
+
+@query("dup_clusters", oracle=_DUP_CLUSTERS_SQL)
+def dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pair edges → iterative min-label
+    connected components (operators/components.py) → one row per duplicate
+    cluster with its canonical (min-id) survivor, size, and max member —
+    the keep/drop decision surface of a dedup pipeline. The oracle derives
+    the same edges via exact Jaccard and a recursive reachability CTE."""
+    from erased_cells_spark.operators.components import connected_components
+
+    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        cc.groupBy("component")
+        .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_id"))
+        .select(F.col("component").alias("cluster_id"), "n_docs", "max_id")
+        .orderBy("cluster_id")
+    )
+
+
 # SimHash oracle: the md5-based word hash makes the whole signature pipeline
 # SQL-expressible — same 63-bit signature (bits 0..62 of hi·2³²+lo), same
 # per-bit majority, then ALL-PAIRS hamming ≤ 3 (the Spark side's 4×16-bit

@@ -23,6 +23,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 OPERATOR_MODULES = [
     "erased_cells_spark.operators.asof",
+    "erased_cells_spark.operators.components",
     "erased_cells_spark.operators.interval",
     "erased_cells_spark.operators.dedup",
     "erased_cells_spark.operators.similarity",
@@ -62,6 +63,7 @@ ALLOWED_UNREGISTERED = {
     "cell_key_np": "pytest oracle twin",
     "asof_join_np": "pytest oracle twin",
     "interval_join_np": "pytest oracle twin",
+    "connected_components_np": "pytest oracle twin (union-find)",
     "media_features_np": "oracle twin (expected rows inlined into SQL)",
     "extract_text_bytes": "local byte-identity twin of extract_text",
     "synthetic_media_rows": "fixture rows shared by operator and oracle",
