@@ -3,11 +3,15 @@
 entry(spark)     — flagship pipeline smoke on sf0.001.
 queries()        — every implemented operator (SURVEY.md §2 Part B + the
                    training-data ops) as (spark, sf_dir) → DataFrame.
-oracle_sql()     — a DuckDB twin for EVERY query (28/28 since round 2):
+oracle_sql()     — a DuckDB twin for EVERY query (36/36 in round 3):
                    winding-number PIP as an edge-crossing VALUES query,
                    simhash as md5 signature algebra in SQL, IVF with
-                   data-derived centroids, LSH with literal hyperplanes,
+                   data-derived centroids, LSH ANN + LSH near-dup with
+                   literal hyperplanes, as-of via DuckDB's native ASOF
+                   JOIN, dup clusters via a recursive reachability CTE,
                    multimodal with inlined deterministic expected rows.
+                   tests/test_inventory.py asserts queries() ≡ oracle_sql()
+                   and that no operator is test-only.
 """
 
 from __future__ import annotations

@@ -32,6 +32,10 @@ HEADLINE = [
     "cosine_topk_embeddings",
     "embedding_cosine_dups_lsh",
     "bucketed_returns_revenue",
+    "events_purchase_asof_view",
+    "events_window_interval_join",
+    "lineitem_rollup",
+    "dup_clusters",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -192,7 +192,7 @@ class TestStreaming:
 
         schema = "event_id LONG, ts TIMESTAMP, v STRING"
         stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-        shutil.rmtree("/tmp/ckpt_dedup", ignore_errors=True)
+        shutil.rmtree("/tmp/ckpt_dedup_stream", ignore_errors=True)
         out = run_stream_to_memory(spark, dedupe_stream(stream), "dedup_stream")
         got = sorted((r.event_id, r.v) for r in out.collect())
         assert got == [(1, "a"), (2, "b"), (3, "c")]
