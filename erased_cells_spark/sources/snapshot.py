@@ -46,24 +46,59 @@ class SnapshotTable:
     def _manifest_path(self, sid: int) -> str:
         return os.path.join(self.path, f"snapshot-{sid:06d}.json")
 
-    def current_manifest(self) -> dict:
-        sid = self._current_id()
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        """Manifest of a specific snapshot (time travel) or CURRENT."""
+        sid = self._current_id() if snapshot_id is None else snapshot_id
         if sid == 0:
             return {"snapshot_id": 0, "parent": None, "partitions": {}}
-        with open(self._manifest_path(sid)) as f:
+        p = self._manifest_path(sid)
+        if not os.path.exists(p):
+            raise ValueError(
+                f"no snapshot {sid} at {self.path} (never committed, or expired)"
+            )
+        with open(p) as f:
             return json.load(f)
+
+    def current_manifest(self) -> dict:
+        return self.manifest()
+
+    def snapshots(self) -> list[dict]:
+        """All live snapshots, oldest first: (snapshot_id, committed_at,
+        n_partitions, total_rows, operation)."""
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("snapshot-") and name.endswith(".json"):
+                with open(os.path.join(self.path, name)) as f:
+                    m = json.load(f)
+                out.append(
+                    {
+                        "snapshot_id": m["snapshot_id"],
+                        "committed_at": m.get("committed_at"),
+                        "n_partitions": len(m["partitions"]),
+                        "total_rows": sum(p["rows"] for p in m["partitions"].values()),
+                        "operation": m.get("operation", "append"),
+                    }
+                )
+        return out
 
     def committed_lineage(self) -> set[str]:
         return set(self.current_manifest()["partitions"].keys())
 
     def _commit(self, new_partitions: dict) -> int:
         parent = self.current_manifest()
+        return self._commit_state({**parent["partitions"], **new_partitions})
+
+    def _commit_state(self, partitions: dict, **extra) -> int:
+        """Commit a manifest whose partition map is EXACTLY `partitions`
+        (append merges via _commit; rollback/compact replace the state)."""
+        parent = self.current_manifest()
         sid = parent["snapshot_id"] + 1
         manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"] or None,
             "committed_at": time.time(),
-            "partitions": {**parent["partitions"], **new_partitions},
+            "partitions": partitions,
+            **extra,
         }
         tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -173,14 +208,101 @@ class SnapshotTable:
         return stats
 
     # ----- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Read exactly the committed files of the CURRENT snapshot —
-        uncommitted/garbage files in data/ are invisible (snapshot isolation)."""
-        man = self.current_manifest()
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read exactly the committed files of a snapshot (CURRENT by
+        default; pass snapshot_id for TIME TRAVEL to any live snapshot) —
+        uncommitted/garbage files in data/ are invisible (snapshot
+        isolation), and compaction never rewrites history: an old snapshot
+        keeps reading its original files until expire_snapshots drops them."""
+        man = self.manifest(snapshot_id)
         paths = [os.path.join(self.path, p["path"]) for p in man["partitions"].values()]
         if not paths:
             raise ValueError(f"empty snapshot table at {self.path}")
         return spark.read.parquet(*paths)
+
+    # ----- table maintenance -------------------------------------------------
+    def rollback(self, snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot's state — APPEND-ONLY:
+        the rollback is itself a new snapshot whose partition map equals the
+        target's, so history (and time travel across the rollback) is kept."""
+        target = self.manifest(snapshot_id)
+        return self._commit_state(
+            dict(target["partitions"]), operation="rollback", rollback_of=snapshot_id
+        )
+
+    def compact(self, spark: SparkSession, max_files_per_partition: int = 1) -> int:
+        """Rewrite every partition with more than max_files_per_partition
+        files into that many files, committing the rewrite as a NEW snapshot
+        (operation='compact'). Old snapshots keep reading the original
+        small files — call expire_snapshots to reclaim them. Row counts are
+        verified from the rewritten parquet footers and a mismatch RAISES
+        before anything is committed (compaction must be a pure layout
+        change). The 100 TB operational need this serves: streaming sinks
+        and per-round deltas accumulate many small files; scan cost at the
+        next read is dominated by file-open overhead until compaction."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        man = self.current_manifest()
+        new_parts = {}
+        changed = False
+        for key, meta in man["partitions"].items():
+            if meta["n_files"] <= max_files_per_partition:
+                new_parts[key] = meta
+                continue
+            src = os.path.join(self.path, meta["path"])
+            out_dir = os.path.join(self.data_dir, f"part-{key}-compact-{uuid.uuid4().hex}")
+            spark.read.parquet(src).coalesce(max_files_per_partition).write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            files = _glob.glob(os.path.join(out_dir, "*.parquet"))
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if rows != meta["rows"]:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"compact: partition {key} rewrote {rows} rows, expected "
+                    f"{meta['rows']} — aborting without commit"
+                )
+            new_parts[key] = {
+                **meta,
+                "path": os.path.relpath(out_dir, self.path),
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "n_files": len(files),
+                "compacted_from": meta["path"],
+                "committed_at": time.time(),
+            }
+            changed = True
+        if not changed:
+            return man["snapshot_id"]
+        return self._commit_state(new_parts, operation="compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the newest keep_last snapshots and DELETE every data
+        dir no kept snapshot references (the GC half of compaction/rollback;
+        time travel to an expired snapshot raises afterwards)."""
+        import shutil
+
+        ids = sorted(s["snapshot_id"] for s in self.snapshots())
+        keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+        referenced = set()
+        for sid in keep:
+            for p in self.manifest(sid)["partitions"].values():
+                referenced.add(p["path"])
+        expired = []
+        for sid in ids:
+            if sid not in keep:
+                os.remove(self._manifest_path(sid))
+                expired.append(sid)
+        deleted = []
+        for d in os.listdir(self.data_dir):
+            rel = os.path.relpath(os.path.join(self.data_dir, d), self.path)
+            if d.startswith("part-") and rel not in referenced:
+                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+                deleted.append(rel)
+        return {"expired_snapshots": expired, "deleted_dirs": sorted(deleted)}
 
     def metrics(self) -> dict:
         man = self.current_manifest()

@@ -41,6 +41,64 @@ class TestSnapshot:
         assert not stats["2"].get("skipped") and not stats["3"].get("skipped")
         assert table.read(spark).count() == 2000
 
+    def test_time_travel_and_rollback(self, spark, table):
+        """Every commit is a live snapshot: read(snapshot_id) reproduces the
+        table as of that commit; rollback is append-only (a NEW snapshot
+        with the old state) so history survives it."""
+        df = pages_with_lineage(spark)
+        table.write_partitions(df, "bucket", [0, 1])
+        sid_2parts = table.metrics()["snapshot_id"]
+        n_01 = table.read(spark).count()
+        table.write_partitions(df, "bucket", [2, 3])
+        assert table.read(spark).count() == 2000
+        # time travel: the older snapshot still sees only buckets 0-1
+        assert table.read(spark, snapshot_id=sid_2parts).count() == n_01
+        # rollback to the 2-partition state (append-only: new snapshot id)
+        rb = table.rollback(sid_2parts)
+        assert rb > table.manifest(sid_2parts)["snapshot_id"]
+        assert table.read(spark).count() == n_01
+        assert table.committed_lineage() == {"0", "1"}
+        # history intact across the rollback: the 4-partition snapshot is
+        # still time-travel readable
+        four = [s for s in table.snapshots() if s["n_partitions"] == 4]
+        assert four and table.read(spark, snapshot_id=four[0]["snapshot_id"]).count() == 2000
+        # resume after rollback rewrites the rolled-back partitions
+        table.write_partitions(df, "bucket", [0, 1, 2, 3])
+        assert table.read(spark).count() == 2000
+
+    def test_compact_preserves_rows_and_history(self, spark, table):
+        df = pages_with_lineage(spark).repartition(8)  # many files/partition
+        table.write_partitions(df, "bucket", [0, 1, 2, 3])
+        before = table.metrics()
+        sid_before = before["snapshot_id"]
+        files_before = sum(p["n_files"] for p in before["partitions"].values())
+        assert files_before > 4
+        sid = table.compact(spark, max_files_per_partition=1)
+        after = table.metrics()
+        assert sid == after["snapshot_id"] > sid_before
+        assert sum(p["n_files"] for p in after["partitions"].values()) == 4
+        assert after["total_rows"] == before["total_rows"]
+        got = sorted(r.url for r in table.read(spark).collect())
+        old = sorted(r.url for r in table.read(spark, snapshot_id=sid_before).collect())
+        assert got == old  # pure layout change; old snapshot still readable
+        # idempotent: nothing left to compact → no new snapshot
+        assert table.compact(spark, max_files_per_partition=1) == sid
+
+    def test_expire_snapshots_gc(self, spark, table):
+        df = pages_with_lineage(spark).repartition(8)
+        table.write_partitions(df, "bucket", [0, 1, 2, 3])
+        sid_small_files = table.metrics()["snapshot_id"]
+        table.compact(spark, max_files_per_partition=1)
+        n_dirs_before = len(os.listdir(table.data_dir))
+        out = table.expire_snapshots(keep_last=1)
+        assert sid_small_files in out["expired_snapshots"]
+        assert out["deleted_dirs"]  # the pre-compaction dirs are gone
+        assert len(os.listdir(table.data_dir)) < n_dirs_before
+        # current snapshot unaffected; expired one now raises
+        assert table.read(spark).count() == 2000
+        with pytest.raises(ValueError, match="expired"):
+            table.read(spark, snapshot_id=sid_small_files)
+
     def test_lineage_string_mismatch_fails_loudly(self, spark, table):
         """ADVICE r2: if Spark's partition-dir string for a lineage value
         differs from Python's str() (bool True → dir 'true' vs key 'True'),
