@@ -36,6 +36,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.functions.geocode",
     "erased_cells_spark.plans.skew",
     "erased_cells_spark.plans.bucketing",
+    "erased_cells_spark.sources.layout",
 ]
 
 # the engine surface an operator must be reachable from (tests NOT included)
@@ -45,7 +46,12 @@ SURFACE_MODULES = [
     "erased_cells_spark.streaming.events",
     "erased_cells_spark.streaming.pages",
 ]
-SURFACE_FILES = ["bench.py", "__spark_entry__.py", "jobs/run_pipeline.py"]
+SURFACE_FILES = [
+    "bench.py",
+    "__spark_entry__.py",
+    "jobs/run_pipeline.py",
+    "jobs/write_clustered.py",
+]
 
 # name → why it legitimately has no registered query
 ALLOWED_UNREGISTERED = {
@@ -71,8 +77,6 @@ ALLOWED_UNREGISTERED = {
     "shuffle_count": "plan-inspection utility (used by plan tests)",
     "read_table": "catalog convenience wrapper",
     # deploy-time plan utilities / reserved SQL twins
-    "repartition_by_cell": "deploy-time plan utility (range partition before "
-    "wide stateful ops); exactness+spread covered in test_skew",
     "extract_text_pandas": "Arrow-UDF twin of the builtin extract_text; "
     "byte-parity asserted in test_pages_pipeline",
     "sql_host": "SQL twin of host_of for oracle construction over URL tables",
