@@ -55,10 +55,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q1_pricing_summary",
     oracle="""
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 4)                                        AS sum_qty,
-       round(sum(l_extendedprice), 4)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+       round(sum(CAST(l_quantity AS DECIMAL(38,6)))::DOUBLE, 4)         AS sum_qty,
+       round(sum(CAST(l_extendedprice AS DECIMAL(38,6)))::DOUBLE, 4)    AS sum_base_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+                                                                        AS sum_disc_price,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6)))::DOUBLE, 4)
+                                                                        AS sum_charge,
        round(avg(l_quantity), 4)                                        AS avg_qty,
        round(avg(l_discount), 4)                                        AS avg_disc,
        count(*)                                                         AS count_order
@@ -75,10 +77,13 @@ def q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
-            F.round(F.sum(disc), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            # money/quantity sums in DECIMAL(38,6): order-independent and
+            # engine-exact, so round(,4) can never straddle a boundary from
+            # summation order at scale (see q5)
+            F.round(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc.cast("decimal(38,6)")).cast("double"), 4).alias("sum_disc_price"),
+            F.round(F.sum((disc * (1 + F.col("l_tax"))).cast("decimal(38,6)")).cast("double"), 4).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -91,7 +96,7 @@ def q1(spark, sf_dir):
     "q3_shipping_priority",
     oracle="""
 SELECT l.l_orderkey AS l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 4) AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s
 FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -115,7 +120,14 @@ def q3(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue")
+        )
         .select(
             "l_orderkey", "revenue", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s")
         )
@@ -126,9 +138,15 @@ def q3(spark, sf_dir):
 
 @query(
     "q5_region_revenue",
+    # revenue sums in DECIMAL(38,6): the per-row double product is identical
+    # on both engines, its decimal cast is exact to reproduce, and decimal
+    # addition is order-independent — so the 5.9e9-scale sum can never
+    # straddle a round(,4) boundary from summation order (a double-sum did
+    # exactly that at sf0.1: …2582.0296 vs …2582.0295)
     oracle="""
 SELECT r.r_name AS r_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+           AS revenue,
        count(*) AS n_lineitems
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
@@ -153,7 +171,12 @@ def q5(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
         .orderBy("r_name")
@@ -165,7 +188,7 @@ def q5(spark, sf_dir):
     oracle="""
 SELECT o_orderpriority,
        count(*)                                          AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))::DOUBLE, 4) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_returnflag = 'R'
 GROUP BY o_orderpriority
@@ -188,7 +211,12 @@ def bucketed_returns_revenue(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
