@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 
 
 def _dot(a, b):
@@ -231,6 +231,84 @@ def ivf_ann_topk(
         .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
         .orderBy("q_id", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ ANN --
+def pq_encode_udf(codebooks: np.ndarray):
+    """codes per vector under product quantization: codebooks is (M, K, dsub)
+    — M subspaces, K centroids each. argmin ties resolve to the lowest code
+    (the oracle convention)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_sub, _, dsub = cb.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _enc(vec: pd.Series) -> pd.Series:
+        x = np.vstack(vec.to_numpy()).astype(np.float64)
+        subs = x.reshape(len(x), m_sub, dsub)
+        d = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)  # (B, M, K)
+        return pd.Series(list(d.argmin(2).astype(np.int32)))
+
+    return _enc
+
+
+def pq_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC): vectors are
+    stored as M uint8-sized codes (a 64-dim float32 vector compresses 32×),
+    each query precomputes an (M, K) lookup table of squared subspace
+    distances driver-side (queries are the broadcast-small side, same
+    contract as cosine_topk), and scoring is a PURE-JVM fold:
+    zip_with(codes, lut) → element_at → sum. One scan of the code table per
+    query batch, no Python in the scoring path — the memory-bound scale
+    path when the vector payload itself is the bottleneck (IVF/LSH cut
+    candidates; PQ cuts BYTES)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_sub, n_codes, dsub = cb.shape
+    spark = emb.sparkSession
+    codes = emb.select(F.col(id_col).alias("nn_id"), pq_encode_udf(cb)(F.col(vec_col)).alias("codes"))
+    lut_rows = []
+    for q in queries.collect():
+        qv = np.asarray(q[q_vec_col], dtype=np.float64).reshape(m_sub, dsub)
+        lut = ((qv[:, None, :] - cb) ** 2).sum(-1)  # (M, K)
+        lut_rows.append((int(q[q_id_col]), [[float(v) for v in row] for row in lut]))
+    lut_df = spark.createDataFrame(lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
+    adist = F.aggregate(
+        F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = codes.crossJoin(F.broadcast(lut_df)).select("q_id", "nn_id", adist.alias("adist"))
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def pq_ann_np(vecs: np.ndarray, ids, q_vecs: np.ndarray, q_ids, codebooks: np.ndarray, k: int):
+    """Brute-force ADC twin (pytest oracle)."""
+    cb = np.asarray(codebooks, dtype=np.float64)
+    m_sub, _, dsub = cb.shape
+    subs = vecs.reshape(len(vecs), m_sub, dsub)
+    codes = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1).argmin(2)
+    out = []
+    for qi, q_id in enumerate(q_ids):
+        qv = q_vecs[qi].reshape(m_sub, dsub)
+        lut = ((qv[:, None, :] - cb) ** 2).sum(-1)
+        adist = lut[np.arange(m_sub)[None, :], codes].sum(1)
+        order = sorted(range(len(ids)), key=lambda i: (adist[i], ids[i]))[:k]
+        out.extend((q_id, ids[i], r + 1) for r, i in enumerate(order))
+    return out
 
 
 # ---------------------------------------------------- cosine near-dup pairs --

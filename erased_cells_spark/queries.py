@@ -1318,6 +1318,72 @@ def ann_ivf_embeddings(spark, sf_dir):
     )
 
 
+# PQ oracle: codebooks are DATA-DERIVED — subspace m's 16 centroids are the
+# m-th 8-dim slices of embeddings 200..215 — so both engines quantize from
+# the same vectors with no training step; encode = per-subspace argmin
+# (ties → lowest code), score = asymmetric distance (sum of squared
+# query-to-centroid subspace distances), rank ties → lowest nn_id.
+_PQ_SQL = """
+WITH cb AS (
+  SELECT m.m, e.vec_id - 200 AS code,
+         e.embedding[m.m*8+1 : m.m*8+8]::DOUBLE[] AS sub
+  FROM embeddings e, (SELECT unnest(generate_series(0, 7)) AS m) m
+  WHERE e.vec_id BETWEEN 200 AND 215
+),
+ev AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, c.m, c.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, c.m
+             ORDER BY list_distance(e.embedding[c.m*8+1 : c.m*8+8]::DOUBLE[], c.sub), c.code
+           ) AS rn
+    FROM embeddings e CROSS JOIN cb c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT q.q_id, ev.vec_id AS nn_id,
+         sum(power(list_distance(q.qv[ev.m*8+1 : ev.m*8+8]::DOUBLE[], c.sub), 2)) AS adist
+  FROM ev JOIN cb c ON c.m = ev.m AND c.code = ev.code
+  CROSS JOIN q
+  GROUP BY 1, 2
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rnk
+  FROM d
+) WHERE rnk <= 10
+ORDER BY q_id, rnk
+"""
+
+
+@query("ann_pq_embeddings", oracle=_PQ_SQL)
+def ann_pq_embeddings(spark, sf_dir):
+    """Product-quantization ANN (ADC): vectors live as 8 codes (32× smaller
+    than float32×64); queries score against a broadcast per-query LUT with a
+    pure-JVM zip_with/element_at fold — the memory-bound scale path (IVF/LSH
+    cut candidates, PQ cuts bytes)."""
+    from erased_cells_spark.operators.similarity import pq_ann_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    cb_rows = (
+        e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") <= 215))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cb = np.stack(
+        [np.asarray(r.embedding, np.float64) for r in sorted(cb_rows, key=lambda r: r.vec_id)]
+    )  # (16, 64)
+    codebooks = cb.reshape(16, 8, 8).transpose(1, 0, 2)  # (M=8, K=16, dsub=8)
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return (
+        pq_ann_topk(e, q, codebooks, k=10)
+        .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )
+
+
 # LSH oracle: the 4 hyperplanes are deterministic driver-side floats —
 # inline them as SQL literals, rebuild the sign bucket, probe all buckets
 # within hamming ≤ 2 of the query bucket (the same 11 sign-flip masks as

@@ -196,6 +196,26 @@ class TestSimilarity:
         b = train_ivf_centroids(emb, n_lists=8, seed=11)
         assert np.array_equal(a, b)
 
+    def test_pq_ann_matches_adc_twin(self, spark, emb, emb_pd):
+        """PQ/ADC top-k must equal the brute-force asymmetric-distance twin
+        exactly (same codebooks, same tie rules) — the approximation is in
+        the QUANTIZATION, not in the distributed evaluation."""
+        from erased_cells_spark.operators.similarity import pq_ann_np, pq_ann_topk
+
+        vecs, ids = emb_pd
+        cb16 = vecs[[ids.index(200 + i) for i in range(16)]]
+        codebooks = cb16.reshape(16, 8, 8).transpose(1, 0, 2)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        got = [(r.q_id, r.nn_id, r.rank) for r in pq_ann_topk(emb, queries, codebooks, k=10).collect()]
+        q = queries.toPandas()
+        want = pq_ann_np(
+            vecs, ids, np.vstack(q.q_vec.to_numpy()).astype(np.float64), q.q_id.tolist(),
+            codebooks, 10,
+        )
+        assert got == want
+
     def test_ivf_ann_recall(self, spark, emb, emb_pd):
         from erased_cells_spark.operators.similarity import ivf_ann_topk
 

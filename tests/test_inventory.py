@@ -62,6 +62,7 @@ ALLOWED_UNREGISTERED = {
     "minhash_signature": "pytest oracle twin (single-set minhash)",
     "shingle_set": "pytest oracle twin (string shingles)",
     "cosine_topk_np": "pytest oracle twin",
+    "pq_ann_np": "pytest oracle twin (brute-force ADC)",
     "knn_np": "pytest oracle twin",
     "haversine_km_np": "pytest oracle twin",
     "pip_join_np": "pytest oracle twin",
