@@ -1,0 +1,89 @@
+"""BM25 keyword search over the documents table — the scoring/retrieval op a
+training-data curation pipeline uses to FIND data (topic filters, quality
+probes, eval-set mining).
+
+Spark-first shape: one explode → per-(doc, term) tf with map-side combine;
+document frequencies are a tiny per-term aggregate joined back by broadcast;
+the score is a pure JVM expression (log/arithmetic only — no Python, no
+UDF). At 100 TB: the explode+combine is the same shuffle profile as word
+count; the query-term filter prunes the explode output to |terms| rows per
+doc before anything wide happens."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(doc_id, score) for every document matching ≥1 query term.
+    idf = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene/BM25+ form —
+    always positive); tf normalization uses whitespace token counts."""
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).alias("dl"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    )
+    n_docs = docs.count()
+    avgdl = docs.select(F.avg(F.size(F.split(F.col(text_col), " ")))).collect()[0][0]
+    hits = words.filter(F.col("w").isin(terms))
+    tf = hits.groupBy("id", "dl", "w").agg(F.count("*").alias("tf"))
+    df_ = (
+        tf.groupBy("w")
+        .agg(F.countDistinct("id").alias("df"))
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+    )
+    scored = tf.join(F.broadcast(df_), "w").withColumn(
+        "term_score",
+        F.col("idf")
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.sum("term_score").alias("score"))
+        .select(F.col("id").alias(id_col), "score")
+    )
+
+
+def bm25_sql(terms: list[str], k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """DuckDB twin of bm25_scores over the `documents` view — identical
+    arithmetic (ln, same idf form, same whitespace token counts)."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH words AS (
+  SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl FROM documents
+),
+tf AS (
+  SELECT id, dl, w, count(*) AS tf FROM words WHERE w IN ({tlist}) GROUP BY 1, 2, 3
+),
+idf AS (
+  SELECT w, ln((s.n - count(DISTINCT id) + 0.5) / (count(DISTINCT id) + 0.5) + 1.0) AS idf
+  FROM tf, stats s GROUP BY w, s.n
+),
+scored AS (
+  SELECT t.id,
+         i.idf * (t.tf * ({k1} + 1)) /
+         (t.tf + {k1} * (1 - {b} + {b} * t.dl / s.avgdl)) AS term_score
+  FROM tf t JOIN idf i ON t.w = i.w CROSS JOIN stats s
+)
+SELECT id AS doc_id, sum(term_score) AS score FROM scored GROUP BY id
+"""

@@ -452,6 +452,44 @@ def doc_hash_sample_by_source(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "vector", "stream", "dup"]
+
+
+def _bm25_oracle() -> str:
+    from erased_cells_spark.operators.search import bm25_sql
+
+    return f"""
+WITH scores AS ({bm25_sql(_BM25_TERMS)})
+SELECT doc_id, score_r, rnk FROM (
+  SELECT doc_id, round(score, 6) AS score_r,
+         row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS rnk
+  FROM scores
+) WHERE rnk <= 20 ORDER BY rnk
+"""
+
+
+@query("doc_bm25_search", oracle=_bm25_oracle())
+def doc_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (operators/search.py): top-20 documents for a
+    4-term query, scored with pure JVM log/arithmetic over an exploded
+    term-frequency aggregate (word-count shuffle profile; tiny per-term df
+    table broadcast back). Ranking uses the ROUNDED score so cross-engine
+    float noise can't reorder near-ties."""
+    from erased_cells_spark.operators.search import bm25_scores
+
+    d = t(spark, sf_dir, "documents")
+    scored = bm25_scores(d, _BM25_TERMS).select(
+        "doc_id", F.round("score", 6).alias("score_r")
+    )
+    w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "score_r", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("rnk")
+    )
+
+
 # =========================================================== documents ====
 @query(
     "doc_stats",

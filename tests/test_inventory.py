@@ -30,6 +30,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.operators.knn",
     "erased_cells_spark.operators.pip",
     "erased_cells_spark.operators.raster",
+    "erased_cells_spark.operators.search",
     "erased_cells_spark.operators.multimodal",
     "erased_cells_spark.operators.cells_expr",
     "erased_cells_spark.functions.text",
