@@ -36,6 +36,8 @@ HEADLINE = [
     "events_window_interval_join",
     "lineitem_rollup",
     "dup_clusters",
+    "ann_pq_embeddings",
+    "doc_bm25_search",
 ]
 
 N_PAGES_FLAGSHIP = 200_000
