@@ -213,12 +213,18 @@ class SnapshotTable:
         default; pass snapshot_id for TIME TRAVEL to any live snapshot) —
         uncommitted/garbage files in data/ are invisible (snapshot
         isolation), and compaction never rewrites history: an old snapshot
-        keeps reading its original files until expire_snapshots drops them."""
+        keeps reading its original files until expire_snapshots drops them.
+
+        SCHEMA EVOLUTION (add-column): partitions written before a column
+        existed read as NULL for it — mergeSchema unions the parquet footer
+        schemas across the snapshot's partitions, the same add-column
+        semantics Iceberg provides (drops/renames are not supported; a
+        rename would silently fork into two nullable columns)."""
         man = self.manifest(snapshot_id)
         paths = [os.path.join(self.path, p["path"]) for p in man["partitions"].values()]
         if not paths:
             raise ValueError(f"empty snapshot table at {self.path}")
-        return spark.read.parquet(*paths)
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
 
     # ----- table maintenance -------------------------------------------------
     def rollback(self, snapshot_id: int) -> int:

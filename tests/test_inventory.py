@@ -105,6 +105,18 @@ def test_every_registered_query_has_an_oracle():
     )
 
 
+def test_entry_smoke(spark):
+    """The driver's first contact: entry(spark) must run and return rows
+    with a stable schema on sf0.001."""
+    if REPO not in sys.path:
+        sys.path.insert(0, REPO)
+    entry_mod = importlib.import_module("__spark_entry__")
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0 and df.columns  # runs, has a schema
+    assert df.columns == entry_mod.entry(spark).columns  # stable
+
+
 def test_every_public_operator_reaches_the_engine_surface():
     surface = _surface_source()
     # an operator referenced by ANOTHER operator module, or COMPOSED by a

@@ -41,6 +41,25 @@ class TestSnapshot:
         assert not stats["2"].get("skipped") and not stats["3"].get("skipped")
         assert table.read(spark).count() == 2000
 
+    def test_schema_evolution_add_column(self, spark, table):
+        """Add-column evolution: partitions written before the column existed
+        read as NULL for it; time travel to the old snapshot keeps the old
+        schema."""
+        df = pages_with_lineage(spark)
+        table.write_partitions(df, "bucket", [0, 1])
+        sid_old = table.metrics()["snapshot_id"]
+        evolved = df.withColumn("quality", (F.length("text") % 7).cast("double"))
+        table.write_partitions(evolved, "bucket", [2, 3])
+        merged = table.read(spark)
+        assert "quality" in merged.columns
+        assert merged.count() == 2000
+        # old partitions surface NULL quality; new ones carry real values
+        assert merged.filter(F.col("quality").isNull()).count() == \
+            merged.filter(F.col("bucket").isin([0, 1])).count()
+        assert merged.filter(F.col("quality").isNotNull() & F.col("bucket").isin([2, 3])).count() > 0
+        # time travel: the pre-evolution snapshot has the original schema
+        assert "quality" not in table.read(spark, snapshot_id=sid_old).columns
+
     def test_time_travel_and_rollback(self, spark, table):
         """Every commit is a live snapshot: read(snapshot_id) reproduces the
         table as of that commit; rollback is append-only (a NEW snapshot
