@@ -148,8 +148,13 @@ def knn_join(
     prev_rk: dict[int, int] = {qid: -1 for qid in pending}
     # keys already searched per query: once the ring wraps the antimeridian
     # (2·rk+1 ≥ grid width) it re-covers earlier cells — subtract them so a
-    # candidate is joined exactly once across rounds
-    seen: dict[int, set] = {qid: set() for qid in pending}
+    # candidate is joined exactly once across rounds. Kept as SORTED numpy
+    # arrays: late rounds touch 10^5+ keys per query and python-set
+    # subtraction + list-of-tuples createDataFrame was the dominant
+    # driver-side cost of the whole join (the key build is now numpy
+    # end-to-end and ships to the JVM as one Arrow batch).
+    empty = np.empty(0, dtype=np.int64)
+    seen: dict[int, np.ndarray] = {qid: empty for qid in pending}
     n = 1 << res
     # density-adaptive initial radius: each driver round costs ~1s of
     # scheduling, so size round 1 to (likely) contain k neighbors AND a
@@ -178,7 +183,7 @@ def knn_join(
         for qid, pr in prev_rk.items():
             if pr >= 0 and qid in pending:
                 qlon, qlat = pending[qid]
-                seen[qid] = set(map(int, _query_ring_keys(qlon, qlat, res, -1, pr)))
+                seen[qid] = _query_ring_keys(qlon, qlat, res, -1, pr)
         # candidates are PER-ROUND DELTAS: accumulate every committed round
         acc = spark.read.parquet(
             *[os.path.join(checkpoint_dir, f"candidates-{i:04d}") for i in range(1, last + 1)]
@@ -188,13 +193,24 @@ def knn_join(
     while round_no < max_rounds:
         if not pending:
             break
-        rows = []
+        import pandas as pd
+
+        parts = []
         for qid, (qlon, qlat) in pending.items():
-            fresh = set(map(int, _query_ring_keys(qlon, qlat, res, prev_rk[qid], rk))) - seen[qid]
-            seen[qid] |= fresh
-            rows.extend((qid, key) for key in fresh)
+            keys = _query_ring_keys(qlon, qlat, res, prev_rk[qid], rk)
+            if len(seen[qid]):
+                keys = keys[~np.isin(keys, seen[qid])]
+            seen[qid] = np.union1d(seen[qid], keys)
+            parts.append(
+                pd.DataFrame(
+                    {"q_id": np.full(len(keys), qid, np.int32), "cell": keys.astype(np.int64)}
+                )
+            )
             prev_rk[qid] = rk
-        qcells = spark.createDataFrame(rows, "q_id INT, cell BIGINT")
+        qcells = spark.createDataFrame(
+            pd.concat(parts) if parts else pd.DataFrame({"q_id": [], "cell": []}),
+            "q_id INT, cell BIGINT",
+        )
         qmeta = spark.createDataFrame(
             [(qid, lon, lat) for qid, (lon, lat) in pending.items()],
             "q_id INT, q_lon DOUBLE, q_lat DOUBLE",
