@@ -41,10 +41,12 @@ def connected_components(
         # ids and min-folds only move them), so one self-join compresses
         # component → component's component — the doubling step
         l2 = lab.select(F.col("node").alias("component"), F.col("component").alias("_c2"))
+        # lazy localCheckpoint: lineage stays flat but materialization rides
+        # the fixpoint-sum job below — ONE Spark job per round, not two
         lab = (
             lab.join(l2, "component")
             .select("node", F.col("_c2").alias("component"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         s = lab.agg(F.sum("component").alias("s")).collect()[0].s
         if s == prev_sum:
