@@ -171,6 +171,39 @@ def stream_to_snapshot(
     )
 
 
+def purchases_join_views_stream(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked STREAM-STREAM self-join: each purchase joins the same
+    user's views in [purchase.ts − gap, purchase.ts]. Both sides carry
+    watermarks and the join condition carries the event-time band, so
+    Spark's join state is BOUNDED (views older than purchase-watermark −
+    gap are evicted) — the attribution join of an event pipeline, safe on
+    an unbounded stream. Batch twin: the identical join on the static
+    table (tested equal under availableNow)."""
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("user_id", "p_id", "v_id")
+
+
 def dedupe_stream(
     stream: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:

@@ -151,6 +151,41 @@ class TestStreaming:
         # hours 03/04/05 are still above the final watermark → withheld
         assert set(got) == {("2025-06-01 00", "a")}
 
+    def test_stream_stream_join_matches_batch(self, spark):
+        """Watermarked stream-stream purchase⋈view attribution join equals
+        the identical join on the static table (availableNow drain)."""
+        import shutil
+
+        from erased_cells_spark.streaming.events import purchases_join_views_stream
+
+        shutil.rmtree("/tmp/ckpt_ssj", ignore_errors=True)
+        stream = events_stream(spark, SF_DIR, max_files=None)
+        out = run_stream_to_memory(
+            spark, purchases_join_views_stream(stream), "ssj", timeout=180
+        )
+        got = {(r.user_id, r.p_id, r.v_id) for r in out.collect()}
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        p = e.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        v = e.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        want = {
+            (r.user_id, r.p_id, r.v_id)
+            for r in p.join(
+                v,
+                (F.col("user_id") == F.col("v_user"))
+                & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour"))
+                & (F.col("v_ts") <= F.col("p_ts")),
+            ).collect()
+        }
+        assert got == want and len(want) > 0
+
     def test_streaming_dedup_drops_cross_batch_replays(self, spark, tmp_path):
         """At-least-once ingest: the same event_id replayed in a LATER
         micro-batch (within the watermark window) must be emitted exactly
