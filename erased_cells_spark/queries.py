@@ -184,6 +184,50 @@ def q5(spark, sf_dir):
 
 
 @query(
+    "q9_profit_by_nation_type",
+    oracle="""
+SELECT n_name, p_type,
+       count(*) AS n_items,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+           AS revenue
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY n_name, p_type
+ORDER BY n_name, p_type
+""",
+)
+def q9_profit_by_nation_type(spark, sf_dir):
+    """TPC-H-q9-style star join: the fact table joins the part, supplier and
+    nation dimensions — all three broadcast (the star-schema rule: the fact
+    side is only ever scanned and broadcast-joined; the one shuffle is the
+    final group). Completes driver-table coverage: every pre-registered
+    view (region nation customer supplier part orders lineitem events
+    documents embeddings) is now exercised by a registered query."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+        )
+        .orderBy("n_name", "p_type")
+    )
+
+
+@query(
     "bucketed_returns_revenue",
     oracle="""
 SELECT o_orderpriority,
