@@ -38,6 +38,7 @@ HEADLINE = [
     "dup_clusters",
     "ann_pq_embeddings",
     "doc_bm25_search",
+    "q9_profit_by_nation_type",
 ]
 
 N_PAGES_FLAGSHIP = 200_000
