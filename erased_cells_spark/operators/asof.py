@@ -36,6 +36,13 @@ def asof_join(
     the window ordering would otherwise be partition-order dependent (the
     registered query does exactly that; DuckDB's ASOF JOIN has the same
     uniqueness requirement for a deterministic answer)."""
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join: right_cols {sorted(clash)} collide with left columns — "
+            "the union-sort merge would silently mix the two; alias the right "
+            "side first"
+        )
     r = right.select(
         F.col(by_col),
         F.col(ts_col).alias("_ts"),

@@ -29,6 +29,11 @@ def interval_join(
     (lo <= ts <= hi), via bucket equi-join + exact filter."""
     sec = F.col(ts_col).cast("timestamp").cast("long")
     p = points.withColumn("_b", F.floor(sec / bucket_width_s))
+    # guard malformed intervals: Spark's sequence(lo, hi) DESCENDS when
+    # lo > hi (no error), so an inverted interval would explode into a huge
+    # bucket list that the containment filter then throws away — drop empty
+    # intervals up front instead (they can match nothing)
+    intervals = intervals.filter(F.col(lo_col) <= F.col(hi_col))
     iv = intervals.withColumn(
         "_b",
         F.explode(

@@ -64,6 +64,12 @@ class TestAsofJoin:
         incl = asof_join_np(lrows, rrows, strict=False)
         assert incl[0] == 5000 and want[0] != 5000
 
+    def test_colliding_right_cols_raise(self, spark, data):
+        ldf, rdf, *_ = data
+        with pytest.raises(ValueError, match="collide"):
+            asof_join(ldf, rdf.withColumnRenamed("payload", "lid"),
+                      by_col="k", ts_col="ts", right_cols=["lid"])
+
     def test_no_right_rows_yield_null(self, spark, data):
         ldf, rdf, left, _, _ = data
         out = asof_join(ldf, rdf, by_col="k", ts_col="ts", right_cols=["payload"])

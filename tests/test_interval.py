@@ -57,6 +57,17 @@ class TestIntervalJoin:
         )
         assert a == b
 
+    def test_inverted_interval_matches_nothing_cheaply(self, spark, fixtures):
+        """lo > hi must match nothing — and must be dropped BEFORE the bucket
+        explode (Spark's sequence(lo, hi) silently DESCENDS when lo > hi, so
+        an unguarded inverted interval would explode a huge bucket list)."""
+        pdf_spark, _, _ = fixtures
+        win = spark.createDataFrame(
+            [(0, "2024-01-20 00:00:00", "2024-01-10 00:00:00")],
+            "w_id INT, t_lo STRING, t_hi STRING",
+        ).select("w_id", F.col("t_lo").cast("timestamp"), F.col("t_hi").cast("timestamp"))
+        assert interval_join(pdf_spark, win).count() == 0
+
     def test_plan_is_bucket_equijoin_not_theta(self, spark, fixtures):
         pdf_spark, win, _ = fixtures
         out = interval_join(pdf_spark, win)
