@@ -525,10 +525,13 @@ def doc_bm25_search(spark, sf_dir):
     scored = bm25_scores(d, _BM25_TERMS).select(
         "doc_id", F.round("score", 6).alias("score_r")
     )
+    # DISTRIBUTED top-k (TakeOrderedAndProject), not a global Window: an
+    # un-partitioned window would single-partition-sort every matching doc
+    # at corpus scale. The rank window below runs over the 20 survivors.
+    top = scored.orderBy(F.col("score_r").desc(), F.col("doc_id").asc()).limit(20)
     w = Window.orderBy(F.col("score_r").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("doc_id", "score_r", F.col("rnk").cast("long").alias("rnk"))
         .orderBy("rnk")
     )
