@@ -34,8 +34,11 @@ def bm25_scores(
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     )
-    n_docs = docs.count()
-    avgdl = docs.select(F.avg(F.size(F.split(F.col(text_col), " ")))).collect()[0][0]
+    stats = docs.select(
+        F.count("*").alias("n"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats.n, stats.avgdl
     hits = words.filter(F.col("w").isin(terms))
     tf = hits.groupBy("id", "dl", "w").agg(F.count("*").alias("tf"))
     df_ = (
