@@ -165,6 +165,48 @@ class TestCodecs:
         sub = read_tiff(p, window=(5, 9), window_size=(20, 12))
         assert np.array_equal(sub.array, arr[9:21, 5:25])
 
+    def test_property_roundtrip_all_layouts(self, tmp_path):
+        """Hypothesis-style sweep (seeded, deterministic): random shapes ×
+        dtypes × layout × codec × predictor must round-trip bit-exactly."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        dtypes = [np.uint8, np.uint16, np.int16, np.uint32, np.float32]
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(1, 40),
+            dt=st.sampled_from(range(len(dtypes))),
+            comp=st.sampled_from([1, 8]),
+            pred=st.sampled_from([1, 2]),
+            layout=st.sampled_from(["strip", "strip8", "tile"]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, dt, comp, pred, layout, seed):
+            dtype = dtypes[dt]
+            if pred == 2 and dtype is np.float32:
+                return  # integer-only predictor (raise-tested separately)
+            r = np.random.default_rng(seed)
+            if dtype is np.float32:
+                arr = r.standard_normal((h, w)).astype(np.float32)
+            else:
+                info = np.iinfo(dtype)
+                arr = r.integers(info.min, int(info.max) + 1, size=(h, w), dtype=dtype)
+            kw = {"compression": comp, "predictor": pred}
+            if layout == "tile":
+                kw["tile"] = (16, 16)
+            elif layout == "strip8":
+                kw["rows_per_strip"] = 8
+            p = str(tmp_path / "prop.tiff")
+            with open(p, "wb") as f:
+                f.write(write_tiff_bytes(arr, **kw))
+            band = read_tiff(p)
+            assert band.array.dtype == arr.dtype
+            assert np.array_equal(band.array, arr)
+
+        check()
+
     def test_unsupported_compression_still_raises(self, tmp_path, rng):
         arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
         p = str(tmp_path / "lzw.tiff")

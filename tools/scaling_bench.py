@@ -51,16 +51,17 @@ def run_once(spark, path: str) -> float:
     return time.perf_counter() - t0
 
 
-def build_level(cores: int, mode: str):
+def build_level(cores: int, mode: str, cores_per_exec: int = 4):
     from pyspark.sql import SparkSession
 
     if mode == "local":
         from bench import build_spark
 
         return build_spark(cores)
-    n_exec = max(cores // 4, 1)
+    cpe = min(cores_per_exec, cores)
+    n_exec = max(cores // cpe, 1)
     return (
-        SparkSession.builder.master(f"local-cluster[{n_exec},4,10240]")
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cpe},10240]")
         .config("spark.driver.memory", "8g")
         .config("spark.executorEnv.PYTHONPATH", "/root/repo")
         .config("spark.sql.shuffle.partitions", str(cores * 2))
@@ -84,7 +85,11 @@ def main() -> None:
         default="local",
         choices=["local", "local-cluster"],
         help="local = threads in one JVM; local-cluster = SEPARATE executor "
-        "JVMs (4 cores each) — the faithful N vs 4N EXECUTORS simulation",
+        "JVMs — the faithful N vs 4N EXECUTORS simulation",
+    )
+    ap.add_argument(
+        "--cores-per-exec", type=int, default=4,
+        help="local-cluster executor size (use 2 for the 2→8 levels)",
     )
     args = ap.parse_args()
     lo, hi = (int(x) for x in args.levels.split(","))
@@ -101,7 +106,7 @@ def main() -> None:
 
     results = {}
     for cpus in (lo, hi):
-        s = build_level(cpus, args.mode)
+        s = build_level(cpus, args.mode, args.cores_per_exec)
         s.sparkContext.setLogLevel("ERROR")
         run_once(s, path)  # warmup
         times = [run_once(s, path) for _ in range(args.runs)]
@@ -126,7 +131,11 @@ def main() -> None:
     print(json.dumps(summary))
 
     if args.mode == "local-cluster":
-        level_desc = f"{lo // 4} → {hi // 4} executor JVMs × 4 cores (local-cluster)"
+        cpe = min(args.cores_per_exec, lo)
+        level_desc = (
+            f"{max(lo // cpe, 1)} → {max(hi // cpe, 1)} executor JVMs × {cpe} cores "
+            "(local-cluster)"
+        )
     else:
         level_desc = f"local[{lo}] → local[{hi}]"
     section = f"""## Measured scaling (this sandbox, {args.pages:,} pages, {level_desc})
