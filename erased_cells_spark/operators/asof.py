@@ -43,7 +43,10 @@ def asof_join(
             "the union-sort merge would silently mix the two; alias the right "
             "side first"
         )
-    r = right.select(
+    # a NULL-ts right row would sort FIRST (asc nulls-first) and leak its
+    # payload to every left row as a "before everything" value — a null
+    # timestamp matches nothing under as-of semantics, so drop it
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(by_col),
         F.col(ts_col).alias("_ts"),
         F.lit(0 if not strict else 2).alias("_side"),

@@ -291,8 +291,10 @@ class SnapshotTable:
         time travel to an expired snapshot raises afterwards)."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError("expire_snapshots: keep_last must be >= 1 (the CURRENT snapshot)")
         ids = sorted(s["snapshot_id"] for s in self.snapshots())
-        keep = set(ids[-keep_last:]) if keep_last > 0 else set()
+        keep = set(ids[-keep_last:])
         referenced = set()
         for sid in keep:
             for p in self.manifest(sid)["partitions"].values():

@@ -64,6 +64,19 @@ class TestAsofJoin:
         incl = asof_join_np(lrows, rrows, strict=False)
         assert incl[0] == 5000 and want[0] != 5000
 
+    def test_null_right_ts_matches_nothing(self, spark):
+        """A NULL-ts right row must not leak as a 'before everything' fill."""
+        import pandas as pd
+
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "lid": [0]})
+        )
+        rdf = spark.createDataFrame(
+            [(1, None, 99)], "k LONG, ts TIMESTAMP, payload LONG"
+        )
+        out = asof_join(ldf, rdf, by_col="k", ts_col="ts", right_cols=["payload"]).collect()
+        assert out[0].payload is None
+
     def test_colliding_right_cols_raise(self, spark, data):
         ldf, rdf, *_ = data
         with pytest.raises(ValueError, match="collide"):
