@@ -185,3 +185,41 @@ def zonal_stats(
         .withColumn("z_mean", F.col("z_sum") / F.col("z_count"))
         .orderBy("poly_id")
     )
+
+
+def polygonize_regions(
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    weight_col: str = "n",
+) -> DataFrame:
+    """RASTER → VECTOR (GDAL polygonize twin): 4-connected regions of lit
+    grid cells → (region_id = min cell id, n_cells, n_docs). The inverse of
+    rasterize_points, completing the raster↔vector pair.
+
+    Adjacency edges are built with TWO equi-self-joins (right neighbor
+    cell+1 within the row, down neighbor cell+2^res) — pure JVM, no
+    neighborhood explode — then resolved by the pointer-jumping
+    connected-components operator; isolated lit cells come back as
+    singleton regions via the left join. 4-connectivity does not wrap at
+    the antimeridian (documented; matches the SQL oracle)."""
+    from erased_cells_spark.operators.components import connected_components
+
+    n = 1 << res
+    a = cells.select(F.col(cell_col).alias("a"))
+    b = cells.select(F.col(cell_col).alias("b"))
+    right = a.filter(F.col("a") % n < n - 1).join(b, F.col("b") == F.col("a") + 1)
+    down = a.join(b, F.col("b") == F.col("a") + F.lit(n))
+    edges = right.unionByName(down).select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )
+    cc = connected_components(edges, "id_a", "id_b").withColumnRenamed("node", cell_col)
+    labeled = cells.join(cc, cell_col, "left").withColumn(
+        "region", F.coalesce(F.col("component"), F.col(cell_col))
+    )
+    return (
+        labeled.groupBy("region")
+        .agg(F.count("*").alias("n_cells"), F.sum(weight_col).alias("n_docs"))
+        .select(F.col("region").alias("region_id"), "n_cells", "n_docs")
+        .orderBy("region_id")
+    )

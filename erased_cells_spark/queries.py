@@ -1019,6 +1019,53 @@ def multires_cell_rollup(spark, sf_dir):
     )
 
 
+# Polygonize oracle: same lit-cell grid, same 4-connectivity edges (right +
+# down, reversed for the undirected walk), components via the recursive
+# reachability CTE — the raster→vector inverse of rasterize_points.
+_POLYGONIZE_SQL = f"""
+WITH RECURSIVE pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 6)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1 HAVING count(*) >= 3
+),
+edges AS (
+  SELECT a.cell AS a, b.cell AS b FROM cells a
+  JOIN cells b ON b.cell = a.cell + 1 AND a.cell % 64 < 63
+  UNION ALL SELECT a.cell, b.cell FROM cells a JOIN cells b ON b.cell = a.cell + 64
+),
+und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+walk(node, label) AS (
+  SELECT cell, cell FROM cells
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN und e ON e.a = w.node
+),
+comp AS (SELECT node, min(label) AS region FROM walk GROUP BY node)
+SELECT region AS region_id, count(*) AS n_cells, sum(c.n)::BIGINT AS n_docs
+FROM comp JOIN cells c ON c.cell = comp.node
+GROUP BY region ORDER BY region_id
+"""
+
+
+@query("raster_region_polygonize", oracle=_POLYGONIZE_SQL)
+def raster_region_polygonize(spark, sf_dir):
+    """RASTER → VECTOR: burn doc points onto the res-6 grid, keep cells with
+    ≥ 3 docs, and polygonize the lit raster into 4-connected regions
+    (operators/raster.py polygonize_regions + the pointer-jumping
+    connected-components operator) — the inverse of rasterize_points,
+    closing the raster↔vector loop. Oracle: identical grid/edges with a
+    recursive reachability CTE."""
+    from erased_cells_spark.operators.raster import polygonize_regions
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    return polygonize_regions(cells, res=6)
+
+
 # PIP oracle: the winding-number test IS SQL-expressible — inline the 64
 # fixture polygons as an edge VALUES table and count signed crossings per
 # (point, poly) with EXACTLY the arithmetic and half-open edge convention of

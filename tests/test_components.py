@@ -47,6 +47,53 @@ class TestConnectedComponents:
         assert got == want
         assert got[2000] == 1000 and got[103] == 100
 
+    def test_polygonize_hand_built_grid(self, spark):
+        """Raster→vector on a hand-built 8×8 grid (res 3): an L-shaped
+        region, a 2-cell bar, a singleton, and a DIAGONAL pair that must NOT
+        merge under 4-connectivity."""
+        from erased_cells_spark.operators.raster import polygonize_regions
+
+        n = 8  # res 3
+        def key(ix, iy):
+            return iy * n + ix
+
+        lit = {
+            # L-shape: (1,1),(1,2),(2,2)  → one region of 3 cells
+            key(1, 1): 5, key(1, 2): 4, key(2, 2): 3,
+            # horizontal bar: (5,0),(6,0) → one region of 2
+            key(5, 0): 2, key(6, 0): 2,
+            # singleton: (7,7)
+            key(7, 7): 9,
+            # diagonal pair (4,4) / (5,5): NOT 4-connected → two singletons
+            key(4, 4): 1, key(5, 5): 1,
+        }
+        cells = spark.createDataFrame(
+            [(k, v) for k, v in lit.items()], "cell LONG, n LONG"
+        )
+        got = {
+            r.region_id: (r.n_cells, r.n_docs)
+            for r in polygonize_regions(cells, res=3).collect()
+        }
+        assert got == {
+            key(1, 1): (3, 12),
+            key(5, 0): (2, 4),
+            key(7, 7): (1, 9),
+            key(4, 4): (1, 1),
+            key(5, 5): (1, 1),
+        }
+
+    def test_polygonize_no_antimeridian_wrap(self, spark):
+        """Cells at ix = n-1 and ix = 0 on the same row are NOT adjacent
+        (documented no-wrap convention, matching the SQL oracle)."""
+        from erased_cells_spark.operators.raster import polygonize_regions
+
+        n = 8
+        cells = spark.createDataFrame([(7, 1), (8, 1)], "cell LONG, n LONG")
+        # cell 7 = (ix 7, iy 0); cell 8 = (ix 0, iy 1): neither wrap-adjacent
+        # nor down-adjacent (7 + 8 = 15 ≠ 8)
+        got = polygonize_regions(cells, res=3).collect()
+        assert len(got) == 2
+
     def test_exhausted_rounds_fail_loudly(self, spark):
         """Running out of rounds before the fixpoint must RAISE — a silently
         under-merged labeling is the one wrong answer dedup can't detect."""
