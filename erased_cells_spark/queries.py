@@ -606,8 +606,11 @@ def exact_dups(spark, sf_dir):
     return exact_dedup_groups(t(spark, sf_dir, "documents"))
 
 
-_JACCARD_SQL = """
-WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+def _jaccard_sql(src: str = "documents", threshold: float = 0.2) -> str:
+    """Exact n-gram-Jaccard pair SQL over any (doc_id, text) relation —
+    shared by the dedup oracles and the composite curation oracle."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {src}),
 idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM toks WHERE len(w) >= 3),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM idx),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -621,9 +624,12 @@ SELECT ida AS id_a, idb AS id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = ida
 JOIN sizes sb ON sb.doc_id = idb
-WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.2
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+_JACCARD_SQL = _jaccard_sql()
 
 
 @query("ngram_jaccard_dups", oracle=_JACCARD_SQL)
@@ -682,6 +688,64 @@ def dup_clusters(spark, sf_dir):
         .select(F.col("component").alias("cluster_id"), "n_docs", "max_id")
         .orderBy("cluster_id")
     )
+
+
+# Composite curation pipeline: the end-to-end keep-list a training-data run
+# produces — language filter ∧ quality floor ∧ deterministic hash sample,
+# then near-dup DROP (cluster members except the canonical min id). Every
+# stage is the exact SQL twin of its Spark counterpart, composed.
+_CURATION_SQL = f"""
+WITH RECURSIVE survivors AS (
+  SELECT doc_id, text FROM documents
+  WHERE {T.sql_lang_id('text')} = 'en'
+    AND {T.sql_quality_score('text')} >= 0.35
+    AND ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 60
+),
+pairs AS ({_jaccard_sql('survivors')}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (SELECT node, min(label) AS region FROM walk GROUP BY node),
+drops AS (SELECT node FROM comp WHERE node != region)
+SELECT doc_id FROM survivors
+WHERE doc_id NOT IN (SELECT node FROM drops)
+ORDER BY doc_id
+"""
+
+
+@query("curation_keep_list", oracle=_CURATION_SQL)
+def curation_keep_list(spark, sf_dir):
+    """The END-TO-END curation pipeline in one registered query: language
+    filter (lang_id == 'en') ∧ quality floor (≥ 0.35) ∧ deterministic
+    md5-hash downsample (60%) — all pure scan-side JVM predicates — then
+    MinHash-LSH near-dup clustering over the survivors and an anti-join
+    against the non-canonical cluster members. Output = the doc ids a
+    training run would keep. Every stage has an exact SQL twin; the oracle
+    composes them (recursive CTE for the dup clusters)."""
+    from erased_cells_spark.operators.components import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    survivors = d.filter(
+        (T.lang_id(F.col("text")) == "en")
+        & (T.quality_score(F.col("text")) >= 0.35)
+        & (h < 60)
+    ).select("doc_id", "text")
+    pairs = minhash_lsh_pairs(survivors, 0.2)
+    cc = connected_components(pairs, "id_a", "id_b")
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return survivors.join(drops, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 
 
 # SimHash oracle: the md5-based word hash makes the whole signature pipeline
