@@ -39,6 +39,7 @@ HEADLINE = [
     "ann_pq_embeddings",
     "doc_bm25_search",
     "q9_profit_by_nation_type",
+    "curation_keep_list",
 ]
 
 N_PAGES_FLAGSHIP = 200_000
