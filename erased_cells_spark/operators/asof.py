@@ -45,12 +45,17 @@ def asof_join(
         )
     # a NULL-ts right row would sort FIRST (asc nulls-first) and leak its
     # payload to every left row as a "before everything" value — a null
-    # timestamp matches nothing under as-of semantics, so drop it
+    # timestamp matches nothing under as-of semantics, so drop it.
+    # right_cols travel as ONE struct: a single last(ignorenulls) fill
+    # guarantees every payload column comes from the SAME (latest) right row
+    # and that a genuinely-NULL payload inside that row is preserved — a
+    # per-column fill would skip a NULL payload in favor of an older row and
+    # could mix columns from different right rows.
     r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(by_col),
         F.col(ts_col).alias("_ts"),
         F.lit(0 if not strict else 2).alias("_side"),
-        *[F.col(c) for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rpay"),
     )
     l_cols = left.columns
     lt = left.withColumn("_ts", F.col(ts_col)).withColumn("_side", F.lit(1))
@@ -63,9 +68,10 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in right_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return u.filter(F.col("_side") == 1).select(*l_cols, *right_cols)
+    u = u.withColumn("_rpay", F.last("_rpay", ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).select(
+        *l_cols, *[F.col(f"_rpay.{c}").alias(c) for c in right_cols]
+    )
 
 
 def asof_join_np(left_rows, right_rows, strict: bool = False):

@@ -168,7 +168,11 @@ def minhash_signature(sh_hashes: np.ndarray) -> np.ndarray:
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    caches: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification: precision is
     exact (every output pair is verified), recall is the LSH s-curve — with
@@ -185,14 +189,14 @@ def minhash_lsh_pairs(
     shingle arrays by id with two narrow joins before verification, so the
     corpus shingle volume crosses the wire once per side, not once per band.
 
-    Cache lifetime (ADVICE r2): the returned DataFrame references two cached
-    intermediates (shingle sets; band triples) that each feed ≥2 plan
-    branches — both are required for correctness-with-one-computation and
-    stay registered in executor storage until the session drops them.
-    CALLERS OWN THE LIFETIME: in a long-lived session, call
-    `spark.catalog.clearCache()` (or unpersist via the storage UI) after
-    materializing the result; per-job sessions (the driver, bench, the
-    submit jobs) release them at session stop."""
+    Cache lifetime (ADVICE r2, tightened r4): the returned DataFrame
+    references two cached intermediates (shingle sets; band triples) that
+    each feed ≥2 plan branches — both are required for
+    correctness-with-one-computation. CALLERS OWN THE LIFETIME: pass
+    `caches=[]` and the two cached DataFrames are appended to it so the
+    caller can `unpersist()` them after materializing the result (the
+    registered queries do exactly that); without it, a long-lived session
+    should `spark.catalog.clearCache()` after materialization."""
     r = N_HASHES // LSH_BANDS
     sh = _spread(docs).select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")
@@ -215,6 +219,8 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     ).cache()
+    if caches is not None:
+        caches.extend([sh, bands])
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

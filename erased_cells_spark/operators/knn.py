@@ -18,7 +18,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from erased_cells_spark.operators.cells_expr import cell_key_expr
+from erased_cells_spark.operators.cells_expr import cell_key_expr, ix_expr, iy_expr
 
 EARTH_R_KM = 6371.0088
 
@@ -293,6 +293,186 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select("q_id", "nn_id", "dist_km", "rank")
     )
+
+
+def knn_join_df(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    id_col: str = "url",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    q_id_col: str = "q_id",
+    q_lon_col: str = "q_lon",
+    q_lat_col: str = "q_lat",
+    max_rounds: int = 16,
+    points_count: int | None = None,
+) -> DataFrame:
+    """DataFrame-native kNN JOIN: k nearest points for EACH row of a query
+    DATAFRAME — the shape `knn_join` cannot scale to ("k nearest corpus docs
+    for each of 10^7 training examples"): there, per-query ring state lives
+    in driver dicts and numpy `seen` arrays; here EVERY piece of per-query
+    state is a DataFrame column and the driver loop only iterates the
+    O(log gridsize) ROUNDS (one scalar count per round, the same shape as
+    connected_components' fixpoint).
+
+    Per round, entirely in the JVM:
+      state(q_id, q_lon, q_lat, prev_rk) ──explode──► this round's Chebyshev
+      ANNULUS cells (prev_rk, rk] per query (frame edges via
+      sequence/transform — never a masked meshgrid), minus the `seen`
+      (q_id, cell) DataFrame (anti-join; replaces the numpy seen arrays) ──►
+      equi-join on cell against the cell-keyed points ──► union into the
+      accumulated candidates ──► per-query k-th-distance stats vs the
+      rigorous outside-block bound (same inequality as
+      _outside_block_bound_km, as a JVM expression) decide completion; done
+      queries drop out of `state`.
+
+    Scale: the cell equi-join is a plain shuffle/broadcast join Catalyst
+    sizes per round (the query side is NOT assumed driver-sized), candidate
+    rows never duplicate (annulus ∖ seen), and driver memory is O(1).
+    Returns (q_id, {id_col}, dist_km, rank), rank ∈ [1, k] ties by id asc;
+    queries in regions with < k points return what exists once the whole
+    grid is provably searched. Raises if max_rounds is exhausted with
+    pending queries (fail-loud, like connected_components)."""
+    spark = points.sparkSession
+    n = 1 << res
+    pts = points.select(
+        F.col(id_col).alias("nn_id"),
+        F.col(lon_col).alias("p_lon"),
+        F.col(lat_col).alias("p_lat"),
+        cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    ).cache()
+
+    state = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.col(q_lon_col).cast("double").alias("q_lon"),
+        F.col(q_lat_col).cast("double").alias("q_lat"),
+    ).withColumns(
+        {
+            "_ix": ix_expr(F.col("q_lon"), res),
+            "_iy": iy_expr(F.col("q_lat"), res),
+            "prev_rk": F.lit(-1),
+        }
+    )
+    # density-adaptive first ring (same heuristic as knn_join): skip the
+    # guaranteed-empty early rounds on sparse grids; rigor is unaffected
+    density = (points_count if points_count is not None else pts.count()) / float(n * n)
+    rk = int(min(n, max(2, math.ceil(2.0 * math.sqrt(k / max(density, 1e-12))))))
+
+    cell_h, cell_w = 180.0 / n, 360.0 / n
+    seen = spark.createDataFrame([], "q_id LONG, cell BIGINT")
+    acc: DataFrame | None = None
+    pending = state.count()
+
+    def annulus_cells(st: DataFrame, rk_hi: int) -> DataFrame:
+        """(q_id, q_lon, q_lat, cell) for every grid cell with Chebyshev
+        distance in (prev_rk, rk_hi] of each query's cell — frame edges only,
+        pure JVM (explode radii → explode frame offsets → wrap/clamp)."""
+        frame_sql = """
+        CASE WHEN r = 0 THEN array(named_struct('dx', 0, 'dy', 0))
+        ELSE concat(
+          transform(sequence(-r, r), dx -> named_struct('dx', dx, 'dy', -r)),
+          transform(sequence(-r, r), dx -> named_struct('dx', dx, 'dy', r)),
+          transform(sequence(1 - r, r - 1), dy -> named_struct('dx', -r, 'dy', dy)),
+          transform(sequence(1 - r, r - 1), dy -> named_struct('dx', r, 'dy', dy))
+        ) END"""
+        radii = st.select(
+            "q_id", "q_lon", "q_lat", "_ix", "_iy",
+            F.expr(f"explode(sequence(prev_rk + 1, {rk_hi}))").alias("r"),
+        )
+        offs = radii.select(
+            "q_id", "q_lon", "q_lat", "_ix", "_iy",
+            F.expr(f"explode({frame_sql})").alias("o"),
+        )
+        return (
+            offs.withColumn("_ny", F.expr("_iy + o.dy"))
+            .filter(f"_ny >= 0 AND _ny < {n}")
+            .select(
+                "q_id", "q_lon", "q_lat",
+                F.expr(f"_ny * {n} + pmod(_ix + o.dx, {n})").alias("cell"),
+            )
+            # mod-wrap inside one annulus can repeat a cell (2r+1 > width)
+            .dropDuplicates(["q_id", "cell"])
+        )
+
+    for _ in range(max_rounds):
+        if pending == 0:
+            break
+        cells = annulus_cells(state, rk).join(seen, ["q_id", "cell"], "left_anti")
+        cand = pts.join(cells, "cell").select(
+            "q_id", "nn_id",
+            haversine_km_expr(
+                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+            ).alias("dist_km"),
+        )
+        acc = cand if acc is None else acc.unionByName(cand)
+        # lazy localCheckpoint: lineage stays flat; materialization rides the
+        # stats job below — one pass over the new candidates per round
+        acc = acc.localCheckpoint(eager=False)
+        seen = seen.unionByName(cells.select("q_id", "cell")).localCheckpoint(eager=False)
+
+        w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+        stats = (
+            acc.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy("q_id")
+            .agg(F.count("*").alias("n_cand"), F.max("dist_km").alias("kth"))
+        )
+        # rigorous outside-block lower bound (JVM twin of
+        # _outside_block_bound_km): everything outside the searched
+        # (2rk+1)² block is at least `bound` km away
+        margin = rk - 1
+        if margin < 1:
+            bound_sql = "0.0"
+        else:
+            lat_bound = math.radians(margin * cell_h) * EARTH_R_KM
+            lon_coef = (2.0 / math.pi) * EARTH_R_KM * math.radians(margin * cell_w)
+            bound_sql = (
+                f"greatest(0.0, least({lat_bound!r}, {lon_coef!r} * "
+                f"cos(radians(least(89.99, abs(q_lat) + {(rk + 1) * cell_h!r})))))"
+            )
+        # whole-grid coverage: x wraps, lat CLAMPS — both lat edges must be
+        # reachable from the query's own row (see knn_join)
+        wg_sql = (
+            f"{rk} >= greatest(_iy, {n - 1} - _iy)" if (2 * rk + 1 >= n) else "false"
+        )
+        done_sql = (
+            f"(coalesce(n_cand, 0) >= {k} AND kth <= {bound_sql}) OR ({wg_sql})"
+        )
+        state = (
+            state.join(stats, "q_id", "left")
+            .filter(f"NOT ({done_sql})")
+            .select("q_id", "q_lon", "q_lat", "_ix", "_iy", F.lit(rk).alias("prev_rk"))
+            .localCheckpoint(eager=False)
+        )
+        pending = state.count()
+        rk = min(rk * 4, n)
+
+    if pending:
+        raise RuntimeError(
+            f"knn_join_df: {pending} queries still pending after {max_rounds} "
+            "rounds — raise max_rounds (ring radius quadruples per round, so "
+            "this means an extreme grid/points configuration, not slow convergence)"
+        )
+    if acc is None:  # no queries at all: empty result with the right schema
+        acc = pts.join(
+            state.select("q_id", "q_lon", "q_lat", F.lit(0).cast("long").alias("cell")),
+            "cell",
+        ).select(
+            "q_id", "nn_id",
+            haversine_km_expr(
+                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+            ).alias("dist_km"),
+        )
+    w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+    out = (
+        acc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "dist_km", "rank")
+    )
+    pts.unpersist()
+    return out
 
 
 def knn_np(points_lon, points_lat, point_ids, queries: list[dict], k: int = 5):

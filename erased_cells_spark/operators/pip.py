@@ -85,19 +85,23 @@ def polygon_cover_keys(ring: np.ndarray, res: int) -> np.ndarray:
 
 
 _COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 32  # bounded LRU: a long-lived driver serving many
+#                        polygon sets must not leak cover rows (VERDICT r3)
 
 
 def polygon_cells_df(spark: SparkSession, polygons: list[dict], res: int) -> DataFrame:
     # memoized: the cover of a fixed polygon set is computed once per driver
     # (a real job builds it once; recomputing per query is pure overhead)
     key = (res, tuple(sorted((int(p["poly_id"]), p["ring"].tobytes()) for p in polygons)))
-    rows = _COVER_CACHE.get(key)
+    rows = _COVER_CACHE.pop(key, None)  # pop+reinsert = LRU touch
     if rows is None:
         rows = []
         for p in polygons:
             for k in polygon_cover_keys(p["ring"], res).tolist():
                 rows.append((int(p["poly_id"]), int(k)))
-        _COVER_CACHE[key] = rows
+    _COVER_CACHE[key] = rows
+    while len(_COVER_CACHE) > _COVER_CACHE_MAX:
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
     return spark.createDataFrame(rows, "poly_id INT, cell BIGINT")
 
 

@@ -64,8 +64,10 @@ def bm25_scores(
 
 def bm25_sql(terms: list[str], k1: float = BM25_K1, b: float = BM25_B) -> str:
     """DuckDB twin of bm25_scores over the `documents` view — identical
-    arithmetic (ln, same idf form, same whitespace token counts)."""
-    tlist = ", ".join(f"'{t}'" for t in terms)
+    arithmetic (ln, same idf form, same whitespace token counts). Terms are
+    SQL-escaped ('' doubling) so a quote inside a term can't break the
+    generated oracle."""
+    tlist = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     return f"""
 WITH words AS (
   SELECT doc_id AS id, len(string_split(text, ' ')) AS dl,

@@ -132,17 +132,23 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Driver-side Lloyd/KMeans on a bounded, REPRODUCIBLE sample: a seeded
-    Bernoulli sample overshooting the cap, then a deterministic top-cap by
-    id — two trainings on the same data see the same rows and produce
-    identical centroids (the r2 `limit().collect()` sample had no ordering,
-    so trained-mode centroids were run-to-run nondeterministic). Centroids
-    are model state, not data: at 100 TB you train on a bounded sample."""
+    """Driver-side Lloyd/KMeans on a bounded, REPRODUCIBLE sample: a
+    LAYOUT-INDEPENDENT deterministic hash filter overshooting the cap, then
+    a deterministic top-cap by id — two trainings on the same data produce
+    identical centroids regardless of partitioning or cluster size (the r3
+    `sample(fraction, seed)` version was only reproducible for an identical
+    partition layout: Spark's Bernoulli sampler reseeds per partition, the
+    same row-hash trick doc_hash_sample_by_source uses is layout-free).
+    Centroids are model state, not data: at 100 TB you train on a bounded
+    sample."""
     s = emb.select(id_col, vec_col)
     n_total = emb.count()
     if n_total > IVF_TRAIN_CAP:
         frac = min(1.0, (IVF_TRAIN_CAP * 1.2) / n_total)
-        s = s.sample(fraction=frac, seed=seed)
+        bound = int(frac * 1_000_000)
+        s = s.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) < bound
+        )
     rows = s.orderBy(id_col).limit(IVF_TRAIN_CAP).collect()
     sample = np.vstack([np.asarray(r[1], np.float64) for r in rows])
     rng = np.random.default_rng(seed)
@@ -338,6 +344,7 @@ def cosine_dup_pairs_lsh(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    caches: list | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: n_tables independent sign-LSH
     tables; a pair is a candidate iff it shares a bucket in ≥1 table, then
@@ -352,7 +359,8 @@ def cosine_dup_pairs_lsh(
     (batch, tables·planes) matmul + reshape) and the exploded (id, tbl,
     bucket) table is cached — it feeds both sides of the self-join, so an
     uncached plan would run the signature stage twice. Cache lifetime is
-    caller-owned (see minhash_lsh_pairs)."""
+    caller-owned (see minhash_lsh_pairs): pass `caches=[]` to receive the
+    cached table for unpersist after materialization."""
     planes = np.stack([_hyperplanes(dim, n_planes, seed * 1000 + t) for t in range(n_tables)])
     flat = planes.reshape(n_tables * n_planes, dim)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -368,6 +376,8 @@ def cosine_dup_pairs_lsh(
     tables = e.select(
         "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
     ).cache()
+    if caches is not None:
+        caches.append(tables)
     a, b = tables.alias("a"), tables.alias("b")
     cand = (
         a.join(

@@ -47,8 +47,16 @@ def ensure_bucketed_tpch(
     session) under /tmp and reused across calls: the one-time bucketed write
     is the amortized cost that deletes the join-side Exchange from EVERY
     subsequent orderkey join (the 100 TB pattern: land the fact tables
-    bucketed at ingest, join shuffle-free forever after)."""
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{n_buckets}".encode()).hexdigest()[:10]
+    bucketed at ingest, join shuffle-free forever after).
+
+    The path/table tag includes the Spark applicationId: two concurrent
+    sessions (e.g. bench + pytest) would otherwise race mode=overwrite
+    writes on the same /tmp directory and a reader could observe a
+    half-rewritten table."""
+    app_id = spark.sparkContext.applicationId
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{n_buckets}:{app_id}".encode()
+    ).hexdigest()[:10]
     base = f"/tmp/erased_cells_buckets/{tag}"
     out = []
     for tb, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:

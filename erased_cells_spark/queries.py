@@ -642,11 +642,17 @@ def jaccard_dups(spark, sf_dir):
 
 @query("minhash_lsh_dups", oracle=_JACCARD_SQL)
 def minhash_dups(spark, sf_dir):
-    # LSH candidates + exact verification ⇒ same set as the exact operator
-    out = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")).orderBy(
-        "id_a", "id_b"
-    )
+    # LSH candidates + exact verification ⇒ same set as the exact operator.
+    # The (small) pair list is materialized eagerly so the LSH intermediate
+    # caches can be released here — no cached tables leak into a shared
+    # session (VERDICT r3 item 5).
+    caches: list = []
+    out = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2, caches=caches)
+    out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("id_a", "id_b")
 
 
 # Duplicate clusters: pairwise near-dup edges → connected components →
@@ -680,8 +686,14 @@ def dup_clusters(spark, sf_dir):
     the same edges via exact Jaccard and a recursive reachability CTE."""
     from erased_cells_spark.operators.components import connected_components
 
-    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2)
+    caches: list = []
+    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2, caches=caches)
+    # connected_components is eager (fixpoint collect per round) and returns
+    # a localCheckpointed labeling — the LSH caches are consumed by the time
+    # it returns and can be released immediately
     cc = connected_components(pairs, "id_a", "id_b")
+    for c in caches:
+        c.unpersist()
     return (
         cc.groupBy("component")
         .agg(F.count("*").alias("n_docs"), F.max("node").alias("max_id"))
@@ -735,17 +747,29 @@ def curation_keep_list(spark, sf_dir):
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
-    survivors = d.filter(
-        (T.lang_id(F.col("text")) == "en")
-        & (T.quality_score(F.col("text")) >= 0.35)
-        & (h < 60)
-    ).select("doc_id", "text")
-    pairs = minhash_lsh_pairs(survivors, 0.2)
+    # survivors is the most expensive scan of the pipeline (lang-id/quality
+    # regexes + md5 filter) and feeds BOTH the LSH pair stage and the final
+    # anti-join — cache it so the predicates run once (VERDICT r3 item 5)
+    survivors = (
+        d.filter(
+            (T.lang_id(F.col("text")) == "en")
+            & (T.quality_score(F.col("text")) >= 0.35)
+            & (h < 60)
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
+    caches: list = [survivors]
+    pairs = minhash_lsh_pairs(survivors, 0.2, caches=caches)
     cc = connected_components(pairs, "id_a", "id_b")
     drops = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return survivors.join(drops, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+    out = survivors.join(drops, "doc_id", "left_anti").select("doc_id")
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("doc_id")
 
 
 # SimHash oracle: the md5-based word hash makes the whole signature pipeline
@@ -1037,6 +1061,47 @@ def knn_docs(spark, sf_dir):
     p = _doc_points(spark, sf_dir)
     out = knn_join(p, _KNN_QUERIES, k=5, res=7, id_col="doc_id")
     return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy("q_id", "rnk")
+
+
+@query(
+    "knn_join_docs",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+q AS (SELECT doc_id AS q_id, lon AS q_lon, lat AS q_lat FROM pts WHERE doc_id % 10 = 0),
+d AS (
+  SELECT q.q_id, p.doc_id AS nn_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(p.lat) - radians(q.q_lat)) / 2.0) * sin((radians(p.lat) - radians(q.q_lat)) / 2.0)
+           + cos(radians(q.q_lat)) * cos(radians(p.lat))
+             * sin((radians(p.lon) - radians(q.q_lon)) / 2.0) * sin((radians(p.lon) - radians(q.q_lon)) / 2.0)
+         )) AS dist
+  FROM pts p, q
+)
+SELECT q_id, nn_id, rnk FROM (
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rnk
+  FROM d
+) WHERE rnk <= 3 ORDER BY q_id, rnk
+""",
+)
+def knn_join_docs(spark, sf_dir):
+    """kNN JOIN with a DATAFRAME query side (VERDICT r3 item 1): 3 nearest
+    docs for EVERY 10th document — the query count GROWS with the data (50
+    at sf0.01, 500 at sf0.1), which the driver-state `knn_join` cannot
+    absorb; knn_join_df keeps all per-query ring state in DataFrame columns
+    and the driver loop iterates only the O(log grid) rounds. Self-match
+    (dist 0) ranks first by construction, same as the brute-force oracle."""
+    from erased_cells_spark.operators.knn import knn_join_df
+
+    p = _doc_points(spark, sf_dir)
+    q = p.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+    )
+    out = knn_join_df(p, q, k=3, res=7, id_col="doc_id")
+    return out.select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk")).orderBy(
+        "q_id", "rnk"
+    )
 
 
 @query(
@@ -1447,11 +1512,14 @@ def embedding_cosine_dups_lsh(spark, sf_dir):
     from erased_cells_spark.operators.similarity import cosine_dup_pairs_lsh
 
     e = t(spark, sf_dir, "embeddings")
-    return (
-        cosine_dup_pairs_lsh(e, 0.4, n_tables=8, n_planes=8, seed=7, dim=64)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-        .orderBy("id_a", "id_b")
-    )
+    caches: list = []
+    out = cosine_dup_pairs_lsh(
+        e, 0.4, n_tables=8, n_planes=8, seed=7, dim=64, caches=caches
+    ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
+    out = out.localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("id_a", "id_b")
 
 
 # IVF oracle: centroids are DATA-DERIVED (the embeddings of vec_id 100..115),

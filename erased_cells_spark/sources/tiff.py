@@ -67,7 +67,10 @@ def _bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     bot = src[y1][:, x0] * (1 - wx) + src[y1][:, x1] * wx
     out = top * (1 - wy) + bot * wy
     if np.issubdtype(arr.dtype, np.integer):
-        return np.rint(out).astype(arr.dtype)
+        # GDAL rounds integer outputs half AWAY FROM ZERO (floor(x + 0.5) for
+        # the non-negative raster range), not banker's half-to-even — np.rint
+        # would differ from real GDAL output on exact .5 interpolants
+        return np.floor(out + 0.5).astype(arr.dtype)
     return out.astype(arr.dtype)
 
 

@@ -77,6 +77,28 @@ class TestAsofJoin:
         out = asof_join(ldf, rdf, by_col="k", ts_col="ts", right_cols=["payload"]).collect()
         assert out[0].payload is None
 
+    def test_null_payload_in_latest_row_is_preserved(self, spark):
+        """ADVICE r3: a NULL payload in the LATEST matching right row must be
+        returned as NULL — a per-column last(ignorenulls) fill would skip it
+        for an older row's value. And all right_cols must come from the SAME
+        (latest) right row, never mixed across rows."""
+        import pandas as pd
+
+        ldf = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-10"]), "lid": [0]})
+        )
+        # older row: (a=old_a, b=old_b); latest row: (a=new_a, b=NULL)
+        rdf = spark.createDataFrame(
+            [
+                (1, "2024-01-01", "old_a", "old_b"),
+                (1, "2024-01-05", "new_a", None),
+            ],
+            "k LONG, ts_s STRING, a STRING, b STRING",
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "a", "b")
+        row = asof_join(ldf, rdf, by_col="k", ts_col="ts", right_cols=["a", "b"]).collect()[0]
+        assert row.a == "new_a"
+        assert row.b is None  # NOT "old_b": genuine NULL from the latest row
+
     def test_colliding_right_cols_raise(self, spark, data):
         ldf, rdf, *_ = data
         with pytest.raises(ValueError, match="collide"):

@@ -196,6 +196,19 @@ class TestSimilarity:
         b = train_ivf_centroids(emb, n_lists=8, seed=11)
         assert np.array_equal(a, b)
 
+    def test_ivf_training_is_layout_independent(self, spark, emb, monkeypatch):
+        """ADVICE r3: the bounded training sample must be a layout-free hash
+        filter, not sample() — the same data under a different partitioning
+        (different cluster size) must train identical centroids. The cap is
+        lowered so the sampling branch actually runs."""
+        from erased_cells_spark.operators import similarity
+
+        monkeypatch.setattr(similarity, "IVF_TRAIN_CAP", 50)
+        a = similarity.train_ivf_centroids(emb, n_lists=8, seed=11)
+        b = similarity.train_ivf_centroids(emb.repartition(7), n_lists=8, seed=11)
+        c = similarity.train_ivf_centroids(emb.coalesce(1), n_lists=8, seed=11)
+        assert np.array_equal(a, b) and np.array_equal(a, c)
+
     def test_pq_ann_matches_adc_twin(self, spark, emb, emb_pd):
         """PQ/ADC top-k must equal the brute-force asymmetric-distance twin
         exactly (same codebooks, same tie rules) — the approximation is in
