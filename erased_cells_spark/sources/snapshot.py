@@ -27,12 +27,101 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
+from pyspark.sql.functions import count as F_count
+from pyspark.sql.functions import lit as F_lit
+
+
+def _footer_stats(files: list[str]) -> dict:
+    """Per-column [min, max] ZONE MAP for a partition, straight from the
+    parquet row-group footers (pure metadata — no data pass). A column gets
+    an entry only when EVERY row group of every file carries min/max stats
+    for it (a single stat-less row group makes the zone unknowable).
+    Values are kept JSON-safe: ints/floats/bools/strs pass through,
+    timestamps/dates become their ISO str() (zero-padded, so string
+    comparison ≡ time comparison), binary is skipped."""
+    import pyarrow.parquet as pq
+
+    mins: dict = {}
+    maxs: dict = {}
+    bad: set = set()
+
+    def conv(v):
+        import datetime
+
+        if isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return str(v)
+        return None
+
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in bad:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    bad.add(name)
+                    continue
+                lo, hi = conv(st.min), conv(st.max)
+                if lo is None or hi is None:
+                    bad.add(name)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins if c not in bad}
+
+
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "=="}
+
+
+def _zone_excludes(stats: dict | None, col: str, op: str, val) -> bool:
+    """True iff the partition's zone map PROVES no row satisfies
+    `col op val`. Unknown column / missing stats / cross-type comparison →
+    False (never prune on uncertainty)."""
+    if not stats or col not in stats:
+        return False
+    lo, hi = stats[col]
+    try:
+        if op == ">":
+            return hi <= val
+        if op == ">=":
+            return hi < val
+        if op == "<":
+            return lo >= val
+        if op == "<=":
+            return lo > val
+        return val < lo or val > hi  # = / ==
+    except TypeError:
+        return False
+
+
+def _where_sql(where: list[tuple]) -> str:
+    parts = []
+    for col, op, val in where:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use {_PRUNE_OPS})")
+        sql_op = "=" if op == "==" else op
+        if isinstance(val, str):
+            lit = "'{}'".format(val.replace("'", "''"))
+        elif isinstance(val, bool):
+            lit = "true" if val else "false"
+        else:
+            lit = repr(val)
+        parts.append(f"(`{col}` {sql_op} {lit})")
+    return " AND ".join(parts)
 
 
 class SnapshotTable:
     def __init__(self, path: str):
         self.path = path
         self.data_dir = os.path.join(path, "data")
+        self.last_scan: dict | None = None  # set by read(): pruning telemetry
         os.makedirs(self.data_dir, exist_ok=True)
 
     # ----- manifest plumbing ---------------------------------------------
@@ -200,6 +289,7 @@ class SnapshotTable:
                 "rows": n,
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "n_files": len(files),
+                "stats": _footer_stats(files),
                 "committed_at": time.time(),
             }
             self._commit({key: meta})
@@ -208,12 +298,43 @@ class SnapshotTable:
         return stats
 
     # ----- read path ---------------------------------------------------------
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+    def plan_scan(
+        self, where: list[tuple] | None = None, snapshot_id: int | None = None
+    ) -> dict:
+        """Manifest-level scan plan for a conjunction of simple predicates
+        [(col, op, value), ...], op ∈ <, <=, >, >=, =: which partitions the
+        zone maps keep vs PRUNE. Pure metadata — no Spark, no file opens."""
+        man = self.manifest(snapshot_id)
+        keep, pruned = [], []
+        for key, meta in man["partitions"].items():
+            if where and any(
+                _zone_excludes(meta.get("stats"), c, op, v) for c, op, v in where
+            ):
+                pruned.append(key)
+            else:
+                keep.append(key)
+        return {"read": sorted(keep), "pruned": sorted(pruned)}
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read exactly the committed files of a snapshot (CURRENT by
         default; pass snapshot_id for TIME TRAVEL to any live snapshot) —
         uncommitted/garbage files in data/ are invisible (snapshot
         isolation), and compaction never rewrites history: an old snapshot
         keeps reading its original files until expire_snapshots drops them.
+
+        PREDICATE PRUNING: `where=[(col, op, value), ...]` (ANDed, op ∈
+        <, <=, >, >=, =) consults the manifests' per-partition zone maps and
+        SKIPS every partition whose [min, max] provably excludes the
+        predicate — at 100 TB this is the difference between a table scan
+        and a file lookup; the predicate is ALSO applied as a real filter on
+        the surviving partitions, so results are exact whether or not a
+        zone map exists (partitions written before zone maps never prune,
+        they just filter). The pruned split is recorded in `self.last_scan`.
 
         SCHEMA EVOLUTION (add-column): partitions written before a column
         existed read as NULL for it — mergeSchema unions the parquet footer
@@ -221,10 +342,215 @@ class SnapshotTable:
         semantics Iceberg provides (drops/renames are not supported; a
         rename would silently fork into two nullable columns)."""
         man = self.manifest(snapshot_id)
-        paths = [os.path.join(self.path, p["path"]) for p in man["partitions"].values()]
-        if not paths:
+        if not man["partitions"]:
             raise ValueError(f"empty snapshot table at {self.path}")
-        return spark.read.option("mergeSchema", "true").parquet(*paths)
+        plan = self.plan_scan(where, snapshot_id)
+        self.last_scan = {
+            "partitions_total": len(man["partitions"]),
+            "partitions_read": len(plan["read"]),
+            "pruned": plan["pruned"],
+        }
+        keys = plan["read"] or list(man["partitions"])[:1]  # all-pruned: one
+        # partition supplies the schema; the filter below returns zero rows
+        paths = [os.path.join(self.path, man["partitions"][k]["path"]) for k in keys]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if where:
+            df = df.filter(_where_sql(where))
+        return df
+
+    def _tagged_read(self, spark: SparkSession) -> DataFrame:
+        """CURRENT snapshot with a `__part` column = the owning partition's
+        lineage key (per-partition reads unioned by name, so add-column
+        schema evolution behaves like read())."""
+        from functools import reduce
+
+        man = self.current_manifest()
+        parts = []
+        for key, meta in man["partitions"].items():
+            df = spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, meta["path"])
+            )
+            parts.append(df.withColumn("__part", F_lit(key)))
+        if not parts:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+    def _rewrite_commit(
+        self,
+        spark: SparkSession,
+        content: DataFrame,
+        rewrite_keys: set[str],
+        expected_rows: dict[str, int],
+        operation: str,
+    ) -> int:
+        """Copy-on-write commit: stage `content` (must carry a `__lineage`
+        string column ∈ rewrite_keys) in ONE partitioned job, verify every
+        rewritten partition's parquet-footer row count against
+        `expected_rows` (RAISES before commit on mismatch — row-level
+        mutation must never silently lose rows), then commit a new snapshot
+        whose partition map is {untouched partitions} ∪ {rewrites}. Old
+        snapshots keep reading their original files (time travel across the
+        mutation works; expire_snapshots reclaims)."""
+        import glob
+        import shutil
+        from urllib.parse import unquote
+
+        import pyarrow.parquet as pq
+
+        man = self.current_manifest()
+        unknown = rewrite_keys - set(man["partitions"])
+        if unknown:
+            raise ValueError(
+                f"{operation}: lineage keys {sorted(unknown)} not in the current "
+                "snapshot — row-level mutation cannot invent partitions; append "
+                "new lineage values with write_partitions first"
+            )
+        stage = os.path.join(self.data_dir, f".stage-{uuid.uuid4().hex}")
+        content.write.mode("overwrite").partitionBy("__lineage").parquet(stage)
+        staged = {}
+        for d in os.listdir(stage):
+            if d.startswith("__lineage="):
+                staged[unquote(d[len("__lineage="):])] = os.path.join(stage, d)
+        orphans = set(staged) - rewrite_keys
+        if orphans:
+            raise RuntimeError(
+                f"{operation}: staged lineage dirs {sorted(orphans)} match no "
+                f"rewrite key in {sorted(rewrite_keys)}; stage kept at {stage}"
+            )
+        schema = content.drop("__lineage").schema
+        new_parts = {}
+        for key in sorted(rewrite_keys):
+            out_dir = os.path.join(
+                self.data_dir, f"part-{key}-{operation}-{uuid.uuid4().hex}"
+            )
+            src = staged.get(key)
+            if src is None:
+                # every row of the partition was deleted/moved: schema-only
+                spark.createDataFrame([], schema).write.mode("overwrite").parquet(out_dir)
+            else:
+                os.rename(src, out_dir)
+            files = glob.glob(os.path.join(out_dir, "*.parquet"))
+            rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+            if rows != expected_rows.get(key, 0):
+                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(stage, ignore_errors=True)
+                raise RuntimeError(
+                    f"{operation}: partition {key} rewrote {rows} rows, expected "
+                    f"{expected_rows.get(key, 0)} — aborting without commit"
+                )
+            new_parts[key] = {
+                "lineage": key,
+                "path": os.path.relpath(out_dir, self.path),
+                "rows": rows,
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "n_files": len(files),
+                "stats": _footer_stats(files),
+                "rewrite_of": man["partitions"][key]["path"],
+                "committed_at": time.time(),
+            }
+        shutil.rmtree(stage, ignore_errors=True)
+        keep = {k: v for k, v in man["partitions"].items() if k not in rewrite_keys}
+        return self._commit_state({**keep, **new_parts}, operation=operation)
+
+    def merge(
+        self, spark: SparkSession, updates: DataFrame, key_col: str, lineage_col: str
+    ) -> int:
+        """Copy-on-write MERGE (upsert by key): rows of the CURRENT snapshot
+        whose `key_col` matches an update row are REPLACED; update rows with
+        unmatched keys are INSERTED into the partition named by their
+        `lineage_col` value (which must already exist). Only partitions that
+        contain a matched key or receive an insert are rewritten — the rest
+        of the table is untouched metadata (the Iceberg copy-on-write MERGE
+        shape: at 100 TB a recrawl that replaces 0.1% of pages rewrites
+        ~0.1% of files, not the table).
+
+        Duplicate keys in `updates` RAISE (ambiguous upsert). A key that
+        exists in partition A while its update names lineage B moves: the A
+        row is dropped, the new row lands in B. Row conservation
+        (old - matched + inserted, per partition) is verified against the
+        written parquet footers before the manifest commit. Returns the new
+        snapshot id (or the current one when `updates` is empty)."""
+        man = self.current_manifest()
+        sid = man["snapshot_id"]
+        if not man["partitions"]:
+            raise ValueError("merge into an empty table — write_partitions first")
+        upd = updates.withColumn("__lineage", F_col(lineage_col).cast("string")).cache()
+        try:
+            n_upd = upd.count()
+            if n_upd == 0:
+                return sid
+            dups = (
+                upd.groupBy(key_col).count().filter("count > 1").limit(1).count()
+            )
+            if dups:
+                raise ValueError(
+                    f"merge: duplicate {key_col} values in updates — an upsert "
+                    "batch must carry one row per key (pre-aggregate to the "
+                    "latest row per key first)"
+                )
+            tagged = self._tagged_read(spark)
+            keys = upd.select(key_col)
+            # matched old rows per partition + inserts per partition: two tiny
+            # aggregates drive the rewrite set and the conservation check
+            matched = {
+                r["__part"]: r["n"]
+                for r in tagged.join(keys, key_col, "semi")
+                .groupBy("__part")
+                .agg(F_count("*").alias("n"))
+                .collect()
+            }
+            inserts = {
+                r["__lineage"]: r["n"]
+                for r in upd.groupBy("__lineage").agg(F_count("*").alias("n")).collect()
+            }
+            rewrite = set(matched) | set(inserts)
+            expected = {
+                k: man["partitions"][k]["rows"] - matched.get(k, 0) + inserts.get(k, 0)
+                for k in rewrite
+                if k in man["partitions"]
+            }
+            old_keep = (
+                tagged.filter(F_col("__part").isin(list(rewrite)))
+                .join(keys, key_col, "left_anti")
+                .withColumnRenamed("__part", "__lineage")
+            )
+            # updates may ADD columns (same add-column evolution contract as
+            # read()): old rows read as NULL for them after the rewrite
+            content = old_keep.unionByName(upd, allowMissingColumns=True)
+            return self._rewrite_commit(spark, content, rewrite, expected, "merge")
+        finally:
+            upd.unpersist()
+
+    def delete_where(self, spark: SparkSession, predicate: str) -> int:
+        """Copy-on-write row-level DELETE: rewrite every partition that
+        contains a row matching the SQL `predicate` without the matching
+        rows; partitions with no match keep their files untouched. IDEMPOTENT
+        by construction: a second identical call matches nothing and returns
+        the current snapshot id without committing. The takedown path of the
+        north-rule table — at 100 TB a delete-by-url rewrites only the files
+        that held the url. Row conservation (old - matched per partition) is
+        verified against the written footers before commit."""
+        man = self.current_manifest()
+        if not man["partitions"]:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        tagged = self._tagged_read(spark)
+        matched = {
+            r["__part"]: r["n"]
+            for r in tagged.filter(predicate)
+            .groupBy("__part")
+            .agg(F_count("*").alias("n"))
+            .collect()
+        }
+        if not matched:
+            return man["snapshot_id"]
+        rewrite = set(matched)
+        expected = {k: man["partitions"][k]["rows"] - matched[k] for k in rewrite}
+        content = (
+            tagged.filter(F_col("__part").isin(list(rewrite)))
+            .filter(f"NOT ({predicate})")
+            .withColumnRenamed("__part", "__lineage")
+        )
+        return self._rewrite_commit(spark, content, rewrite, expected, "delete")
 
     # ----- table maintenance -------------------------------------------------
     def rollback(self, snapshot_id: int) -> int:
@@ -277,6 +603,7 @@ class SnapshotTable:
                 "path": os.path.relpath(out_dir, self.path),
                 "bytes": sum(os.path.getsize(f) for f in files),
                 "n_files": len(files),
+                "stats": _footer_stats(files),
                 "compacted_from": meta["path"],
                 "committed_at": time.time(),
             }

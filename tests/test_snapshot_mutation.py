@@ -1,0 +1,212 @@
+"""Snapshot row-level mutation (VERDICT r3 items 2+3): copy-on-write MERGE
+(upsert by key) and delete_where, plus manifest zone maps and pruned reads.
+Contracts: merge replaces exactly the keyed rows and only rewrites affected
+partitions; delete is idempotent; time travel / rollback work across a
+mutation; pruned reads open fewer partitions with unchanged results."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from erased_cells_spark.sources.snapshot import SnapshotTable, _zone_excludes
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def docs_df(spark, n=400, tag="v1"):
+    """(doc_id, bucket, val): bucket = doc_id // 100 → doc_id RANGES map to
+    partitions, so zone maps on doc_id actually prune."""
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") / 100).cast("long").alias("bucket"),
+        F.concat(F.lit(tag + "-"), F.col("id").cast("string")).alias("val"),
+    )
+
+
+def write_base(spark, table, n=400):
+    df = docs_df(spark, n)
+    table.write_partitions(df, "bucket", [0, 1, 2, 3])
+    return table.metrics()["snapshot_id"]
+
+
+class TestMerge:
+    def test_upsert_replaces_exactly_keyed_rows(self, spark, table):
+        sid0 = write_base(spark, table)
+        # update 3 existing keys, insert 2 new ones into partition 3
+        upd = spark.createDataFrame(
+            [
+                (5, 0, "NEW-5"),
+                (150, 1, "NEW-150"),
+                (399, 3, "NEW-399"),
+                (1000, 3, "NEW-1000"),
+                (1001, 3, "NEW-1001"),
+            ],
+            "doc_id LONG, bucket LONG, val STRING",
+        )
+        sid1 = table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+        assert sid1 == sid0 + 1
+        back = {r.doc_id: r.val for r in table.read(spark).collect()}
+        assert len(back) == 402  # 400 - 3 replaced + 3 re-added + 2 inserted
+        assert back[5] == "NEW-5" and back[150] == "NEW-150" and back[399] == "NEW-399"
+        assert back[1000] == "NEW-1000" and back[1001] == "NEW-1001"
+        assert back[6] == "v1-6"  # untouched neighbors keep old values
+
+    def test_merge_rewrites_only_affected_partitions(self, spark, table):
+        write_base(spark, table)
+        before = {k: v["path"] for k, v in table.current_manifest()["partitions"].items()}
+        upd = spark.createDataFrame([(5, 0, "NEW-5")], "doc_id LONG, bucket LONG, val STRING")
+        table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+        after = {k: v["path"] for k, v in table.current_manifest()["partitions"].items()}
+        assert after["0"] != before["0"]  # rewritten (copy-on-write)
+        for k in ("1", "2", "3"):
+            assert after[k] == before[k]  # untouched metadata
+
+    def test_key_moves_partition(self, spark, table):
+        """An update whose lineage differs from the key's current partition
+        MOVES the row: dropped from the old partition, landed in the new."""
+        write_base(spark, table)
+        upd = spark.createDataFrame([(5, 2, "MOVED-5")], "doc_id LONG, bucket LONG, val STRING")
+        table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+        back = table.read(spark)
+        assert back.count() == 400
+        row = back.filter("doc_id = 5").collect()[0]
+        assert row.val == "MOVED-5" and row.bucket == 2
+        man = table.current_manifest()["partitions"]
+        assert man["0"]["rows"] == 99 and man["2"]["rows"] == 101
+
+    def test_duplicate_update_keys_raise(self, spark, table):
+        write_base(spark, table)
+        upd = spark.createDataFrame(
+            [(5, 0, "a"), (5, 0, "b")], "doc_id LONG, bucket LONG, val STRING"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+
+    def test_insert_into_unknown_partition_raises(self, spark, table):
+        write_base(spark, table)
+        upd = spark.createDataFrame([(9999, 42, "x")], "doc_id LONG, bucket LONG, val STRING")
+        with pytest.raises(ValueError, match="not in the current snapshot"):
+            table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+
+    def test_time_travel_and_rollback_across_merge(self, spark, table):
+        sid0 = write_base(spark, table)
+        upd = spark.createDataFrame([(5, 0, "NEW-5")], "doc_id LONG, bucket LONG, val STRING")
+        table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+        # pre-merge snapshot still reads the ORIGINAL value
+        old = {r.doc_id: r.val for r in table.read(spark, snapshot_id=sid0).collect()}
+        assert old[5] == "v1-5"
+        # rollback undoes the merge (as a NEW snapshot, history kept)
+        table.rollback(sid0)
+        assert {r.doc_id: r.val for r in table.read(spark).collect()}[5] == "v1-5"
+
+    def test_empty_updates_noop(self, spark, table):
+        sid0 = write_base(spark, table)
+        upd = spark.createDataFrame([], "doc_id LONG, bucket LONG, val STRING")
+        assert table.merge(spark, upd, key_col="doc_id", lineage_col="bucket") == sid0
+
+
+class TestDeleteWhere:
+    def test_delete_and_idempotence(self, spark, table):
+        sid0 = write_base(spark, table)
+        sid1 = table.delete_where(spark, "doc_id >= 350")
+        assert sid1 == sid0 + 1
+        assert table.read(spark).count() == 350
+        assert table.read(spark).filter("doc_id >= 350").count() == 0
+        # idempotent: nothing left to delete → NO new snapshot
+        assert table.delete_where(spark, "doc_id >= 350") == sid1
+        # only partition 3 was rewritten
+        man = table.current_manifest()["partitions"]
+        assert man["3"]["rows"] == 50 and "rewrite_of" in man["3"]
+        assert "rewrite_of" not in man["0"]
+
+    def test_delete_whole_partition_keeps_schema(self, spark, table):
+        write_base(spark, table)
+        table.delete_where(spark, "bucket = 2")
+        back = table.read(spark)
+        assert back.count() == 300
+        assert table.current_manifest()["partitions"]["2"]["rows"] == 0
+        assert set(back.columns) == {"doc_id", "bucket", "val"}
+
+    def test_time_travel_across_delete(self, spark, table):
+        sid0 = write_base(spark, table)
+        table.delete_where(spark, "doc_id = 7")
+        assert table.read(spark, snapshot_id=sid0).filter("doc_id = 7").count() == 1
+
+
+class TestZoneMaps:
+    def test_stats_recorded_at_write(self, spark, table):
+        write_base(spark, table)
+        man = table.current_manifest()["partitions"]
+        assert man["0"]["stats"]["doc_id"] == [0, 99]
+        assert man["3"]["stats"]["doc_id"] == [300, 399]
+        assert man["1"]["stats"]["val"][0].startswith("v1-")
+
+    def test_pruned_read_opens_fewer_partitions_same_result(self, spark, table):
+        write_base(spark, table)
+        plan = table.plan_scan(where=[("doc_id", "<", 150)])
+        assert plan["read"] == ["0", "1"] and plan["pruned"] == ["2", "3"]
+        pruned = table.read(spark, where=[("doc_id", "<", 150)])
+        scan = dict(table.last_scan)
+        full = table.read(spark).filter("doc_id < 150")
+        assert scan["partitions_read"] == 2 < scan["partitions_total"]
+        assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+        # the pruned scan really reads fewer FILES (physical plan check)
+        import re
+
+        files_read = re.findall(r"part-\d-", pruned._jdf.queryExecution().sparkPlan().toString())
+        assert all("part-2" not in f and "part-3" not in f for f in files_read)
+
+    def test_all_pruned_returns_empty_with_schema(self, spark, table):
+        write_base(spark, table)
+        out = table.read(spark, where=[("doc_id", ">", 10_000)])
+        assert out.count() == 0
+        assert set(out.columns) == {"doc_id", "bucket", "val"}
+
+    def test_string_and_equality_pruning(self, spark, table):
+        write_base(spark, table)
+        plan = table.plan_scan(where=[("doc_id", "=", 250)])
+        assert plan["read"] == ["2"]
+        # string zone: val is 'v1-<n>' everywhere → a 'w...' probe prunes all
+        plan = table.plan_scan(where=[("val", ">", "w")])
+        assert plan["read"] == []
+
+    def test_merge_refreshes_zone_maps(self, spark, table):
+        write_base(spark, table)
+        upd = spark.createDataFrame([(5, 0, "zzz")], "doc_id LONG, bucket LONG, val STRING")
+        table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+        man = table.current_manifest()["partitions"]
+        assert man["0"]["stats"]["val"][1] == "zzz"
+
+    def test_zone_excludes_unit(self):
+        st = {"x": [10, 20]}
+        assert _zone_excludes(st, "x", ">", 20)
+        assert not _zone_excludes(st, "x", ">=", 20)
+        assert _zone_excludes(st, "x", "<", 10)
+        assert not _zone_excludes(st, "x", "<=", 10)
+        assert _zone_excludes(st, "x", "=", 9) and _zone_excludes(st, "x", "=", 21)
+        assert not _zone_excludes(st, "x", "=", 15)
+        assert not _zone_excludes(st, "y", "=", 1)  # unknown col: never prune
+        assert not _zone_excludes(st, "x", "=", "str")  # cross-type: never prune
+        assert not _zone_excludes(None, "x", "=", 1)
+
+    def test_old_manifests_without_stats_never_prune(self, spark, table, tmp_path):
+        """Partitions committed before zone maps existed (no 'stats' key)
+        must read normally — filter-only, no prune, no KeyError."""
+        write_base(spark, table)
+        import json
+
+        sid = table.metrics()["snapshot_id"]
+        p = table._manifest_path(sid)
+        with open(p) as f:
+            man = json.load(f)
+        for meta in man["partitions"].values():
+            meta.pop("stats", None)
+        with open(p, "w") as f:
+            json.dump(man, f)
+        plan = table.plan_scan(where=[("doc_id", "<", 50)])
+        assert plan["pruned"] == []
+        assert table.read(spark, where=[("doc_id", "<", 50)]).count() == 50
