@@ -141,6 +141,91 @@ def pip_join(
     return cand.filter(inside).drop("cell")
 
 
+def pip_join_df(
+    points: DataFrame,
+    polygons: DataFrame,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    poly_id_col: str = "poly_id",
+    ring_col: str = "ring",
+    res: int = DEFAULT_COVER_RES,
+) -> DataFrame:
+    """Containment join for LARGE polygon sets: the polygon side is a
+    DATAFRAME (poly_id, ring: array<array<double>>, CLOSED CCW rings) — a
+    10^6-polygon cadastre that `pip_join` cannot absorb (it ships every ring
+    inside the verify UDF closure and broadcasts the cover). Returns
+    (id_col, poly_id) pairs.
+
+    Plan shape — no broadcast REQUIREMENT anywhere (broadcast remains an
+    optimizer choice, never a correctness one):
+      polygons ──Arrow-batched cover UDF (one call per polygon, distributed
+                 over the polygon side; validates ring closure)──► exploded
+                 (poly_id, cell) cover
+      points ──JVM cell key──► equi-join on cell            (candidates)
+      polygons ──JVM transform/explode──► (poly_id, edge) rows
+      candidates ⋈ edges on poly_id ──► winding-number contributions as a
+      pure-JVM expression (IDENTICAL arithmetic to the numpy
+      points_in_ring and the SQL oracle: up-crossing +1 / down-crossing −1,
+      half-open convention) ──► groupBy (id, poly) parity filter.
+
+    The per-point hot path is builtin-only; Python touches each POLYGON
+    once (cover), never a candidate row. Edge-join expansion is
+    |edges/polygon| per candidate — right for parcel/zone rings (≤ ~100
+    vertices); for 10^4-vertex coastlines, pre-simplify or fall back to
+    pip_join's per-batch winding UDF."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_udf(rings: pd.Series) -> pd.Series:
+        out = []
+        for r in rings:
+            ring = np.asarray([np.asarray(v, np.float64) for v in r])
+            if len(ring) < 4 or (ring[0] != ring[-1]).any():
+                raise ValueError(
+                    "pip_join_df: rings must be CLOSED (first vertex repeated "
+                    f"last) with >= 3 distinct vertices; got {len(ring)} rows"
+                )
+            out.append(polygon_cover_keys(ring, res).tolist())
+        return pd.Series(out)
+
+    cells = polygons.select(
+        F.col(poly_id_col), F.explode(cover_udf(F.col(ring_col))).alias("cell")
+    )
+    edges = polygons.select(
+        F.col(poly_id_col),
+        F.expr(
+            f"explode(transform(sequence(0, size({ring_col}) - 2), i -> "
+            f"named_struct('ex0', {ring_col}[i][0], 'ey0', {ring_col}[i][1], "
+            f"'ex1', {ring_col}[i + 1][0], 'ey1', {ring_col}[i + 1][1])))"
+        ).alias("e"),
+    ).select(poly_id_col, "e.*")
+
+    pts = points.select(
+        F.col(id_col),
+        F.col(lon_col).alias("_px"),
+        F.col(lat_col).alias("_py"),
+        cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    )
+    cand = pts.join(cells, "cell").select(id_col, "_px", "_py", poly_id_col)
+
+    cross = (F.col("ex1") - F.col("ex0")) * (F.col("_py") - F.col("ey0")) - (
+        F.col("_px") - F.col("ex0")
+    ) * (F.col("ey1") - F.col("ey0"))
+    contrib = (
+        F.when((F.col("ey0") <= F.col("_py")) & (F.col("ey1") > F.col("_py")) & (cross > 0), 1)
+        .when((F.col("ey0") > F.col("_py")) & (F.col("ey1") <= F.col("_py")) & (cross < 0), -1)
+        .otherwise(0)
+    )
+    return (
+        cand.join(edges, poly_id_col)
+        .groupBy(id_col, poly_id_col)
+        .agg(F.sum(contrib).alias("_wn"))
+        .filter(F.col("_wn") != 0)
+        .select(id_col, poly_id_col)
+    )
+
+
 def pip_join_np(lon: np.ndarray, lat: np.ndarray, polygons: list[dict]) -> list[tuple[int, int]]:
     """Brute-force oracle: ALL (point_idx, poly_id) containment pairs."""
     out = []

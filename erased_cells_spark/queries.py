@@ -1285,6 +1285,74 @@ def pip_zone_counts(spark, sf_dir):
     )
 
 
+# Large-polygon-set PIP (VERDICT r3 item 4): 10,000 diamond zones derived
+# DETERMINISTICALLY IN-PLAN on both engines (md5-geocoded centers, doubles
+# everywhere — the ::DOUBLE casts matter: DuckDB decimal literals would
+# round the borders differently than Spark's double arithmetic). The
+# polygon side is a DataFrame; covers explode polygon-side; winding runs as
+# the JVM edge-join — no ring closure shipping, no broadcast requirement.
+_N_LARGE_POLYS = 10_000
+_LARGE_PIP_SQL = f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+ks AS (SELECT unnest(generate_series(0, {_N_LARGE_POLYS - 1})) AS k),
+poly AS (
+  SELECT k AS poly_id,
+         {sql_lon("('poly-' || k::VARCHAR)")} AS cx,
+         {sql_lat("('poly-' || k::VARCHAR)")} AS cy,
+         0.2::DOUBLE + (k % 7)::DOUBLE * 0.1::DOUBLE AS w,
+         0.15::DOUBLE + (k % 5)::DOUBLE * 0.1::DOUBLE AS h
+  FROM ks
+),
+edges AS (
+  SELECT poly_id, cx + w AS ex0, cy AS ey0, cx AS ex1, cy + h AS ey1 FROM poly
+  UNION ALL SELECT poly_id, cx, cy + h, cx - w, cy FROM poly
+  UNION ALL SELECT poly_id, cx - w, cy, cx, cy - h FROM poly
+  UNION ALL SELECT poly_id, cx, cy - h, cx + w, cy FROM poly
+),
+w2 AS (
+  SELECT e.poly_id, p.doc_id,
+         sum(CASE WHEN e.ey0 <= p.lat AND e.ey1 > p.lat AND {_PIP_CROSS} > 0 THEN 1
+                  WHEN e.ey0 > p.lat AND e.ey1 <= p.lat AND {_PIP_CROSS} < 0 THEN -1
+                  ELSE 0 END) AS wn
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT poly_id, count(*) AS n_docs FROM w2 WHERE wn != 0 GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+@query("pip_large_zone_counts", oracle=_LARGE_PIP_SQL)
+def pip_large_zone_counts(spark, sf_dir):
+    """Docs-per-zone over a 10k-polygon cadastre via pip_join_df — the scale
+    path where pip_join's closure-shipped rings + broadcast cover would cap
+    out. Polygons are a DataFrame built in-plan (JVM md5 geocode, diamond
+    rings as array columns); only the per-POLYGON cover runs through Python
+    (Arrow-batched), the per-point path is builtin-only."""
+    from erased_cells_spark.operators.pip import pip_join_df
+
+    key = F.concat(F.lit("poly-"), F.col("id").cast("string"))
+    polys = spark.range(_N_LARGE_POLYS).select(
+        F.col("id").cast("int").alias("poly_id"),
+        geocode_lon(key).alias("cx"),
+        geocode_lat(key).alias("cy"),
+        (F.lit(0.2) + (F.col("id") % 7).cast("double") * 0.1).alias("w"),
+        (F.lit(0.15) + (F.col("id") % 5).cast("double") * 0.1).alias("h"),
+    ).select(
+        "poly_id",
+        F.expr(
+            "array(array(cx + w, cy), array(cx, cy + h), array(cx - w, cy), "
+            "array(cx, cy - h), array(cx + w, cy))"
+        ).alias("ring"),
+    )
+    p = _doc_points(spark, sf_dir)
+    return (
+        pip_join_df(p, polys, id_col="doc_id")
+        .groupBy("poly_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("poly_id")
+    )
+
+
 @query(
     "events_value_percentiles",
     oracle="""
