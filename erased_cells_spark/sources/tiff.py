@@ -2,9 +2,11 @@
 
 Scope: what the golden files need plus the common GDAL outputs (single-band,
 single-IFD, little- or big-endian, 8/16/32-bit int or float samples,
-GDAL_NODATA ascii tag), in STRIP or TILED layout, uncompressed or
-DEFLATE/zlib-compressed (compression 8 / legacy 32946) with the optional
-horizontal-differencing predictor (tag 317 = 2). This replaces the
+GDAL_NODATA ascii tag), in STRIP or TILED layout, uncompressed,
+DEFLATE/zlib (compression 8 / legacy 32946), LZW (5, early-change
+convention), or PackBits (32773), with the optional
+horizontal-differencing predictor (tag 317 = 2); resampling: nearest,
+bilinear, cubic (Keys a=-0.5, GDAL's CubicConvolution). This replaces the
 reference's GDAL dependency for tests only (reference:
 src/gdal/rasterband.rs:37-126 delegates all codecs to GDAL); the engine
 proper produces rasters by rasterizing vectors, not file scans.
@@ -47,6 +49,120 @@ def _read_tag_values(buf, endian, ttype, count, value_field):
     if ttype == 1:
         return list(raw)
     return raw
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first variable-width codes, 9→12 bits,
+    ClearCode 256 / EOI 257, with the TIFF 'early change' convention (the
+    code width grows when the table reaches 2^width − 1, one code EARLIER
+    than vanilla LZW — the libtiff/GDAL behavior)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = []
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return EOI
+        byte0 = bitpos // 8
+        window = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        shift = 24 - (bitpos - byte0 * 8) - width
+        bitpos += width
+        return (window >> shift) & ((1 << width) - 1)
+
+    singles = [bytes([i]) for i in range(256)]
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = singles + [b"", b""]
+            width = 9
+            code = read_code()
+            if code == EOI:
+                break
+            if code >= len(table):
+                raise ValueError("LZW: bad first code after clear")
+            prev = table[code]
+            out += prev
+            continue
+        if not table:
+            raise ValueError("LZW: stream does not start with a clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"LZW: code {code} beyond table size {len(table)}")
+        out += entry
+        table.append(prev + entry[:1])
+        prev = entry
+        # EARLY CHANGE alignment: the decoder's table lags the encoder's
+        # next_code by one (it learns entry n only from the code AFTER the
+        # one that created it), so the width must grow at 2^width − 2 — one
+        # append earlier than vanilla LZW's 2^width − 1 — to stay in step
+        # with an encoder that switches at next_code == 2^width − 1.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (compression 32773): byte-oriented RLE."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: noop
+    return bytes(out[:expected])
+
+
+def _cubic(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """GDAL-style cubic-convolution resample (Keys kernel, a = −0.5 — the
+    CubicConvolution GDAL uses), separable 4-tap with pixel-center mapping
+    and edge clamping; integer bands round half away from zero and clip to
+    the dtype range (cubic overshoots)."""
+    a = -0.5
+
+    def weights(t: np.ndarray) -> np.ndarray:
+        d = np.abs(np.stack([t + 1.0, t, 1.0 - t, 2.0 - t]))
+        return np.where(
+            d <= 1.0,
+            (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0,
+            np.where(d < 2.0, a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a, 0.0),
+        )
+
+    h, w = arr.shape
+    src = arr.astype(np.float64)
+    y = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    x = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.floor(y).astype(np.int64)
+    x0 = np.floor(x).astype(np.int64)
+    wy = weights(y - y0)  # (4, out_h)
+    wx = weights(x - x0)  # (4, out_w)
+    tmp = np.zeros((out_h, w))
+    for kk in range(4):
+        rows = np.clip(y0 - 1 + kk, 0, h - 1)
+        tmp += src[rows] * wy[kk][:, None]
+    out = np.zeros((out_h, out_w))
+    for kk in range(4):
+        cols = np.clip(x0 - 1 + kk, 0, w - 1)
+        out += tmp[:, cols] * wx[kk][None, :]
+    if np.issubdtype(arr.dtype, np.integer):
+        info = np.iinfo(arr.dtype)
+        return np.clip(np.floor(out + 0.5), info.min, info.max).astype(arr.dtype)
+    return out.astype(arr.dtype)
 
 
 def _bilinear(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -110,7 +226,8 @@ def read_tiff(
     width, height = tags[256][0], tags[257][0]
     bits = tags.get(258, [8])[0]
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 8, 32946):  # none | DEFLATE | legacy deflate
+    # none | LZW | DEFLATE | legacy deflate | PackBits
+    if compression not in (1, 5, 8, 32946, 32773):
         raise ValueError(f"unsupported compression {compression}")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -125,6 +242,10 @@ def read_tiff(
         raw = buf[off : off + cnt]
         if compression in (8, 32946):
             raw = zlib.decompress(raw)
+        elif compression == 5:
+            raw = _lzw_decode(raw)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, rows * cols * dtype.itemsize)
         block = np.frombuffer(raw, dtype=dtype, count=rows * cols).reshape(rows, cols)
         if predictor == 2:  # horizontal differencing: undo per row
             block = np.cumsum(block.astype(np.int64), axis=1).astype(dtype)
@@ -166,6 +287,8 @@ def read_tiff(
                 arr = arr[ys][:, xs]
             elif resample == "bilinear":
                 arr = _bilinear(arr, out_h, out_w)
+            elif resample == "cubic":
+                arr = _cubic(arr, out_h, out_w)
             else:
                 raise ValueError(f"unsupported resample algorithm {resample!r}")
         height, width = arr.shape

@@ -52,6 +52,10 @@ def write_tiff_bytes(
         raw = b.tobytes()
         if compression == 8:
             raw = zlib.compress(raw)
+        elif compression == 5:
+            raw = lzw_encode(raw)
+        elif compression == 32773:
+            raw = packbits_encode(raw)
         payloads.append(raw)
 
     data = b"".join(payloads)
@@ -105,6 +109,79 @@ def write_tiff_bytes(
     header = b"II" + struct.pack(endian + "HI", 42, ifd_off)
     ifd = struct.pack(endian + "H", len(tags)) + entries + struct.pack(endian + "I", 0)
     return header + data + ifd + bytes(extra)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF-LZW encoder (test-side twin of sources.tiff._lzw_decode): MSB
+    packing, 9→12-bit codes, EARLY CHANGE (width grows when the next free
+    code reaches 2^width − 1), clear-and-reset at table code 4094 — the
+    libtiff conventions."""
+    CLEAR, EOI = 256, 257
+
+    def init():
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, next_code, width = init()
+    emitted = [(CLEAR, width)]
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emitted.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code == 4094:
+            emitted.append((CLEAR, width))
+            table, next_code, width = init()
+        w = c
+    if w:
+        emitted.append((table[w], width))
+    emitted.append((EOI, width))
+    # pack MSB-first
+    acc = 0
+    nb = 0
+    out = bytearray()
+    for code, cw in emitted:
+        acc = (acc << cw) | code
+        nb += cw
+        while nb >= 8:
+            out.append((acc >> (nb - 8)) & 0xFF)
+            nb -= 8
+    if nb:
+        out.append((acc << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """Simple PackBits encoder: runs ≥ 3 as replicate runs, rest literal."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i
+            lit = bytearray()
+            while j < n and len(lit) < 128:
+                run = 1
+                while j + run < n and run < 3 and data[j + run] == data[j]:
+                    run += 1
+                if run >= 3:
+                    break
+                lit += data[j : j + 1]
+                j += 1
+            out += bytes([len(lit) - 1]) + lit
+            i = j
+    return bytes(out)
 
 
 @pytest.fixture()
@@ -209,14 +286,121 @@ class TestCodecs:
 
     def test_unsupported_compression_still_raises(self, tmp_path, rng):
         arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
-        p = str(tmp_path / "lzw.tiff")
+        p = str(tmp_path / "jpeg.tiff")
         with open(p, "wb") as f:
             f.write(write_tiff_bytes(arr, compression=1))
         raw = bytearray(open(p, "rb").read())
-        # flip the compression SHORT (tag 259) to LZW (5) in place
+        # flip the compression SHORT (tag 259) to JPEG (7) in place
         i = raw.find(struct.pack("<HHI", 259, 3, 1))
-        raw[i + 8 : i + 10] = struct.pack("<H", 5)
+        raw[i + 8 : i + 10] = struct.pack("<H", 7)
         with open(p, "wb") as f:
             f.write(bytes(raw))
         with pytest.raises(ValueError, match="compression"):
             read_tiff(p)
+
+
+class TestLzwPackbits:
+    """LZW (compression 5) + PackBits (32773), r4 parity tail (VERDICT r3
+    item 7; reference delegates to GDAL — src/gdal/rasterband.rs:90-102)."""
+
+    def test_lzw_known_vector(self):
+        """Hand-derived spec vector: encode([7,7,7,8]) with early change →
+        CLEAR,7,258,8,EOI at 9 bits = 80 01 E0 40 88 08; decode inverts."""
+        from erased_cells_spark.sources.tiff import _lzw_decode
+
+        enc = lzw_encode(bytes([7, 7, 7, 8]))
+        assert enc == bytes([0x80, 0x01, 0xE0, 0x40, 0x88, 0x08])
+        assert _lzw_decode(enc) == bytes([7, 7, 7, 8])
+
+    def test_lzw_width_growth_and_clear(self):
+        """> 4094 table entries forces every code width 9→12 AND a mid-stream
+        CLEAR + table reset; random bytes have little repetition, driving
+        fast table growth."""
+        from erased_cells_spark.sources.tiff import _lzw_decode
+
+        data = np.random.default_rng(3).integers(0, 256, 60_000, dtype=np.uint8).tobytes()
+        assert _lzw_decode(lzw_encode(data)) == data
+
+    def test_lzw_strips_uint16_predictor(self, tmp_path, rng):
+        arr = rng.integers(0, 65536, size=(60, 50), dtype=np.uint16)
+        _, band = roundtrip(tmp_path, arr, compression=5, predictor=2, rows_per_strip=16)
+        assert np.array_equal(band.array, arr)
+
+    def test_lzw_tiled_float32(self, tmp_path, rng):
+        arr = rng.standard_normal((37, 29)).astype(np.float32)
+        _, band = roundtrip(tmp_path, arr, compression=5, tile=(16, 16))
+        assert np.array_equal(band.array, arr)
+
+    def test_packbits_runs_and_literals(self, tmp_path, rng):
+        # long runs (favors replicate) + noise (favors literal)
+        arr = np.zeros((40, 64), dtype=np.uint8)
+        arr[:20] = 200
+        arr[20:] = rng.integers(0, 256, size=(20, 64), dtype=np.uint8)
+        _, band = roundtrip(tmp_path, arr, compression=32773, rows_per_strip=8)
+        assert np.array_equal(band.array, arr)
+
+    def test_codec_matrix_sweep(self, tmp_path):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 40), w=st.integers(1, 40),
+            comp=st.sampled_from([5, 32773]),
+            layout=st.sampled_from(["strip", "strip8", "tile"]),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, comp, layout, seed):
+            r = np.random.default_rng(seed)
+            arr = r.integers(0, 256, size=(h, w), dtype=np.uint8)
+            kw = {"compression": comp}
+            if layout == "tile":
+                kw["tile"] = (16, 16)
+            elif layout == "strip8":
+                kw["rows_per_strip"] = 8
+            p = str(tmp_path / "m.tiff")
+            with open(p, "wb") as f:
+                f.write(write_tiff_bytes(arr, **kw))
+            assert np.array_equal(read_tiff(p).array, arr)
+
+        check()
+
+
+class TestCubicResample:
+    def test_cubic_reproduces_linear_fields_exactly(self, tmp_path):
+        """The Keys a=-0.5 kernel reproduces degree-1 polynomials exactly —
+        a plane stays a plane under cubic resampling (interior pixels;
+        edges clamp)."""
+        h, w = 32, 48
+        yy, xx = np.mgrid[0:h, 0:w]
+        arr = (2.0 * xx + 3.0 * yy + 1.0).astype(np.float64)
+        p = str(tmp_path / "c.tiff")
+        with open(p, "wb") as f:
+            f.write(write_tiff_bytes(arr.astype(np.float32)))
+        out = read_tiff(
+            p, window=(0, 0), window_size=(w, h), size=(w * 2, h * 2), resample="cubic"
+        ).array
+        # interior: exact linear interpolation values
+        ys = (np.arange(h * 2) + 0.5) * h / (h * 2) - 0.5
+        xs = (np.arange(w * 2) + 0.5) * w / (w * 2) - 0.5
+        want = 2.0 * xs[None, :] + 3.0 * ys[:, None] + 1.0
+        assert np.allclose(out[4:-4, 4:-4], want[4:-4, 4:-4], atol=1e-4)
+
+    def test_cubic_constant_field_and_int_clip(self, tmp_path):
+        arr = np.full((16, 16), 250, dtype=np.uint8)
+        p = str(tmp_path / "c2.tiff")
+        with open(p, "wb") as f:
+            f.write(write_tiff_bytes(arr))
+        out = read_tiff(
+            p, window=(0, 0), window_size=(16, 16), size=(40, 40), resample="cubic"
+        ).array
+        assert out.dtype == np.uint8
+        assert np.all(out == 250)  # constants survive; overshoot clips in-range
+
+    def test_unknown_resample_raises(self, tmp_path, rng):
+        arr = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        p = str(tmp_path / "c3.tiff")
+        with open(p, "wb") as f:
+            f.write(write_tiff_bytes(arr))
+        with pytest.raises(ValueError, match="resample"):
+            read_tiff(p, window=(0, 0), window_size=(8, 8), size=(4, 4), resample="lanczos")

@@ -116,10 +116,12 @@ class TestWindowedRead:
             ]
         )
         assert np.allclose(out, want)
-        # integer band: same math, rounded to nearest, dtype preserved
+        # integer band: GDAL rounds half AWAY FROM ZERO (floor(x + 0.5)),
+        # not banker's rint — 2.5 → 3, 7.5 → 8 (ADVICE r3)
         out_i = _bilinear(arr.astype(np.uint16), 4, 4)
         assert out_i.dtype == np.uint16
-        assert np.array_equal(out_i, np.rint(want).astype(np.uint16))
+        assert np.array_equal(out_i, np.floor(want + 0.5).astype(np.uint16))
+        assert out_i[0, 1] == 3  # the case rint would get wrong (2.5 → 2)
 
     def test_bilinear_downsample_golden_matches_local_average_map(self):
         """bilinear through read_tiff on the golden band: exact 2× downsample
@@ -135,7 +137,8 @@ class TestWindowedRead:
             resample="bilinear",
         )
         blocks = full.array[: h2 * 2, : w2 * 2].astype(np.float64)
-        want = (blocks.reshape(h2, 2, w2, 2).mean(axis=(1, 3))).round()
+        means = blocks.reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+        want = np.floor(means + 0.5)  # GDAL integer rounding: half away from zero
         assert np.array_equal(small.array.astype(np.float64), want)
 
     def test_bilinear_identity_size_is_plain_read(self):
@@ -156,7 +159,7 @@ class TestWindowedRead:
                 window=(0, 0),
                 window_size=(4, 4),
                 size=(8, 8),
-                resample="cubic",
+                resample="lanczos",
             )
 
     def test_out_of_bounds_window_raises(self):
