@@ -1,0 +1,218 @@
+"""Streaming MinHash NEAR-dup guard — the last batch-only capability of the
+training-data brief made streaming (VERDICT r3 item 8): drop stream docs
+whose MinHash band bucket was already claimed within the watermark.
+
+Exact dedup (streaming/events.dedupe_stream) only catches byte-identical
+replays; a live crawl also re-ingests near-identical pages (boilerplate
+edits, timestamps). Guard rule, chosen so per-bucket state machines stay
+INDEPENDENT (each decidable without cross-bucket coordination):
+
+    a doc is KEPT iff it is the first arrival — (ts, id) order — in EVERY
+    one of its LSH band buckets still inside the watermark; it is DROPPED
+    iff ANY of its buckets was claimed by an earlier doc.
+
+Near-identical docs share most/all bands → later copies drop; unrelated
+docs share a band with s-curve probability (the classic LSH envelope — the
+pytest twin proves, not assumes, the planted behavior). A replayed copy of
+the CLAIMER itself (at-least-once source) stays kept: the claim stores the
+claimer id and `is_first` is id-equality, so the guard composes with exact
+dedup in either order.
+
+Scale shape: shingles → signatures → band explode are stateless narrow ops
+(same JVM/Arrow path as batch minhash_lsh_pairs); the only state is ONE
+(first_ts, first_id) row per live (band, bucket) key with an EVENT-time
+timeout (watermark-bounded, replay-safe); the per-doc verdict fold is a
+plain per-micro-batch aggregation (all band rows of a doc share its batch),
+so no second stateful operator is needed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from erased_cells_spark.operators.dedup import LSH_BANDS, N_HASHES, minhash_udf, shingles_expr
+
+_VERDICT_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("band", LongType()),
+        StructField("is_first", BooleanType()),
+    ]
+)
+_CLAIM_SCHEMA = StructType(
+    [StructField("first_ms", LongType()), StructField("first_id", StringType())]
+)
+
+
+def _parse_duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1_000, "minute": 60_000, "hour": 3_600_000, "day": 86_400_000}[
+        unit.rstrip("s")
+    ]
+    return int(n) * mult
+
+
+def _make_claim(retention_ms: int):
+    def _claim(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["id", "ts", "band", "is_first"])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "id"])
+        ms = (rows["ts"].astype("int64") // 1_000_000).to_list()
+        if state.exists:
+            first_ms, first_id = state.get
+        else:
+            first_ms, first_id = ms[0], rows["id"].iloc[0]
+        state.update((int(first_ms), first_id))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(int(first_ms) + retention_ms, wm + 1))
+        yield pd.DataFrame(
+            {
+                "id": rows["id"],
+                "ts": rows["ts"],
+                "band": key[0],
+                "is_first": (rows["id"] == first_id),
+            }
+        )
+
+    return _claim
+
+
+def band_verdicts_stream(
+    stream: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """stream(id, ts, text) → (id, ts, band, is_first) per band: one row per
+    (doc, band) saying whether the doc is the bucket's claimer. Docs too
+    short to shingle (< n words) produce no bands and therefore no verdicts
+    — compose `keep_list_batch`-style downstream logic accordingly."""
+    sig = stream.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        shingles_expr(F.col(text_col)).alias("shs"),
+    ).filter(F.size("shs") > 0)
+    r = N_HASHES // LSH_BANDS
+    # signature materialized ONCE per doc (a minhash_udf call inside the
+    # band lambda would run the Arrow UDF 32×)
+    sig = sig.select("id", "ts", minhash_udf(F.col("shs")).alias("sig"))
+    bands = sig.select(
+        "id",
+        "ts",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        bands.withWatermark("ts", watermark)
+        .groupBy("band", "bucket")
+        .applyInPandasWithState(
+            _make_claim(_parse_duration_ms(watermark)),
+            outputStructType=_VERDICT_SCHEMA,
+            stateStructType=_CLAIM_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def keep_verdicts_per_batch(verdict_batch: DataFrame) -> DataFrame:
+    """Per-micro-batch doc fold: (id, ts, keep) — keep ⟺ first in ALL
+    bands. Valid inside foreachBatch because every band row of a doc lands
+    in the doc's own micro-batch (the band explode is stateless)."""
+    return verdict_batch.groupBy("id", "ts").agg(
+        F.min(F.col("is_first").cast("int")).cast("boolean").alias("keep")
+    )
+
+
+def guarded_keep_stream(
+    spark,
+    src_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "2 hours",
+    query_name: str = "neardup_guard",
+):
+    """End-to-end guard: file stream over `src_path` → band verdicts → per
+    batch keep fold appended to `out_path` as parquet (idempotent restarts
+    via the streaming checkpoint). Returns the StreamingQuery."""
+    schema = spark.read.parquet(src_path).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_path)
+    )
+    verdicts = band_verdicts_stream(stream, id_col, ts_col, text_col, watermark)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        keep_verdicts_per_batch(batch_df).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_path)
+
+    return (
+        verdicts.writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def keep_list_batch(
+    docs: DataFrame,
+    id_col: str = "url",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """BATCH TWIN of the guard (the replay-equality oracle): claimer of each
+    band bucket = the globally (ts, id)-first doc; keep ⟺ claimer of every
+    own band. Equals the streaming result when arrival order respects event
+    time (the replay test feeds files in ts order)."""
+    from pyspark.sql import Window
+
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        shingles_expr(F.col(text_col)).alias("shs"),
+    ).filter(F.size("shs") > 0)
+    r = N_HASHES // LSH_BANDS
+    # signature materialized ONCE per doc (a minhash_udf call inside the
+    # band lambda would run the Arrow UDF 32×)
+    sig = sig.select("id", "ts", minhash_udf(F.col("shs")).alias("sig"))
+    bands = sig.select(
+        "id",
+        "ts",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(LSH_BANDS - 1)),
+                lambda b: F.xxhash64(F.slice("sig", b * r + 1, r)),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket").orderBy("ts", "id")
+    v = bands.withColumn("first_id", F.first("id").over(w)).select(
+        "id", "ts", (F.col("id") == F.col("first_id")).alias("is_first")
+    )
+    return v.groupBy("id", "ts").agg(
+        F.min(F.col("is_first").cast("int")).cast("boolean").alias("keep")
+    )

@@ -46,6 +46,7 @@ SURFACE_MODULES = [
     "erased_cells_spark.pipeline",
     "erased_cells_spark.streaming.events",
     "erased_cells_spark.streaming.pages",
+    "erased_cells_spark.streaming.dedup",
 ]
 SURFACE_FILES = [
     "bench.py",
