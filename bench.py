@@ -40,6 +40,9 @@ HEADLINE = [
     "doc_bm25_search",
     "q9_profit_by_nation_type",
     "curation_keep_list",
+    "knn_join_docs",
+    "pip_large_zone_counts",
+    "snapshot_pruned_scan",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

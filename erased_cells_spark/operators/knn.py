@@ -295,6 +295,52 @@ def knn_join(
     )
 
 
+def _annulus_cells_df(st: DataFrame, rk_hi: int, n: int) -> DataFrame:
+    """(q_id, q_lon, q_lat, cell) for every grid cell with TRUE (wrap-aware)
+    Chebyshev distance in (prev_rk, rk_hi] of each query's cell — frame
+    edges only, pure JVM; st carries (q_id, q_lon, q_lat, _ix, _iy,
+    prev_rk). SINGLE COVER: the top/bottom rows clamp dx to the one-wrap
+    window [-n/2, (n-1)/2] and the side columns exist only while ±r is
+    inside that window (for even n the +n/2 column IS the −n/2 column —
+    only the − side emits it), so a cell is generated exactly once, at its
+    true radius, across ALL rounds; the naive unclamped frame would
+    re-generate ~3× the cells once rings wrap the antimeridian and need a
+    dedup shuffle + seen-set subtraction (proven single-cover in
+    tests/test_knn_join_df.py against _query_ring_keys)."""
+    w_lo, w_hi = -(n // 2), (n - 1) // 2
+    empty = "CAST(array() AS ARRAY<STRUCT<dx: INT, dy: INT>>)"
+    frame_sql = f"""
+    CASE WHEN r = 0 THEN array(named_struct('dx', 0, 'dy', 0))
+    ELSE concat(
+      transform(sequence(greatest(-r, {w_lo}), least(r, {w_hi})),
+                dx -> named_struct('dx', dx, 'dy', -r)),
+      transform(sequence(greatest(-r, {w_lo}), least(r, {w_hi})),
+                dx -> named_struct('dx', dx, 'dy', r)),
+      IF(-r >= {w_lo},
+         transform(sequence(1 - r, r - 1), dy -> named_struct('dx', -r, 'dy', dy)),
+         {empty}),
+      IF(r <= {w_hi},
+         transform(sequence(1 - r, r - 1), dy -> named_struct('dx', r, 'dy', dy)),
+         {empty})
+    ) END"""
+    radii = st.select(
+        "q_id", "q_lon", "q_lat", "_ix", "_iy",
+        F.expr(f"explode(sequence(prev_rk + 1, {rk_hi}))").alias("r"),
+    )
+    offs = radii.select(
+        "q_id", "q_lon", "q_lat", "_ix", "_iy",
+        F.expr(f"explode({frame_sql})").alias("o"),
+    )
+    return (
+        offs.withColumn("_ny", F.expr("_iy + o.dy"))
+        .filter(f"_ny >= 0 AND _ny < {n}")
+        .select(
+            "q_id", "q_lon", "q_lat",
+            F.expr(f"_ny * {n} + pmod(_ix + o.dx, {n})").alias("cell"),
+        )
+    )
+
+
 def knn_join_df(
     points: DataFrame,
     queries: DataFrame,
@@ -319,9 +365,12 @@ def knn_join_df(
 
     Per round, entirely in the JVM:
       state(q_id, q_lon, q_lat, prev_rk) ──explode──► this round's Chebyshev
-      ANNULUS cells (prev_rk, rk] per query (frame edges via
-      sequence/transform — never a masked meshgrid), minus the `seen`
-      (q_id, cell) DataFrame (anti-join; replaces the numpy seen arrays) ──►
+      ANNULUS cells (prev_rk, rk] per query. Each ring is generated as frame
+      edges via sequence/transform (never a masked meshgrid) with a
+      SINGLE-COVER x-window [-n/2, (n-1)/2]: every grid cell appears exactly
+      at its TRUE (wrap-aware) Chebyshev radius, so annuli are disjoint
+      within a round AND across rounds — `prev_rk` alone is the complete
+      frontier state, no seen-set subtraction, no dedup shuffle ──►
       equi-join on cell against the cell-keyed points ──► union into the
       accumulated candidates ──► per-query k-th-distance stats vs the
       rigorous outside-block bound (same inequality as
@@ -330,7 +379,7 @@ def knn_join_df(
 
     Scale: the cell equi-join is a plain shuffle/broadcast join Catalyst
     sizes per round (the query side is NOT assumed driver-sized), candidate
-    rows never duplicate (annulus ∖ seen), and driver memory is O(1).
+    rows never duplicate (single-cover rings), and driver memory is O(1).
     Returns (q_id, {id_col}, dist_km, rank), rank ∈ [1, k] ties by id asc;
     queries in regions with < k points return what exists once the whole
     grid is provably searched. Raises if max_rounds is exhausted with
@@ -361,45 +410,13 @@ def knn_join_df(
     rk = int(min(n, max(2, math.ceil(2.0 * math.sqrt(k / max(density, 1e-12))))))
 
     cell_h, cell_w = 180.0 / n, 360.0 / n
-    seen = spark.createDataFrame([], "q_id LONG, cell BIGINT")
     acc: DataFrame | None = None
     pending = state.count()
-
-    def annulus_cells(st: DataFrame, rk_hi: int) -> DataFrame:
-        """(q_id, q_lon, q_lat, cell) for every grid cell with Chebyshev
-        distance in (prev_rk, rk_hi] of each query's cell — frame edges only,
-        pure JVM (explode radii → explode frame offsets → wrap/clamp)."""
-        frame_sql = """
-        CASE WHEN r = 0 THEN array(named_struct('dx', 0, 'dy', 0))
-        ELSE concat(
-          transform(sequence(-r, r), dx -> named_struct('dx', dx, 'dy', -r)),
-          transform(sequence(-r, r), dx -> named_struct('dx', dx, 'dy', r)),
-          transform(sequence(1 - r, r - 1), dy -> named_struct('dx', -r, 'dy', dy)),
-          transform(sequence(1 - r, r - 1), dy -> named_struct('dx', r, 'dy', dy))
-        ) END"""
-        radii = st.select(
-            "q_id", "q_lon", "q_lat", "_ix", "_iy",
-            F.expr(f"explode(sequence(prev_rk + 1, {rk_hi}))").alias("r"),
-        )
-        offs = radii.select(
-            "q_id", "q_lon", "q_lat", "_ix", "_iy",
-            F.expr(f"explode({frame_sql})").alias("o"),
-        )
-        return (
-            offs.withColumn("_ny", F.expr("_iy + o.dy"))
-            .filter(f"_ny >= 0 AND _ny < {n}")
-            .select(
-                "q_id", "q_lon", "q_lat",
-                F.expr(f"_ny * {n} + pmod(_ix + o.dx, {n})").alias("cell"),
-            )
-            # mod-wrap inside one annulus can repeat a cell (2r+1 > width)
-            .dropDuplicates(["q_id", "cell"])
-        )
 
     for _ in range(max_rounds):
         if pending == 0:
             break
-        cells = annulus_cells(state, rk).join(seen, ["q_id", "cell"], "left_anti")
+        cells = _annulus_cells_df(state, rk, n)
         cand = pts.join(cells, "cell").select(
             "q_id", "nn_id",
             haversine_km_expr(
@@ -410,7 +427,6 @@ def knn_join_df(
         # lazy localCheckpoint: lineage stays flat; materialization rides the
         # stats job below — one pass over the new candidates per round
         acc = acc.localCheckpoint(eager=False)
-        seen = seen.unionByName(cells.select("q_id", "cell")).localCheckpoint(eager=False)
 
         w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
         stats = (
@@ -448,6 +464,11 @@ def knn_join_df(
         )
         pending = state.count()
         rk = min(rk * 4, n)
+        # once the next ring would wrap the grid in x anyway, the remaining
+        # exits are the y-edge whole-grid terminators — jump straight to the
+        # full radius instead of paying an extra almost-full round
+        if 2 * rk + 1 >= n:
+            rk = n
 
     if pending:
         raise RuntimeError(

@@ -650,7 +650,11 @@ def minhash_dups(spark, sf_dir):
     caches: list = []
     out = minhash_lsh_pairs(t(spark, sf_dir, "documents"), 0.2, caches=caches)
     out = out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r"))
-    out = out.localCheckpoint(eager=True)
+    # repartition(1): the pair list is tiny — checkpointing 64 near-empty
+    # partitions costs a visible scheduling round, while coalesce(1) would
+    # COLLAPSE the verification stage into one task; the explicit shuffle
+    # boundary keeps upstream parallelism and lands one small partition
+    out = out.repartition(1).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out.orderBy("id_a", "id_b")
@@ -767,7 +771,7 @@ def curation_keep_list(spark, sf_dir):
         F.col("node").alias("doc_id")
     )
     out = survivors.join(drops, "doc_id", "left_anti").select("doc_id")
-    out = out.localCheckpoint(eager=True)
+    out = out.repartition(1).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out.orderBy("doc_id")
@@ -1629,7 +1633,7 @@ def embedding_cosine_dups_lsh(spark, sf_dir):
     out = cosine_dup_pairs_lsh(
         e, 0.4, n_tables=8, n_planes=8, seed=7, dim=64, caches=caches
     ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine_r"))
-    out = out.localCheckpoint(eager=True)
+    out = out.repartition(1).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
     return out.orderBy("id_a", "id_b")

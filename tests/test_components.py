@@ -11,9 +11,9 @@ from erased_cells_spark.operators.components import (
 )
 
 
-def run(spark, edges):
+def run(spark, edges, threshold=100_000):
     df = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
-    out = connected_components(df, "id_a", "id_b")
+    out = connected_components(df, "id_a", "id_b", driver_threshold=threshold)
     return {r.node: r.component for r in out.collect()}
 
 
@@ -28,12 +28,17 @@ class TestConnectedComponents:
         got = run(spark, edges)
         want = connected_components_np(edges)
         assert got == want
+        # the DISTRIBUTED pointer-jumping path must agree (threshold=0
+        # forces it; the default takes the small-graph driver path)
+        assert run(spark, edges, threshold=0) == want
 
     def test_long_chain_needs_multiple_rounds(self, spark):
         # a 40-node chain: label 0 must propagate the whole way (diameter
-        # stress for the iterative min-label loop, converges via doubling)
+        # stress for the iterative min-label loop, converges via doubling);
+        # threshold=0 forces the distributed path — the driver fast path
+        # would trivialize this test
         edges = [(i, i + 1) for i in range(40)]
-        got = run(spark, edges)
+        got = run(spark, edges, threshold=0)
         assert set(got.values()) == {0}
         assert len(got) == 41
 
@@ -46,6 +51,7 @@ class TestConnectedComponents:
         want = connected_components_np(edges)
         assert got == want
         assert got[2000] == 1000 and got[103] == 100
+        assert run(spark, edges, threshold=0) == want  # distributed path too
 
     def test_polygonize_hand_built_grid(self, spark):
         """Raster→vector on a hand-built 8×8 grid (res 3): an L-shaped
@@ -99,4 +105,4 @@ class TestConnectedComponents:
         under-merged labeling is the one wrong answer dedup can't detect."""
         df = spark.createDataFrame([(1, 2), (2, 3)], "id_a LONG, id_b LONG")
         with pytest.raises(RuntimeError, match="no fixpoint"):
-            connected_components(df, "id_a", "id_b", max_iter=1)
+            connected_components(df, "id_a", "id_b", max_iter=1, driver_threshold=0)

@@ -92,6 +92,59 @@ class TestKnnJoinDf:
         assert out.count() == 0
         assert set(out.columns) == {"q_id", "nn_id", "dist_km", "rank"}
 
+    def test_annulus_single_cover_matches_ring_keys(self, spark):
+        """The JVM annulus generator must emit every cell of the
+        (prev_rk, rk] annulus EXACTLY ONCE at its true wrap-aware radius —
+        no dupes even when rings wrap the antimeridian (the r = n/2 column
+        for even n) or clamp at the poles — and unioned over a round
+        schedule it must equal the driver generator's coverage."""
+        from pyspark.sql import functions as F
+
+        from erased_cells_spark.operators.cells_expr import ix_expr, iy_expr
+        from erased_cells_spark.operators.knn import _annulus_cells_df, _query_ring_keys
+
+        res = 4  # n=16: rings wrap fast
+        n = 1 << res
+        cases = [(0, 10.0, 0.0), (1, 179.0, 84.0), (2, -170.0, -80.0), (3, 0.0, 50.0)]
+        st = spark.createDataFrame(cases, "q_id LONG, q_lon DOUBLE, q_lat DOUBLE")
+
+        def df_annulus(prev_rk: int, rk: int) -> dict[int, set]:
+            s = st.withColumns(
+                {
+                    "_ix": ix_expr(F.col("q_lon"), res),
+                    "_iy": iy_expr(F.col("q_lat"), res),
+                    "prev_rk": F.lit(prev_rk),
+                }
+            )
+            got = [
+                (r.q_id, r.cell)
+                for r in _annulus_cells_df(s, rk, n).select("q_id", "cell").collect()
+            ]
+            assert len(got) == len(set(got)), f"dupes within annulus ({prev_rk}, {rk}]"
+            by_q: dict[int, set] = {}
+            for qid, c in got:
+                by_q.setdefault(qid, set()).add(c)
+            return by_q
+
+        # cumulative coverage over a round schedule == the driver generator's
+        # coverage (the driver emits wrapped cells at their unwrapped offset
+        # radius and dedups via seen arrays; the DF generator emits each cell
+        # once at its TRUE radius — sets must agree cumulatively)
+        schedule = [(-1, 2), (2, 8), (8, 16)]
+        cum: dict[int, set] = {qid: set() for qid, *_ in cases}
+        for prev_rk, rk in schedule:
+            ann = df_annulus(prev_rk, rk)
+            for qid, cells in ann.items():
+                assert not (cum[qid] & cells), f"cross-round dupes at ({prev_rk}, {rk}]"
+                cum[qid] |= cells
+            for qid, lon, lat in cases:
+                want = set(_query_ring_keys(lon, lat, res, -1, rk).tolist())
+                assert cum[qid] == want, (qid, prev_rk, rk)
+        # one-shot full ring == the same coverage
+        full = df_annulus(-1, 16)
+        for qid, lon, lat in cases:
+            assert full[qid] == cum[qid], qid
+
     def test_jobs_do_not_scale_with_query_count(self, spark, pts, pts_local):
         """The driver loop is over ROUNDS: 8× more queries must not run more
         Spark jobs per round (a per-query driver loop would). Jobs may differ
