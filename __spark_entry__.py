@@ -3,7 +3,7 @@
 entry(spark)     — flagship pipeline smoke on sf0.001.
 queries()        — every implemented operator (SURVEY.md §2 Part B + the
                    training-data ops) as (spark, sf_dir) → DataFrame.
-oracle_sql()     — a DuckDB twin for EVERY query (41/41 in round 3,
+oracle_sql()     — a DuckDB twin for EVERY query (44/44 in round 4,
                    green at sf0.001/sf0.01/sf0.1):
                    winding-number PIP as an edge-crossing VALUES query,
                    simhash as md5 signature algebra in SQL, IVF with
