@@ -43,6 +43,9 @@ HEADLINE = [
     "knn_join_docs",
     "pip_large_zone_counts",
     "snapshot_pruned_scan",
+    "decontam_eval_overlap",
+    "doc_gopher_quality",
+    "q6_forecast_revenue",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -189,9 +189,15 @@ def pip_join_df(
             out.append(polygon_cover_keys(ring, res).tolist())
         return pd.Series(out)
 
+    # MULTI-RING polygons (holes): several rows may share a poly_id — an
+    # outer CCW ring plus CW interior rings. The winding sum below runs over
+    # ALL the polygon's edges, so a CW hole contributes −1 and cancels the
+    # outer +1 (the nonzero-winding rule handles holes for free); the cover
+    # must be DISTINCT per (poly, cell) or a point covered by two rings
+    # would double its candidate row and double every edge contribution.
     cells = polygons.select(
         F.col(poly_id_col), F.explode(cover_udf(F.col(ring_col))).alias("cell")
-    )
+    ).dropDuplicates([poly_id_col, "cell"])
     edges = polygons.select(
         F.col(poly_id_col),
         F.expr(

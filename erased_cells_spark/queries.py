@@ -185,6 +185,115 @@ def q5(spark, sf_dir):
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))::DOUBLE, 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 (verbatim — the columns all exist): pure scan-side predicate
+    + one global DECIMAL(38,6) sum. The plan must be a single pruned
+    FileScan with every predicate pushed — the canonical pushdown probe."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")).cast(
+                "double"
+            ),
+            4,
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS → LeftSemi): orders in a half-year window
+    with at least one RETURNED lineitem, counted per priority. (The
+    reference schema has no l_commitdate/l_receiptdate, so the classic
+    late-delivery predicate becomes the returnflag probe — the join/agg
+    shape, a semi join that must NOT duplicate orders with many matching
+    items, is what the query exercises.)"""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_customers",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+           AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_customers(spark, sf_dir):
+    """TPC-H Q10: top-20 customers by lost (returned) revenue in a quarter —
+    fact-to-fact join reduced by broadcast dims, ranked BY THE ROUNDED
+    revenue (cross-engine float discipline: never rank by raw doubles)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
     "q9_profit_by_nation_type",
     oracle="""
 SELECT n_name, p_type,
@@ -819,6 +928,101 @@ def snapshot_pruned_scan(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
         .orderBy("source")
     )
+
+
+# Eval-set decontamination: flag training docs sharing a 13-gram with the
+# eval corpus (src0 plays the benchmark). Spark hashes grams (xxhash64,
+# collision-free at corpus scale); the oracle compares the STRINGS — the
+# same hash≡string convention the Jaccard oracles established.
+_DECONTAM_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, source, w, unnest(generate_series(1, len(w) - 12)) AS i
+        FROM toks WHERE len(w) >= 13),
+sh AS (SELECT DISTINCT doc_id, source,
+              array_to_string(list_slice(w, i, i + 12), ' ') AS g FROM idx),
+ev AS (SELECT DISTINCT g FROM sh WHERE source = 'src0')
+SELECT sh.doc_id AS train_id, count(*) AS n_hits
+FROM sh JOIN ev USING (g)
+WHERE source != 'src0'
+GROUP BY 1 ORDER BY train_id
+"""
+
+
+@query("decontam_eval_overlap", oracle=_DECONTAM_SQL)
+def decontam_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination over the documents table: src0 is the
+    held-out eval corpus, everything else is training data; output = the
+    training docs that would leak eval 13-grams, with overlap counts. The
+    eval gram set is the broadcast-small side; the training side costs one
+    explode + broadcast join + combinable count (no Python)."""
+    from erased_cells_spark.operators.decontam import ngram_overlap_flags
+
+    d = t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("source") == "src0")
+    tr = d.filter(F.col("source") != "src0")
+    return ngram_overlap_flags(tr, ev, n=13).orderBy("train_id")
+
+
+# Gopher/C4-style repetition + shape quality rules: per-doc word stats →
+# dup-word fraction, top-word share, mean word length, and a composite
+# keep flag. Integer sums + one division → float-exact across engines.
+_GOPHER_SQL = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+per AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_words, count(*) AS n_distinct,
+         max(c) AS max_c, sum(length(w) * c)::DOUBLE / sum(c)::DOUBLE AS mean_wlen
+  FROM wc GROUP BY 1
+)
+SELECT doc_id, n_words,
+       round(1.0 - n_distinct::DOUBLE / n_words::DOUBLE, 6) AS dup_word_frac_r,
+       round(max_c::DOUBLE / n_words::DOUBLE, 6) AS top_word_share_r,
+       round(mean_wlen, 6) AS mean_wlen_r,
+       (n_words >= 20
+        AND 1.0 - n_distinct::DOUBLE / n_words::DOUBLE < 0.55
+        AND max_c::DOUBLE / n_words::DOUBLE < 0.10
+        AND mean_wlen >= 3.0 AND mean_wlen <= 8.0) AS keep
+FROM per ORDER BY doc_id
+"""
+
+
+@query("doc_gopher_quality", oracle=_GOPHER_SQL)
+def doc_gopher_quality(spark, sf_dir):
+    """Repetition-based quality filtering (the Gopher/C4 rule family): word
+    count bounds, duplicate-word fraction, most-frequent-word share, mean
+    word length, and the composite keep decision — one explode + two
+    map-side-combinable aggregations, pure JVM. The keep thresholds are
+    applied to the RAW ratios (exact rationals — identical doubles on both
+    engines); the reported metrics are rounded for the value-hash."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        (
+            F.sum(F.length("w") * F.col("c")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("mean_wlen"),
+    )
+    dup_frac = 1.0 - F.col("n_distinct").cast("double") / F.col("n_words").cast("double")
+    top_share = F.col("max_c").cast("double") / F.col("n_words").cast("double")
+    keep = (
+        (F.col("n_words") >= 20)
+        & (dup_frac < 0.55)
+        & (top_share < 0.10)
+        & (F.col("mean_wlen") >= 3.0)
+        & (F.col("mean_wlen") <= 8.0)
+    )
+    return per.select(
+        "doc_id",
+        "n_words",
+        F.round(dup_frac, 6).alias("dup_word_frac_r"),
+        F.round(top_share, 6).alias("top_word_share_r"),
+        F.round("mean_wlen", 6).alias("mean_wlen_r"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
 
 
 # SimHash oracle: the md5-based word hash makes the whole signature pipeline

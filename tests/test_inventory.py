@@ -26,6 +26,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.operators.components",
     "erased_cells_spark.operators.interval",
     "erased_cells_spark.operators.dedup",
+    "erased_cells_spark.operators.decontam",
     "erased_cells_spark.operators.similarity",
     "erased_cells_spark.operators.knn",
     "erased_cells_spark.operators.pip",
@@ -73,6 +74,7 @@ ALLOWED_UNREGISTERED = {
     "asof_join_np": "pytest oracle twin",
     "interval_join_np": "pytest oracle twin",
     "connected_components_np": "pytest oracle twin (union-find)",
+    "ngram_overlap_np": "pytest oracle twin (decontamination)",
     "media_features_np": "oracle twin (expected rows inlined into SQL)",
     "extract_text_bytes": "local byte-identity twin of extract_text",
     "synthetic_media_rows": "fixture rows shared by operator and oracle",

@@ -73,6 +73,29 @@ class TestPipJoinDf:
         # the ONLY Python is the Arrow-batched cover UDF on the polygon side
         assert p.count("ArrowEvalPython") == 1
 
+    def test_multi_ring_polygon_with_hole(self, spark):
+        """A polygon with a HOLE = two rows sharing a poly_id: CCW outer ring
+        + CW inner ring. The JVM winding sum over all the polygon's edges
+        must report points in the hole as outside (wn = +1 − 1 = 0) and the
+        deduped cover must not double-count points covered by both rings."""
+        outer = [[0.0, 0.0], [20.0, 0.0], [20.0, 20.0], [0.0, 20.0], [0.0, 0.0]]
+        hole = [[5.0, 5.0], [5.0, 15.0], [15.0, 15.0], [15.0, 5.0], [5.0, 5.0]]  # CW
+        polys = spark.createDataFrame(
+            [(1, outer), (1, hole)], "poly_id INT, ring ARRAY<ARRAY<DOUBLE>>"
+        )
+        pts = spark.createDataFrame(
+            [
+                (0, 2.0, 2.0),     # in outer, outside hole  -> inside
+                (1, 10.0, 10.0),   # in hole                 -> outside
+                (2, 25.0, 10.0),   # outside outer           -> outside
+                (3, 16.0, 10.0),   # between hole and outer  -> inside
+                (4, 5.5, 14.5),    # just inside hole corner -> outside
+            ],
+            "pid LONG, lon DOUBLE, lat DOUBLE",
+        )
+        got = {r.pid for r in pip_join_df(pts, polys, id_col="pid").collect()}
+        assert got == {0, 3}
+
     def test_open_ring_fails_loudly(self, spark, pts):
         bad = spark.createDataFrame(
             [(0, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])], "poly_id INT, ring ARRAY<ARRAY<DOUBLE>>"
