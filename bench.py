@@ -46,6 +46,7 @@ HEADLINE = [
     "decontam_eval_overlap",
     "doc_gopher_quality",
     "q6_forecast_revenue",
+    "ann_self_topk_embeddings",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -240,6 +240,53 @@ def ivf_ann_topk(
 
 
 # ------------------------------------------------------------------ PQ ANN --
+def train_pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    seed: int = 11,
+    max_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd/KMeans codebooks (M, K, dsub) for product
+    quantization, trained on the same LAYOUT-INDEPENDENT bounded sample as
+    train_ivf_centroids (hash-filter + deterministic top-cap by id) — two
+    trainings on the same data produce identical codebooks regardless of
+    partitioning. Codebooks are model state: at 100 TB you train on a
+    bounded sample and broadcast the (M·K·dsub) floats."""
+    s = emb.select(id_col, vec_col)
+    n_total = emb.count()
+    if n_total > IVF_TRAIN_CAP:
+        frac = min(1.0, (IVF_TRAIN_CAP * 1.2) / n_total)
+        bound = int(frac * 1_000_000)
+        s = s.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000)) < bound
+        )
+    rows = s.orderBy(id_col).limit(IVF_TRAIN_CAP).collect()
+    sample = np.vstack([np.asarray(r[1], np.float64) for r in rows])
+    dim = sample.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"train_pq_codebooks: dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    subs = sample.reshape(len(sample), m_sub, dsub)
+    rng = np.random.default_rng(seed)
+    cbs = []
+    for m in range(m_sub):
+        x = subs[:, m, :]
+        k = min(n_codes, len(x))
+        cent = x[rng.choice(len(x), size=k, replace=False)]
+        for _ in range(max_iter):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                sel = assign == c
+                if sel.any():
+                    cent[c] = x[sel].mean(0)
+        cbs.append(cent)
+    return np.stack(cbs)
+
+
 def pq_encode_udf(codebooks: np.ndarray):
     """codes per vector under product quantization: codebooks is (M, K, dsub)
     — M subspaces, K centroids each. argmin ties resolve to the lowest code
@@ -260,7 +307,7 @@ def pq_encode_udf(codebooks: np.ndarray):
 def pq_ann_topk(
     emb: DataFrame,
     queries: DataFrame,
-    codebooks: np.ndarray,
+    codebooks: np.ndarray | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -275,7 +322,11 @@ def pq_ann_topk(
     zip_with(codes, lut) → element_at → sum. One scan of the code table per
     query batch, no Python in the scoring path — the memory-bound scale
     path when the vector payload itself is the bottleneck (IVF/LSH cut
-    candidates; PQ cuts BYTES)."""
+    candidates; PQ cuts BYTES). `codebooks=None` trains them with
+    train_pq_codebooks (reproducible, layout-free); pass them explicitly
+    for an oracle-reproducible fixed-codebook index."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(emb, id_col=id_col, vec_col=vec_col)
     cb = np.asarray(codebooks, dtype=np.float64)
     m_sub, n_codes, dsub = cb.shape
     spark = emb.sparkSession
@@ -315,6 +366,76 @@ def pq_ann_np(vecs: np.ndarray, ids, q_vecs: np.ndarray, q_ids, codebooks: np.nd
         order = sorted(range(len(ids)), key=lambda i: (adist[i], ids[i]))[:k]
         out.extend((q_id, ids[i], r + 1) for r, i in enumerate(order))
     return out
+
+
+def ann_lsh_self_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    caches: list | None = None,
+) -> DataFrame:
+    """ANN SELF-kNN JOIN: top-k nearest neighbors for EVERY vector — the
+    vector-space analog of knn_join_df ("k most similar corpus docs for
+    each training example"), where cosine_topk's broadcast-query contract
+    cannot hold because the query side IS the corpus. Multi-table sign-LSH
+    buckets generate DIRECTED candidate pairs (a ≠ b, same bucket in ≥1
+    table), vectors re-attach by id, exact cosine reranks inside the
+    candidate set. Vectors whose buckets contain fewer than k others
+    return fewer rows (the LSH recall envelope — the oracle computes the
+    identical candidate set, so correctness is exact BY CONSTRUCTION
+    while recall is workload-dependent, proven in pytest).
+
+    Scale: the self-join carries (id, table, bucket) triples only; the
+    rerank touches |candidates| rows; WindowGroupLimit prunes the top-k
+    map-side. Cache lifetime caller-owned via `caches` (see
+    minhash_lsh_pairs)."""
+    planes = np.stack([_hyperplanes(dim, n_planes, seed * 1000 + t) for t in range(n_tables)])
+    flat = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sigs_udf(vec: pd.Series) -> pd.Series:
+        m = np.vstack(vec.to_numpy())
+        signs = (m @ flat.T) > 0
+        sigs = signs.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.Series(list(sigs))
+
+    e = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = e.select(
+        "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
+    ).cache()
+    if caches is not None:
+        caches.append(tables)
+    a, b = tables.alias("a"), tables.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("q_id"), F.col("b.id").alias("nn_id"))
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("q_id"), F.col("v").cast("array<double>").alias("va"))
+    vb = e.select(F.col("id").alias("nn_id"), F.col("v").cast("array<double>").alias("vb"))
+    scored = (
+        cand.join(va, "q_id")
+        .join(vb, "nn_id")
+        .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+        .orderBy("q_id", "rank")
+    )
 
 
 # ---------------------------------------------------- cosine near-dup pairs --

@@ -1843,6 +1843,65 @@ def embedding_cosine_dups_lsh(spark, sf_dir):
     return out.orderBy("id_a", "id_b")
 
 
+def _ann_self_topk_oracle_sql(k: int = 5, n_tables: int = 8, n_planes: int = 8) -> str:
+    """DuckDB twin of ann_lsh_self_topk: IDENTICAL literal hyperplanes and
+    bucket arithmetic, directed candidate pairs, exact cosine rerank,
+    row_number top-k — the candidate sets match by construction, so the
+    comparison is exact (recall is a property of the shared index)."""
+    from erased_cells_spark.operators.similarity import _hyperplanes
+
+    def bucket(planes) -> str:
+        terms = []
+        for i in range(n_planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in planes[i]) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(v, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    tables = "\n  UNION ALL ".join(
+        f"SELECT id, {t} AS tbl, {bucket(_hyperplanes(64, n_planes, 7 * 1000 + t))} AS bucket FROM e"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+tb AS (
+  {tables}
+),
+cand AS (
+  SELECT DISTINCT a.id AS q_id, b.id AS nn_id
+  FROM tb a JOIN tb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id != b.id
+),
+p AS (
+  SELECT c.q_id, c.nn_id, list_cosine_similarity(ea.v, eb.v) AS cos
+  FROM cand c JOIN e ea ON ea.id = c.q_id JOIN e eb ON eb.id = c.nn_id
+)
+SELECT q_id, nn_id, rnk, round(cos, 6) AS cosine_r FROM (
+  SELECT q_id, nn_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  FROM p
+) WHERE rnk <= {k} ORDER BY q_id, rnk
+"""
+
+
+@query("ann_self_topk_embeddings", oracle=_ann_self_topk_oracle_sql())
+def ann_self_topk_embeddings(spark, sf_dir):
+    """Self-kNN JOIN over the whole embedding table: top-5 neighbors for
+    EVERY vector via multi-table sign-LSH candidates + exact rerank — the
+    shape cosine_topk's broadcast-query contract cannot absorb (the query
+    side IS the corpus). Bucketed self-join carries (id, tbl, bucket) only."""
+    from erased_cells_spark.operators.similarity import ann_lsh_self_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    caches: list = []
+    out = ann_lsh_self_topk(
+        e, k=5, n_tables=8, n_planes=8, seed=7, dim=64, caches=caches
+    ).select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"), "cosine_r")
+    out = out.repartition(1).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("q_id", "rnk")
+
+
 # IVF oracle: centroids are DATA-DERIVED (the embeddings of vec_id 100..115),
 # so both engines index from the same 16 vectors with no training step —
 # assign each vector to its nearest centroid (ties → lowest list), probe the

@@ -187,6 +187,26 @@ class TestSimilarity:
         assert planted <= lsh  # LSH recalls every planted near-dup
         assert lsh <= exact  # verification keeps precision exact
 
+    def test_ann_self_topk_planted_neighbors(self, spark):
+        """Self-kNN join: planted near-identical pairs must rank each other
+        first (same-bucket w.h.p. at θ→0), and the plan must stay a hash
+        self-join — no NLJ, no broadcast of the vector table."""
+        from erased_cells_spark.operators.similarity import ann_lsh_self_topk
+
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal((60, 64)).astype(np.float32)
+        rows = [(i, base[i].tolist()) for i in range(60)]
+        # plants: 100+i ≈ i (tiny perturbation)
+        for i in range(8):
+            rows.append((100 + i, (base[i] + 0.001 * rng.standard_normal(64)).astype(np.float32).tolist()))
+        emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+        out = ann_lsh_self_topk(emb, k=3)
+        top1 = {r.q_id: r.nn_id for r in out.collect() if r.rank == 1}
+        for i in range(8):
+            assert top1[100 + i] == i and top1[i] == 100 + i
+        p = ann_lsh_self_topk(emb, k=3)._jdf.queryExecution().sparkPlan().toString()
+        assert "NestedLoop" not in p and "CartesianProduct" not in p
+
     def test_ivf_training_is_reproducible(self, spark, emb):
         """ADVICE r2: trained-mode centroids must be identical run-to-run
         (the old unordered limit().collect() sample was nondeterministic)."""
@@ -208,6 +228,20 @@ class TestSimilarity:
         b = similarity.train_ivf_centroids(emb.repartition(7), n_lists=8, seed=11)
         c = similarity.train_ivf_centroids(emb.coalesce(1), n_lists=8, seed=11)
         assert np.array_equal(a, b) and np.array_equal(a, c)
+
+    def test_pq_training_reproducible_and_layout_free(self, spark, emb, monkeypatch):
+        """train_pq_codebooks: identical codebooks run-to-run AND across
+        partitionings (same hash-filter sampling contract as IVF), and a
+        trained-mode pq_ann_topk run completes with rank-1 self-matches."""
+        from erased_cells_spark.operators import similarity
+
+        monkeypatch.setattr(similarity, "IVF_TRAIN_CAP", 50)
+        a = similarity.train_pq_codebooks(emb, m_sub=8, n_codes=8, seed=11)
+        b = similarity.train_pq_codebooks(emb.repartition(5), m_sub=8, n_codes=8, seed=11)
+        assert a.shape == (8, 8, 8) and np.array_equal(a, b)
+        q = emb.filter("vec_id < 4").selectExpr("vec_id AS q_id", "embedding AS q_vec")
+        out = similarity.pq_ann_topk(emb, q, codebooks=a, k=3).collect()
+        assert {r.q_id for r in out} == {0, 1, 2, 3}
 
     def test_pq_ann_matches_adc_twin(self, spark, emb, emb_pd):
         """PQ/ADC top-k must equal the brute-force asymmetric-distance twin
