@@ -47,6 +47,7 @@ HEADLINE = [
     "doc_gopher_quality",
     "q6_forecast_revenue",
     "ann_self_topk_embeddings",
+    "incremental_cell_rollup",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -1401,6 +1401,69 @@ def multires_cell_rollup(spark, sf_dir):
     )
 
 
+# Incremental rollup maintenance: a snapshot table holds per-cell doc
+# counts; batch 1 (even doc_ids) lands via write_partitions, batch 2 (odd)
+# arrives as a DELTA that upserts new totals via copy-on-write MERGE — the
+# materialized-view-maintenance pattern (only partitions holding touched
+# cells rewrite). The oracle recomputes the aggregate from scratch: the
+# incrementally-maintained table must equal the full recompute exactly.
+_INCR_ROLLUP_SQL = f"""
+WITH pts AS ({_DOC_PTS_SQL})
+SELECT {CE.sql_cell_key('lon', 'lat', 6)} AS cell, count(*) AS n_docs
+FROM pts GROUP BY 1 ORDER BY cell
+"""
+
+
+@query("incremental_cell_rollup", oracle=_INCR_ROLLUP_SQL)
+def incremental_cell_rollup(spark, sf_dir):
+    """Merge-maintained per-cell doc counts: write even-doc counts as the
+    base snapshot, then MERGE the odd-doc delta as new per-cell totals
+    (old + delta for touched cells, inserts for new cells) — the final
+    table must equal a from-scratch aggregate over ALL docs (the oracle).
+    At 100 TB this is how a rollup stays fresh: each ingest batch rewrites
+    only the partitions whose cells it touched."""
+    import hashlib
+
+    from erased_cells_spark.sources.snapshot import SnapshotTable
+
+    res = 6
+    tag = hashlib.md5(
+        f"incr:{os.path.abspath(sf_dir)}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
+    tbl = SnapshotTable(f"/tmp/erased_cells_snap/{tag}")
+    if not tbl.current_manifest()["partitions"]:
+        p = _doc_points(spark, sf_dir).withColumn(
+            "cell", CE.cell_key_expr(F.col("lon"), F.col("lat"), res)
+        )
+        base = (
+            p.filter(F.col("doc_id") % 2 == 0)
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_docs"))
+            .withColumn("bucket", F.pmod(F.col("cell"), F.lit(4)))
+        )
+        tbl.write_partitions(base, "bucket", [0, 1, 2, 3])
+        delta = (
+            p.filter(F.col("doc_id") % 2 == 1)
+            .groupBy("cell")
+            .agg(F.count("*").alias("d"))
+        )
+        cur = tbl.read(spark).select("cell", F.col("n_docs").alias("old_n"))
+        upd = (
+            delta.join(cur, "cell", "left")
+            .select(
+                "cell",
+                (F.col("d") + F.coalesce(F.col("old_n"), F.lit(0))).alias("n_docs"),
+                F.pmod(F.col("cell"), F.lit(4)).alias("bucket"),
+            )
+        )
+        tbl.merge(spark, upd, key_col="cell", lineage_col="bucket")
+    return (
+        tbl.read(spark)
+        .select("cell", "n_docs")
+        .orderBy("cell")
+    )
+
+
 # Polygonize oracle: same lit-cell grid, same 4-connectivity edges (right +
 # down, reversed for the undirected walk), components via the recursive
 # reachability CTE — the raster→vector inverse of rasterize_points.
