@@ -48,6 +48,7 @@ HEADLINE = [
     "q6_forecast_revenue",
     "ann_self_topk_embeddings",
     "incremental_cell_rollup",
+    "raster_focal_mean",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -187,6 +187,55 @@ def zonal_stats(
     )
 
 
+def focal_mean(
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+) -> DataFrame:
+    """FOCAL (3×3 neighborhood) mean over a sparse cell grid — the raster
+    map-algebra smoothing op (GDAL focal statistics): for every lit cell,
+    the mean of the values of the ≤9 LIT cells in its Moore neighborhood
+    (sparse convention: absent cells don't contribute zeros — matching
+    zonal_stats' masked-cell convention).
+
+    Pure JVM: each lit cell EXPLODES its 9 neighbor target offsets
+    (lon wraps, lat rows clamp — same grid conventions as cell_key_expr)
+    and a groupBy on the target cell folds sum/count; one shuffle of
+    (cell, value) pairs ×9 — the classic halo-exchange cost, with no tile
+    state and no Python. Returns (cell, focal_mean, n_neighbors) for lit
+    cells only."""
+    n = 1 << res
+    src = cells.select(F.col(cell_col).alias("c"), F.col(value_col).alias("v"))
+    # ix/iy of the source cell; targets = (iy+dy in bounds) × wrap(ix+dx)
+    contrib = (
+        src.withColumn("iy", F.expr(f"c div {n}"))
+        .withColumn("ix", F.expr(f"c % {n}"))
+        .withColumn("o", F.expr(
+            "explode(flatten(transform(sequence(-1, 1), dy -> "
+            "transform(sequence(-1, 1), dx -> named_struct('dx', dx, 'dy', dy)))))"
+        ))
+        .withColumn("ny", F.expr("iy + o.dy"))
+        .filter(f"ny >= 0 AND ny < {n}")
+        .select(F.expr(f"ny * {n} + pmod(ix + o.dx, {n})").alias("tgt"), "v")
+    )
+    agg = contrib.groupBy("tgt").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n_neighbors")
+    )
+    # only LIT cells appear in the output (the sparse-raster convention)
+    return (
+        cells.select(F.col(cell_col).alias("tgt"))
+        .join(agg, "tgt")
+        .select(
+            F.col("tgt").alias(cell_col),
+            (F.col("s").cast("double") / F.col("n_neighbors").cast("double")).alias(
+                "focal_mean"
+            ),
+            "n_neighbors",
+        )
+    )
+
+
 def polygonize_regions(
     cells: DataFrame,
     res: int,

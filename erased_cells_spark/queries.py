@@ -1464,6 +1464,48 @@ def incremental_cell_rollup(spark, sf_dir):
     )
 
 
+# Focal (3×3) mean over the lit-cell doc-count grid — raster map algebra's
+# smoothing op, sparse convention (absent cells contribute nothing). The
+# oracle replays the identical neighbor-offset explode in SQL.
+_FOCAL_SQL = f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 6)} AS cell, count(*) AS n FROM pts GROUP BY 1
+),
+offs AS (SELECT dy, dx FROM (SELECT unnest(generate_series(-1, 1)) AS dy),
+                            (SELECT unnest(generate_series(-1, 1)) AS dx)),
+contrib AS (
+  SELECT ((cell // 64) + dy) * 64 + (((cell % 64) + dx) % 64 + 64) % 64 AS tgt, n
+  FROM cells, offs
+  WHERE (cell // 64) + dy >= 0 AND (cell // 64) + dy < 64
+),
+agg AS (SELECT tgt, sum(n)::BIGINT AS s, count(*) AS nn FROM contrib GROUP BY 1)
+SELECT c.cell, round(s::DOUBLE / nn::DOUBLE, 6) AS focal_mean_r, nn AS n_neighbors
+FROM cells c JOIN agg ON agg.tgt = c.cell
+ORDER BY c.cell
+"""
+
+
+@query("raster_focal_mean", oracle=_FOCAL_SQL)
+def raster_focal_mean(spark, sf_dir):
+    """Focal 3×3 mean of the per-cell doc counts (res 6): each lit cell
+    explodes its 9 neighbor targets (lon wraps, lat clamps), one groupBy
+    folds sum/count — the halo-exchange shuffle is (cell, value) × 9, pure
+    JVM, no tile state."""
+    from erased_cells_spark.operators.raster import focal_mean
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    out = focal_mean(cells, res=6)
+    return out.select(
+        "cell", F.round("focal_mean", 6).alias("focal_mean_r"), "n_neighbors"
+    ).orderBy("cell")
+
+
 # Polygonize oracle: same lit-cell grid, same 4-connectivity edges (right +
 # down, reversed for the undirected walk), components via the recursive
 # reachability CTE — the raster→vector inverse of rasterize_points.

@@ -53,6 +53,29 @@ class TestConnectedComponents:
         assert got[2000] == 1000 and got[103] == 100
         assert run(spark, edges, threshold=0) == want  # distributed path too
 
+    def test_focal_mean_hand_built_grid(self, spark):
+        """Focal 3×3 mean on a hand-built sparse 8×8 grid (res 3): interior
+        neighborhoods, x-WRAP across the antimeridian, lat-edge clamp, and
+        the sparse convention (absent cells contribute nothing)."""
+        from erased_cells_spark.operators.raster import focal_mean
+
+        n = 8
+        def key(ix, iy):
+            return iy * n + ix
+
+        lit = {key(1, 1): 10, key(2, 1): 20, key(1, 2): 30,  # L-cluster
+               key(0, 5): 4, key(7, 5): 8,                   # wrap pair (x=0 / x=7)
+               key(4, 0): 6}                                  # lat edge
+        cells = spark.createDataFrame(list(lit.items()), "cell LONG, n LONG")
+        got = {r.cell: (r.focal_mean, r.n_neighbors) for r in focal_mean(cells, res=3).collect()}
+        assert set(got) == set(lit)  # lit cells only
+        assert got[key(1, 1)] == (20.0, 3)          # itself + (2,1) + (1,2)
+        assert got[key(2, 1)] == (20.0, 3)          # itself + (1,1) + (1,2)
+        assert got[key(1, 2)] == (20.0, 3)
+        assert got[key(0, 5)] == (6.0, 2)           # wraps to reach (7,5)
+        assert got[key(7, 5)] == (6.0, 2)
+        assert got[key(4, 0)] == (6.0, 1)           # clamped row, isolated
+
     def test_polygonize_hand_built_grid(self, spark):
         """Raster→vector on a hand-built 8×8 grid (res 3): an L-shaped
         region, a 2-cell bar, a singleton, and a DIAGONAL pair that must NOT

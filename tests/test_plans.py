@@ -89,6 +89,24 @@ class TestPlanShapes:
         df = SPARK_QUERIES["doc_stats"](spark, SF_DIR)
         assert "Python" not in plan_of(df)
 
+    def test_q6_all_predicates_pushed_schema_pruned(self, spark):
+        """q6 is the canonical pushdown probe: every filter must reach the
+        parquet scan and the ReadSchema must carry only the needed columns
+        (a scan reading all 11 lineitem columns for a 4-column query is
+        wrong)."""
+        df = SPARK_QUERIES["q6_forecast_revenue"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "PushedFilters: [" in p
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert p.count(col) >= 1
+        rs = p[p.index("ReadSchema:"):].splitlines()[0]
+        assert "l_extendedprice" in rs and "l_returnflag" not in rs and "l_orderkey" not in rs
+
+    def test_focal_mean_is_pure_builtin(self, spark):
+        df = SPARK_QUERIES["raster_focal_mean"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "Python" not in p and "CartesianProduct" not in p
+
     def test_radius_join_has_no_cartesian(self, spark):
         df = SPARK_QUERIES["radius_join_docs"](spark, SF_DIR)
         p = plan_of(df)
