@@ -34,11 +34,15 @@ def ngram_overlap_flags(
     n-grams (shingles are per-doc distinct). Docs shorter than n words can
     never be flagged (no n-grams — same convention as the dedup family).
     The keep-list is `train.join(flags, on=id, how='left_anti')`."""
+    from erased_cells_spark.operators.dedup import _spread
+
     ev = (
         eval_df.select(F.explode(shingles_expr(F.col(text_col), n)).alias("g"))
         .distinct()
     )
-    tr = train.select(
+    # _spread: a small parquet train table arrives as 1 split and would
+    # serialize the gram explode on one core
+    tr = _spread(train).select(
         F.col(id_col).alias("train_id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("g"),
     )

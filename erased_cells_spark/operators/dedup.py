@@ -63,19 +63,38 @@ def _spread(docs: DataFrame) -> DataFrame:
     return docs
 
 
-def shingles_expr(text: Column, n: int = SHINGLE_N) -> Column:
+def shingles_expr(text: Column, n: int = SHINGLE_N, bound: bool = True) -> Column:
     """Distinct xxhash64 hashes of word n-gram shingles — pure JVM builtin
-    expression (whole-stage codegen, no Python worker). Docs shorter than n
-    words get an EMPTY shingle set, the same convention as the SQL oracle's
-    `len(w) >= n` filter (they participate in no Jaccard pairs)."""
-    w = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.xxhash64(F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+    expression (no Python worker). Docs shorter than n words get an EMPTY
+    shingle set, the same convention as the SQL oracle's `len(w) >= n`
+    filter (they participate in no Jaccard pairs).
+
+    BOUND EVALUATION (r4, measured 9× at n=3 / 14× at n=13): the token
+    array is bound as a LAMBDA VARIABLE via transform(array(split(...)),
+    w -> ...), so the split runs once per row. Referencing the split
+    expression directly inside the gram lambda looks identical but
+    re-evaluates the split per (position × k) — higher-order functions
+    evaluate interpreted, with no common-subexpression elimination across
+    the lambda boundary.
+
+    `bound=False` restores the inline (slow) form: required when the
+    result feeds a pandas UDF inside a STATEFUL STREAMING plan — there the
+    projection collapse puts the outer HOF wrapper into the Python UDF's
+    argument and Spark fails to extract the UDF ([INTERNAL_ERROR] Cannot
+    evaluate expression: minhash_udf(transform(...))); batch plans extract
+    it fine."""
+    def from_tokens(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.xxhash64(F.concat_ws(" ", *[F.get(w, i + k) for k in range(n)])),
+        )
+        return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    if not bound:
+        return from_tokens(F.split(text, " "))
+    return F.get(F.transform(F.array(F.split(text, " ")), from_tokens), 0)
 
 
 def shingle_set(text: str, n: int = SHINGLE_N) -> set:

@@ -102,10 +102,13 @@ def band_verdicts_stream(
     (doc, band) saying whether the doc is the bucket's claimer. Docs too
     short to shingle (< n words) produce no bands and therefore no verdicts
     — compose `keep_list_batch`-style downstream logic accordingly."""
+    # bound=False: the stateful-streaming plan collapses projections into
+    # the minhash UDF's argument, and Spark cannot extract a Python UDF
+    # whose input carries the bound-HOF wrapper (see shingles_expr)
     sig = stream.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
-        shingles_expr(F.col(text_col)).alias("shs"),
+        shingles_expr(F.col(text_col), bound=False).alias("shs"),
     ).filter(F.size("shs") > 0)
     r = N_HASHES // LSH_BANDS
     # signature materialized ONCE per doc (a minhash_udf call inside the
@@ -190,10 +193,13 @@ def keep_list_batch(
     time (the replay test feeds files in ts order)."""
     from pyspark.sql import Window
 
+    # bound=False for the same reason as the stream side: without a cache
+    # boundary the projection collapses the bound-HOF shingles into the
+    # minhash UDF's argument and UDF extraction fails
     sig = docs.select(
         F.col(id_col).alias("id"),
         F.col(ts_col).alias("ts"),
-        shingles_expr(F.col(text_col)).alias("shs"),
+        shingles_expr(F.col(text_col), bound=False).alias("shs"),
     ).filter(F.size("shs") > 0)
     r = N_HASHES // LSH_BANDS
     # signature materialized ONCE per doc (a minhash_udf call inside the
