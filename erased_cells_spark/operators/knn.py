@@ -354,6 +354,7 @@ def knn_join_df(
     q_lat_col: str = "q_lat",
     max_rounds: int = 16,
     points_count: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """DataFrame-native kNN JOIN: k nearest points for EACH row of a query
     DATAFRAME — the shape `knn_join` cannot scale to ("k nearest corpus docs
@@ -383,7 +384,18 @@ def knn_join_df(
     Returns (q_id, {id_col}, dist_km, rank), rank ∈ [1, k] ties by id asc;
     queries in regions with < k points return what exists once the whole
     grid is provably searched. Raises if max_rounds is exhausted with
-    pending queries (fail-loud, like connected_components)."""
+    pending queries (fail-loud, like connected_components).
+
+    checkpoint_dir: the same frontier protocol as knn_join — per-round
+    candidate DELTAS + the pending-state DataFrame hit parquet, then an
+    atomic manifest rename commits the round; a restarted call with the
+    same dir resumes from the last committed round (north rule:
+    "checkpoints ... join frontiers ... for resumability"). Unlike
+    knn_join, the persisted frontier state IS a DataFrame — no driver-side
+    per-query structures exist to rebuild."""
+    import json
+    import os
+    import uuid
     spark = points.sparkSession
     n = 1 << res
     pts = points.select(
@@ -411,9 +423,25 @@ def knn_join_df(
 
     cell_h, cell_w = 180.0 / n, 360.0 / n
     acc: DataFrame | None = None
+    round_no = 0
+
+    # ---- frontier resume ---------------------------------------------------
+    if checkpoint_dir and os.path.exists(os.path.join(checkpoint_dir, "CURRENT")):
+        with open(os.path.join(checkpoint_dir, "CURRENT")) as f:
+            last = int(f.read().strip())
+        with open(os.path.join(checkpoint_dir, f"frontier-{last:04d}.json")) as f:
+            meta = json.load(f)
+        rk, round_no = int(meta["rk"]), int(meta["round"])
+        state = spark.read.parquet(os.path.join(checkpoint_dir, f"state-{last:04d}"))
+        deltas = [
+            os.path.join(checkpoint_dir, f"candidates-{i:04d}") for i in range(1, last + 1)
+        ]
+        if deltas:
+            acc = spark.read.parquet(*deltas).localCheckpoint(eager=True)
+
     pending = state.count()
 
-    for _ in range(max_rounds):
+    while round_no < max_rounds:
         if pending == 0:
             break
         cells = _annulus_cells_df(state, rk, n)
@@ -423,6 +451,13 @@ def knn_join_df(
                 F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
             ).alias("dist_km"),
         )
+        if checkpoint_dir:
+            # delta checkpoint: only this round's NEW candidates hit disk;
+            # the read-back doubles as the round's materialization
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            delta_dir = os.path.join(checkpoint_dir, f"candidates-{round_no + 1:04d}")
+            cand.write.mode("overwrite").parquet(delta_dir)
+            cand = spark.read.parquet(delta_dir)
         acc = cand if acc is None else acc.unionByName(cand)
         # lazy localCheckpoint: lineage stays flat; materialization rides the
         # stats job below — one pass over the new candidates per round
@@ -469,6 +504,21 @@ def knn_join_df(
         # full radius instead of paying an extra almost-full round
         if 2 * rk + 1 >= n:
             rk = n
+        round_no += 1
+
+        # ---- frontier commit (data first, manifest rename last) -----------
+        if checkpoint_dir:
+            state_dir = os.path.join(checkpoint_dir, f"state-{round_no:04d}")
+            state.write.mode("overwrite").parquet(state_dir)
+            state = spark.read.parquet(state_dir)
+            tmp = os.path.join(checkpoint_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                json.dump({"round": round_no, "rk": rk}, f)
+            os.rename(tmp, os.path.join(checkpoint_dir, f"frontier-{round_no:04d}.json"))
+            cur_tmp = os.path.join(checkpoint_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(str(round_no))
+            os.rename(cur_tmp, os.path.join(checkpoint_dir, "CURRENT"))
 
     if pending:
         raise RuntimeError(

