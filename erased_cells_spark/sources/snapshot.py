@@ -32,6 +32,13 @@ from pyspark.sql.functions import count as F_count
 from pyspark.sql.functions import lit as F_lit
 
 
+class CommitConflictError(RuntimeError):
+    """Another committer claimed the snapshot id first (optimistic
+    concurrency). Appends retry internally; replace-style operations
+    (rollback/compact/merge/delete) surface this — re-run them against the
+    fresh table state."""
+
+
 def _footer_stats(files: list[str]) -> dict:
     """Per-column [min, max] ZONE MAP for a partition, straight from the
     parquet row-group footers (pure metadata — no data pass). A column gets
@@ -173,14 +180,41 @@ class SnapshotTable:
     def committed_lineage(self) -> set[str]:
         return set(self.current_manifest()["partitions"].keys())
 
-    def _commit(self, new_partitions: dict) -> int:
-        parent = self.current_manifest()
-        return self._commit_state({**parent["partitions"], **new_partitions})
+    def _commit(self, new_partitions: dict, max_retries: int = 5) -> int:
+        """APPEND commit: merge `new_partitions` over the current state.
+        Safe under concurrent committers — on a snapshot-id collision the
+        parent is re-read and the merge retried (optimistic concurrency;
+        an append by definition composes with whatever won the race)."""
+        for _ in range(max_retries):
+            parent = self.current_manifest()
+            try:
+                return self._commit_state(
+                    {**parent["partitions"], **new_partitions},
+                    _expected_parent=parent["snapshot_id"],
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(
+            f"append to {self.path} lost the commit race {max_retries} times"
+        )
 
-    def _commit_state(self, partitions: dict, **extra) -> int:
+    def _commit_state(
+        self, partitions: dict, _expected_parent: int | None = None, **extra
+    ) -> int:
         """Commit a manifest whose partition map is EXACTLY `partitions`
-        (append merges via _commit; rollback/compact replace the state)."""
+        (append merges via _commit; rollback/compact/merge/delete REPLACE
+        the state). The manifest file is claimed with an atomic
+        link-if-absent: two concurrent committers that both read parent N
+        cannot both own snapshot N+1 — the loser gets CommitConflictError.
+        Replace-style callers must NOT blindly retry (their rewrite was
+        computed against a stale state) — they surface the conflict; the
+        append path retries safely in _commit."""
         parent = self.current_manifest()
+        if _expected_parent is not None and parent["snapshot_id"] != _expected_parent:
+            raise CommitConflictError(
+                f"snapshot advanced {_expected_parent} → {parent['snapshot_id']} "
+                "during commit preparation"
+            )
         sid = parent["snapshot_id"] + 1
         manifest = {
             "snapshot_id": sid,
@@ -194,7 +228,19 @@ class SnapshotTable:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, self._manifest_path(sid))  # atomic
+        try:
+            # link(2) fails with EEXIST if another committer claimed this
+            # snapshot id — unlike rename, which would silently REPLACE the
+            # winner's manifest (a lost commit)
+            os.link(tmp, self._manifest_path(sid))
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"snapshot {sid} at {self.path} was committed concurrently"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         cur_tmp = os.path.join(self.path, f"CURRENT.tmp-{uuid.uuid4().hex}")
         with open(cur_tmp, "w") as f:
             f.write(str(sid))

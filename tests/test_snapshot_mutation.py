@@ -137,6 +137,65 @@ class TestDeleteWhere:
         assert table.read(spark, snapshot_id=sid0).filter("doc_id = 7").count() == 1
 
 
+class TestCommitConcurrency:
+    def test_concurrent_manifest_claim_raises_not_overwrites(self, spark, table):
+        """Two committers that both read parent N must NOT both own N+1 —
+        the link-if-absent claim makes the loser raise instead of silently
+        replacing the winner's manifest (a lost commit)."""
+        from erased_cells_spark.sources.snapshot import CommitConflictError
+
+        write_base(spark, table)
+        sid = table.metrics()["snapshot_id"]
+        other = SnapshotTable(table.path)  # a second driver handle
+        other._commit_state(dict(other.current_manifest()["partitions"]), operation="noop")
+        # the first handle prepared against parent `sid` — the world moved on
+        with pytest.raises(CommitConflictError, match="advanced"):
+            table._commit_state(
+                dict(table.current_manifest()["partitions"]),
+                _expected_parent=sid,
+                operation="stale",
+            )
+        # winner's commit intact
+        assert table.metrics()["snapshot_id"] == sid + 1
+
+    def test_append_retries_through_a_lost_race(self, spark, table):
+        """The append path re-reads the parent and retries on conflict — a
+        stale first read (simulating a concurrent winner) must still land
+        the append, merged over the fresh state."""
+        write_base(spark, table)
+        fresh = table.current_manifest()
+        stale = {**fresh, "snapshot_id": fresh["snapshot_id"] - 1}
+        calls = {"n": 0}
+        orig = table.current_manifest
+
+        def flaky():
+            calls["n"] += 1
+            return stale if calls["n"] == 1 else orig()
+
+        table.current_manifest = flaky  # first read stale, then fresh
+        sid = table._commit({"extra": {"lineage": "extra", "path": "data/none",
+                                       "rows": 0, "bytes": 0, "n_files": 0}})
+        table.current_manifest = orig
+        assert sid == fresh["snapshot_id"] + 1
+        assert "extra" in table.current_manifest()["partitions"]
+        assert calls["n"] >= 2  # the retry actually happened
+
+    def test_orphaned_manifest_fails_loudly_not_silently(self, spark, table):
+        """A crashed committer's orphaned manifest (linked but CURRENT never
+        advanced) blocks the id — appends must raise after retries, never
+        overwrite or silently skip."""
+        import json as _json
+
+        from erased_cells_spark.sources.snapshot import CommitConflictError
+
+        write_base(spark, table)
+        sid = table.metrics()["snapshot_id"]
+        with open(table._manifest_path(sid + 1), "w") as f:
+            _json.dump({"snapshot_id": sid + 1, "parent": sid, "partitions": {}}, f)
+        with pytest.raises(CommitConflictError, match="lost the commit race"):
+            table._commit({})
+
+
 class TestZoneMaps:
     def test_stats_recorded_at_write(self, spark, table):
         write_base(spark, table)
