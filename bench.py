@@ -49,6 +49,7 @@ HEADLINE = [
     "ann_self_topk_embeddings",
     "incremental_cell_rollup",
     "raster_focal_mean",
+    "zone_geometry_stats",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

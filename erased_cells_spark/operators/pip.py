@@ -232,6 +232,54 @@ def pip_join_df(
     )
 
 
+def polygon_stats_df(
+    polygons: DataFrame, poly_id_col: str = "poly_id", ring_col: str = "ring"
+) -> DataFrame:
+    """VECTOR geometry aggregates over a polygon DATAFRAME: planar shoelace
+    area and area-weighted centroid per polygon — (poly_id, area, cx, cy).
+    Pure JVM: rings explode to edges (same expression as pip_join_df), one
+    groupBy folds the shoelace terms. Multi-ring polygons compose: a CW
+    hole contributes negative signed area, so area and centroid come out
+    hole-aware for free. Degenerate (zero-area) polygons return NULL
+    centroids rather than dividing by zero.
+
+    Planar (equirectangular lon/lat) convention — documented, matched
+    exactly by the SQL oracle. FLOAT DETERMINISM: each ring's shoelace is a
+    SEQUENTIAL index-order fold inside one array expression (Spark
+    `aggregate` ≡ DuckDB `list_reduce`), never an unordered SUM over edge
+    rows — a 4-term double sum in engine-chosen order would differ in the
+    last ulp and can straddle any rounding boundary. Single-ring polygons
+    therefore need NO shuffle at all (one narrow projection + the trivial
+    one-row-per-key agg); only multi-ring polygons sum across ring rows."""
+    r = ring_col
+
+    def fold(term: str) -> str:
+        return (
+            f"aggregate(sequence(0, size({r}) - 2), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + ({term}))"
+        )
+
+    cross = f"({r}[i][0] * {r}[i + 1][1] - {r}[i + 1][0] * {r}[i][1])"
+    per_ring = polygons.select(
+        F.col(poly_id_col),
+        F.expr(fold(cross)).alias("_sa2"),  # 2 × signed area
+        F.expr(fold(f"({r}[i][0] + {r}[i + 1][0]) * {cross}")).alias("_cx6"),
+        F.expr(fold(f"({r}[i][1] + {r}[i + 1][1]) * {cross}")).alias("_cy6"),
+    )
+    g = per_ring.groupBy(poly_id_col).agg(
+        (F.sum("_sa2") / 2.0).alias("_sa"),
+        F.sum("_cx6").alias("_cx6"),
+        F.sum("_cy6").alias("_cy6"),
+    )
+    nz = F.col("_sa") != 0.0
+    return g.select(
+        poly_id_col,
+        F.abs(F.col("_sa")).alias("area"),
+        F.when(nz, F.col("_cx6") / (6.0 * F.col("_sa"))).alias("cx"),
+        F.when(nz, F.col("_cy6") / (6.0 * F.col("_sa"))).alias("cy"),
+    )
+
+
 def pip_join_np(lon: np.ndarray, lat: np.ndarray, polygons: list[dict]) -> list[tuple[int, int]]:
     """Brute-force oracle: ALL (point_idx, poly_id) containment pairs."""
     out = []

@@ -1634,17 +1634,11 @@ SELECT poly_id, count(*) AS n_docs FROM w2 WHERE wn != 0 GROUP BY poly_id ORDER 
 """
 
 
-@query("pip_large_zone_counts", oracle=_LARGE_PIP_SQL)
-def pip_large_zone_counts(spark, sf_dir):
-    """Docs-per-zone over a 10k-polygon cadastre via pip_join_df — the scale
-    path where pip_join's closure-shipped rings + broadcast cover would cap
-    out. Polygons are a DataFrame built in-plan (JVM md5 geocode, diamond
-    rings as array columns); only the per-POLYGON cover runs through Python
-    (Arrow-batched), the per-point path is builtin-only."""
-    from erased_cells_spark.operators.pip import pip_join_df
-
+def _large_polys(spark):
+    """The 10k in-plan diamond cadastre (shared by the large-PIP and
+    geometry-stats queries; the SQL oracles derive the identical rings)."""
     key = F.concat(F.lit("poly-"), F.col("id").cast("string"))
-    polys = spark.range(_N_LARGE_POLYS).select(
+    return spark.range(_N_LARGE_POLYS).select(
         F.col("id").cast("int").alias("poly_id"),
         geocode_lon(key).alias("cx"),
         geocode_lat(key).alias("cy"),
@@ -1657,6 +1651,18 @@ def pip_large_zone_counts(spark, sf_dir):
             "array(cx, cy - h), array(cx + w, cy))"
         ).alias("ring"),
     )
+
+
+@query("pip_large_zone_counts", oracle=_LARGE_PIP_SQL)
+def pip_large_zone_counts(spark, sf_dir):
+    """Docs-per-zone over a 10k-polygon cadastre via pip_join_df — the scale
+    path where pip_join's closure-shipped rings + broadcast cover would cap
+    out. Polygons are a DataFrame built in-plan (JVM md5 geocode, diamond
+    rings as array columns); only the per-POLYGON cover runs through Python
+    (Arrow-batched), the per-point path is builtin-only."""
+    from erased_cells_spark.operators.pip import pip_join_df
+
+    polys = _large_polys(spark)
     p = _doc_points(spark, sf_dir)
     return (
         pip_join_df(p, polys, id_col="doc_id")
@@ -1664,6 +1670,63 @@ def pip_large_zone_counts(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("poly_id")
     )
+
+
+# Vector geometry aggregates over the same 10k in-plan diamonds: planar
+# shoelace area + area-weighted centroid. Both engines fold each ring's
+# terms SEQUENTIALLY in index order (Spark `aggregate` ≡ DuckDB
+# `list_reduce`) — an unordered SUM over edge rows would differ in the
+# last ulp and could straddle the rounding boundary.
+_GEOM_CROSS = "(r[i][1] * r[i + 1][2] - r[i + 1][1] * r[i][2])::DOUBLE"
+_GEOM_SQL = f"""
+WITH ks AS (SELECT unnest(generate_series(0, {_N_LARGE_POLYS - 1})) AS k),
+poly AS (
+  SELECT k AS poly_id,
+         {sql_lon("('poly-' || k::VARCHAR)")} AS cx,
+         {sql_lat("('poly-' || k::VARCHAR)")} AS cy,
+         0.2::DOUBLE + (k % 7)::DOUBLE * 0.1::DOUBLE AS w,
+         0.15::DOUBLE + (k % 5)::DOUBLE * 0.1::DOUBLE AS h
+  FROM ks
+),
+rings AS (
+  SELECT poly_id,
+         [[cx + w, cy], [cx, cy + h], [cx - w, cy], [cx, cy - h], [cx + w, cy]] AS r
+  FROM poly
+),
+f AS (
+  SELECT poly_id,
+    list_reduce([{_GEOM_CROSS} FOR i IN generate_series(1, len(r) - 1)],
+                (a, b) -> a + b) AS sa2,
+    list_reduce([((r[i][1] + r[i + 1][1]) * {_GEOM_CROSS})::DOUBLE
+                 FOR i IN generate_series(1, len(r) - 1)], (a, b) -> a + b) AS cx6,
+    list_reduce([((r[i][2] + r[i + 1][2]) * {_GEOM_CROSS})::DOUBLE
+                 FOR i IN generate_series(1, len(r) - 1)], (a, b) -> a + b) AS cy6
+  FROM rings
+)
+SELECT poly_id,
+       round(abs(sa2 / 2.0), 6) AS area_r,
+       round(cx6 / (6.0 * (sa2 / 2.0)), 6) AS cx_r,
+       round(cy6 / (6.0 * (sa2 / 2.0)), 6) AS cy_r
+FROM f ORDER BY poly_id
+"""
+
+
+@query("zone_geometry_stats", oracle=_GEOM_SQL)
+def zone_geometry_stats(spark, sf_dir):
+    """VECTOR geometry aggregates for the 10k-diamond cadastre: shoelace
+    area + centroid per polygon, computed shuffle-free (one narrow
+    projection folds each ring's terms in index order + a one-row-per-key
+    agg). Completes the vector side of the raster↔vector pair with actual
+    geometry analytics, hole-aware for multi-ring polygons."""
+    from erased_cells_spark.operators.pip import polygon_stats_df
+
+    out = polygon_stats_df(_large_polys(spark))
+    return out.select(
+        "poly_id",
+        F.round("area", 6).alias("area_r"),
+        F.round("cx", 6).alias("cx_r"),
+        F.round("cy", 6).alias("cy_r"),
+    ).orderBy("poly_id")
 
 
 @query(

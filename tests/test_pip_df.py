@@ -96,6 +96,30 @@ class TestPipJoinDf:
         got = {r.pid for r in pip_join_df(pts, polys, id_col="pid").collect()}
         assert got == {0, 3}
 
+    def test_polygon_stats_analytic(self, spark):
+        """Shoelace area/centroid against closed forms: a diamond has area
+        2wh and centroid at its center; a square with a CW hole subtracts
+        the hole's area and its centroid shifts away from the hole."""
+        from erased_cells_spark.operators.pip import polygon_stats_df
+
+        cx, cy, w, h = 10.0, -5.0, 2.0, 1.5
+        diamond = [[cx + w, cy], [cx, cy + h], [cx - w, cy], [cx, cy - h], [cx + w, cy]]
+        outer = [[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]  # CCW
+        hole = [[6.0, 4.0], [6.0, 6.0], [8.0, 6.0], [8.0, 4.0], [6.0, 4.0]]  # CW
+        degenerate = [[1.0, 1.0], [2.0, 2.0], [3.0, 3.0], [1.0, 1.0]]  # zero area
+        polys = spark.createDataFrame(
+            [(1, diamond), (2, outer), (2, hole), (3, degenerate)],
+            "poly_id INT, ring ARRAY<ARRAY<DOUBLE>>",
+        )
+        got = {r.poly_id: r for r in polygon_stats_df(polys).collect()}
+        assert got[1].area == pytest.approx(2 * w * h)
+        assert got[1].cx == pytest.approx(cx) and got[1].cy == pytest.approx(cy)
+        assert got[2].area == pytest.approx(100.0 - 4.0)  # hole subtracts
+        # centroid shifts away from the hole (hole sits at x≈7, y≈5)
+        assert got[2].cx == pytest.approx((5.0 * 100 - 7.0 * 4) / 96.0)
+        assert got[2].cy == pytest.approx((5.0 * 100 - 5.0 * 4) / 96.0)
+        assert got[3].area == 0.0 and got[3].cx is None and got[3].cy is None
+
     def test_open_ring_fails_loudly(self, spark, pts):
         bad = spark.createDataFrame(
             [(0, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])], "poly_id INT, ring ARRAY<ARRAY<DOUBLE>>"
