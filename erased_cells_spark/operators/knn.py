@@ -405,6 +405,26 @@ def knn_join_df(
         cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
     ).cache()
 
+    # fail-loud input contract, one tiny agg job: duplicate q_ids would
+    # silently MERGE two queries' ring state and mix their rankings; NULL
+    # ids/coordinates would hang a query until the max_rounds raise
+    chk = queries.agg(
+        F.count("*").alias("n"),
+        F.count(q_id_col).alias("n_id"),
+        F.countDistinct(q_id_col).alias("n_dist"),
+        F.count(q_lon_col).alias("n_lon"),
+        F.count(q_lat_col).alias("n_lat"),
+    ).collect()[0]
+    if chk.n_id < chk.n or chk.n_lon < chk.n or chk.n_lat < chk.n:
+        raise ValueError(
+            f"knn_join_df: queries contain NULLs ({chk.n - chk.n_id} ids, "
+            f"{chk.n - chk.n_lon} lons, {chk.n - chk.n_lat} lats of {chk.n} rows)"
+        )
+    if chk.n_dist < chk.n_id:
+        raise ValueError(
+            f"knn_join_df: {chk.n_id - chk.n_dist} duplicate {q_id_col} values — "
+            "per-query ring state is keyed by q_id; de-duplicate the query side"
+        )
     state = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.col(q_lon_col).cast("double").alias("q_lon"),

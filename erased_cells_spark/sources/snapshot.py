@@ -525,6 +525,15 @@ class SnapshotTable:
             n_upd = upd.count()
             if n_upd == 0:
                 return sid
+            chk = upd.agg(
+                F_count("*").alias("n"), F_count(key_col).alias("n_key")
+            ).collect()[0]
+            if chk.n_key < chk.n:
+                raise ValueError(
+                    f"merge: {chk.n - chk.n_key} NULL {key_col} values in updates — "
+                    "a NULL key matches nothing in the anti-join and would land "
+                    "as an unmatchable orphan row"
+                )
             dups = (
                 upd.groupBy(key_col).count().filter("count > 1").limit(1).count()
             )

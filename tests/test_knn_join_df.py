@@ -86,6 +86,20 @@ class TestKnnJoinDf:
         r1 = {r.q_id: r.nn_id for r in rows if r.rank == 1}
         assert r1[0] in ("a", "b")
 
+    def test_duplicate_and_null_queries_raise(self, spark, pts):
+        """Silent-wrongness guards: duplicate q_ids would merge two queries'
+        ring state; NULL ids/coords would hang to the max_rounds raise."""
+        dup = spark.createDataFrame(
+            [(1, 0.0, 0.0), (1, 10.0, 10.0)], "q_id LONG, q_lon DOUBLE, q_lat DOUBLE"
+        )
+        with pytest.raises(ValueError, match="duplicate"):
+            knn_join_df(pts, dup, k=3, res=5)
+        nulls = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, None, 10.0)], "q_id LONG, q_lon DOUBLE, q_lat DOUBLE"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            knn_join_df(pts, nulls, k=3, res=5)
+
     def test_empty_query_side(self, spark, pts):
         qdf = spark.createDataFrame([], "q_id LONG, q_lon DOUBLE, q_lat DOUBLE")
         out = knn_join_df(pts, qdf, k=5, res=7)

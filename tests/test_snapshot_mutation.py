@@ -78,6 +78,14 @@ class TestMerge:
         man = table.current_manifest()["partitions"]
         assert man["0"]["rows"] == 99 and man["2"]["rows"] == 101
 
+    def test_null_update_keys_raise(self, spark, table):
+        write_base(spark, table)
+        upd = spark.createDataFrame(
+            [(None, 0, "x")], "doc_id LONG, bucket LONG, val STRING"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+
     def test_duplicate_update_keys_raise(self, spark, table):
         write_base(spark, table)
         upd = spark.createDataFrame(
