@@ -294,6 +294,104 @@ def q10_returned_customers(spark, sf_dir):
 
 
 @query(
+    "q7_nation_volume",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(strftime(l.l_shipdate, '%Y') AS BIGINT) AS l_year,
+       round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+           AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name != cn.n_name
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation shipping volume by year — the two-role
+    dimension join (nation joined TWICE, as supplier's and customer's) over
+    a fact-to-fact lineitem ⋈ orders spine, dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2") & F.col(
+        "cust_nation"
+    ).isin("NATION_1", "NATION_2")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair & (F.col("supp_nation") != F.col("cust_nation")))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.round(F.sum(rev).cast("double"), 4).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+SELECT round(
+         100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))
+                           ELSE CAST(0 AS DECIMAL(38,6)) END)::DOUBLE
+         / sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 6)
+           AS promo_share,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+""",
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14: promo revenue share — conditional DECIMAL sums in one
+    pass over a month's lineitems with the part dim broadcast; the ratio is
+    ONE double division of two order-independent decimal sums."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(38,6)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
     "q9_profit_by_nation_type",
     oracle="""
 SELECT n_name, p_type,
