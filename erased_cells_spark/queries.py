@@ -1827,6 +1827,69 @@ def zone_geometry_stats(spark, sf_dir):
     ).orderBy("poly_id")
 
 
+# Funnel analysis (product analytics): per user, the FIRST view, the first
+# signup after it, the first purchase after that — strict event-time order,
+# each step within 2 hours of the previous. Min-over-filtered-self-join
+# shape on both engines; per-user firsts make the funnel deterministic.
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s AS (
+  SELECT e.user_id, min(e.ts) AS s_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'signup' AND e.ts > v.v_ts
+    AND e.ts <= v.v_ts + INTERVAL 2 HOUR
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.s_ts
+    AND e.ts <= s.s_ts + INTERVAL 2 HOUR
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_viewed,
+       (SELECT count(*) FROM s) AS n_signed,
+       (SELECT count(*) FROM p) AS n_purchased
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_SQL)
+def events_funnel(spark, sf_dir):
+    """Three-step event funnel (view → signup → purchase, each step within
+    2 h of the previous, strict order): per-user firsts via groupBy(min),
+    each stage narrows by an equi-join on user_id — at scale three
+    shuffles on user_id with monotonically shrinking sides, no window over
+    the whole event stream, no theta join."""
+    e = t(spark, sf_dir, "events")
+    step = F.expr("INTERVAL 2 HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("v_ts")) & (F.col("ts") <= F.col("v_ts") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter((F.col("ts") > F.col("s_ts")) & (F.col("ts") <= F.col("s_ts") + step))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(s.agg(F.count("*").alias("n_signed")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased")))
+    )
+
+
 @query(
     "events_value_percentiles",
     oracle="""
