@@ -1,0 +1,81 @@
+"""Hot-bucket guard for the LSH family's bucket self-joins.
+
+Every LSH-style candidate generator in this repo (MinHash bands, SimHash
+16-bit blocks, sign-LSH tables for embeddings) follows the same shape: a
+narrow (id, key..., bucket) table self-joined on the bucket key. That join
+emits O(m²) rows for a bucket holding m ids — and on real web corpora a
+single boilerplate template or near-empty page class routinely puts 10⁵–10⁷
+documents into ONE band bucket, which no skew-split can make cheap because
+the *output itself* is quadratic. This is the #1 operational failure of
+MinHash dedup at crawl scale (the DataTrove / BigQuery-MinHash pipelines all
+ship a bucket cap for exactly this reason).
+
+`salt_hot_buckets` bounds the blowup with a sub-split: one cheap count per
+bucket key over the (already cached) triples, then ids inside any bucket
+larger than `cap` are deterministically salted into ceil(m/cap) sub-buckets
+(salt = xxhash64(id) mod nsplits; identical on both join sides, so the
+self-join stays an equi-join). Candidates are then generated within
+(key..., salt), so a degenerate bucket of m rows emits O(m·cap) candidate
+rows instead of O(m²) — the bound the guard's pytest proves with a planted
+degenerate bucket.
+
+Semantics: healthy buckets (≤ cap — every bucket at the test scale factors)
+get salt 0 on both sides and behave exactly as before, so all existing
+oracles are unchanged. Inside an oversized bucket the sub-split trades
+recall for boundedness: a pair whose two ids land in different sub-buckets
+is not generated *by that bucket* — but in the multi-band / multi-table
+schemes used here a genuine near-dup pair collides in several independent
+buckets, so it gets ~1/nsplits · n_tables chances, and byte-identical
+floods (the classic degenerate case) are caught wholesale by the exact
+dedup path (md5 groupBy) regardless. Oversized buckets are additionally
+*reported* (not silently eaten): pass `report=[]` to receive a DataFrame of
+(key..., bucket_n, nsplits) for metrics/alerting, the cap+report convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Per-bucket cardinality cap before sub-splitting. At cap=1024 the worst
+# bucket contributes ≤ 1024·m candidate rows (linear in m), while every
+# bucket at sf0.001–0.1 stays far below the cap (guard provably inactive on
+# the oracle fixtures — asserted in tests/test_bucket_guard.py).
+LSH_BUCKET_CAP = 1024
+
+
+def salt_hot_buckets(
+    triples: DataFrame,
+    keys: list[str],
+    id_col: str = "id",
+    cap: int = LSH_BUCKET_CAP,
+    report: list | None = None,
+) -> DataFrame:
+    """Append a `salt` column bounding per-(keys) group size to ~cap.
+
+    `triples` SHOULD be cached by the caller (it is scanned once for the
+    bucket counts and once for the output join). Buckets with ≤ cap ids get
+    salt 0 (via a broadcast left join against the — tiny — hot-bucket list,
+    usually empty); buckets with m > cap ids are split into ceil(m/cap)
+    deterministic sub-buckets. Join the result to itself on
+    keys + ["salt"] instead of keys alone.
+    """
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+    counts = triples.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_n"))
+    hot = counts.filter(F.col("bucket_n") > cap).withColumn(
+        "nsplits", F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
+    )
+    if report is not None:
+        report.append(hot)
+    return (
+        triples.join(F.broadcast(hot.select(*keys, "nsplits")), keys, "left")
+        .withColumn(
+            "salt",
+            F.coalesce(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("nsplits")).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .drop("nsplits")
+    )

@@ -33,6 +33,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from erased_cells_spark.functions.text import doc_fingerprint
+from erased_cells_spark.operators.buckets import LSH_BUCKET_CAP, salt_hot_buckets
 from erased_cells_spark.sources.pages import splitmix64
 
 # ------------------------------------------------------------------- exact --
@@ -192,6 +193,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     caches: list | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    hot_report: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidates → exact-Jaccard verification: precision is
     exact (every output pair is verified), recall is the LSH s-curve — with
@@ -238,15 +241,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     ).cache()
+    # hot-bucket guard (see buckets.py): one boilerplate template putting m
+    # docs in a band bucket would make the self-join below emit m² rows —
+    # salt oversized buckets so the worst case is O(m·cap). Inactive
+    # (salt≡0) on healthy corpora; `guarded` is cached because it feeds both
+    # sides of the self-join.
+    guarded = salt_hot_buckets(
+        bands, ["band", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
+    ).cache()
     if caches is not None:
-        caches.extend([sh, bands])
-    a = bands.alias("a")
-    b = bands.alias("b")
+        caches.extend([sh, bands, guarded])
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -356,12 +368,24 @@ def simhash_np(text: str) -> int:
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    caches: list | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    hot_report: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming distance ≤ max_hamming (≤ 3).
     Block index: 4×16-bit chunks of the 63-bit signature — by pigeonhole any
     pair within hamming 3 shares ≥1 exact chunk, so the bucket join has FULL
-    recall only for max_hamming ≤ 3 (asserted)."""
+    recall only for max_hamming ≤ 3 (asserted).
+
+    Hot-block guard: the expected block population is N/2¹⁶ — at 10⁹ docs
+    that is ~15k docs per (chunk, val) even WITHOUT boilerplate skew, so the
+    block self-join is salted via buckets.salt_hot_buckets (O(m·cap) worst
+    case, see buckets.py). The guarded block table is cached (it feeds both
+    join sides); pass `caches=[]` to own the unpersist."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: the 4-block index guarantees recall only for ≤ 3"
@@ -380,12 +404,18 @@ def simhash_pairs(
             ])
         ).alias("cb"),
     ).select("id", "sim", "cb.chunk", "cb.val")
-    a, b = blocks.alias("a"), blocks.alias("b")
+    guarded = salt_hot_buckets(
+        blocks, ["chunk", "val"], id_col="id", cap=bucket_cap, report=hot_report
+    ).cache()
+    if caches is not None:
+        caches.append(guarded)
+    a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

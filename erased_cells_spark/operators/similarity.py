@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegerType, LongType
 
+from erased_cells_spark.operators.buckets import LSH_BUCKET_CAP, salt_hot_buckets
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
@@ -378,6 +380,8 @@ def ann_lsh_self_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     caches: list | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    hot_report: list | None = None,
 ) -> DataFrame:
     """ANN SELF-kNN JOIN: top-k nearest neighbors for EVERY vector — the
     vector-space analog of knn_join_df ("k most similar corpus docs for
@@ -409,14 +413,22 @@ def ann_lsh_self_topk(
     tables = e.select(
         "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
     ).cache()
+    # hot-bucket guard (buckets.py): a degenerate embedding cluster (e.g.
+    # near-zero vectors from empty pages) can put m vectors into one LSH
+    # bucket and make this self-join emit m² rows; salting bounds it to
+    # O(m·cap). Inactive (salt≡0) on healthy data.
+    guarded = salt_hot_buckets(
+        tables, ["tbl", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
+    ).cache()
     if caches is not None:
-        caches.append(tables)
-    a, b = tables.alias("a"), tables.alias("b")
+        caches.extend([tables, guarded])
+    a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") != F.col("b.id")),
         )
         .select(F.col("a.id").alias("q_id"), F.col("b.id").alias("nn_id"))
@@ -429,7 +441,13 @@ def ann_lsh_self_topk(
         .join(vb, "nn_id")
         .withColumn("cosine", cosine_expr(F.col("va"), F.col("vb")))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    # rank by the ROUNDED cosine (cross-engine float discipline — q10 ranks
+    # by rounded revenue): near-tied candidates can differ in the last ulp
+    # between Spark's and DuckDB's summation order, which would flip
+    # row_number between engines if the window ordered on the raw double.
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -466,6 +484,8 @@ def cosine_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     caches: list | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    hot_report: list | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: n_tables independent sign-LSH
     tables; a pair is a candidate iff it shares a bucket in ≥1 table, then
@@ -497,14 +517,20 @@ def cosine_dup_pairs_lsh(
     tables = e.select(
         "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
     ).cache()
+    # hot-bucket guard: bound a degenerate LSH bucket's self-join output to
+    # O(m·cap) — see buckets.py. Inactive (salt≡0) on healthy data.
+    guarded = salt_hot_buckets(
+        tables, ["tbl", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
+    ).cache()
     if caches is not None:
-        caches.append(tables)
-    a, b = tables.alias("a"), tables.alias("b")
+        caches.extend([tables, guarded])
+    a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -1157,7 +1157,12 @@ ORDER BY id_a, id_b
 
 @query("simhash_dups", oracle=_SIMHASH_SQL)
 def simhash_dups(spark, sf_dir):
-    return simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+    caches: list = []
+    out = simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3, caches=caches)
+    out = out.repartition(1).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
+    return out.orderBy("id_a", "id_b")
 
 
 # =========================================================== geospatial ====
@@ -2206,7 +2211,7 @@ p AS (
   FROM cand c JOIN e ea ON ea.id = c.q_id JOIN e eb ON eb.id = c.nn_id
 )
 SELECT q_id, nn_id, rnk, round(cos, 6) AS cosine_r FROM (
-  SELECT q_id, nn_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  SELECT q_id, nn_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, nn_id) AS rnk
   FROM p
 ) WHERE rnk <= {k} ORDER BY q_id, rnk
 """

@@ -1,6 +1,7 @@
 """Local twin of the driver's correctness gate: run every queries() entry at
 sf0.01 and compare against its oracle_sql() via DuckDB (row count, column
-names, order-insensitive value comparison). Usage: python tools/check_oracles.py [sf_dir]
+names, order-insensitive value comparison).
+Usage: python tools/check_oracles.py [sf_dir] [only_query1,only_query2,...]
 """
 
 import sys
@@ -28,7 +29,7 @@ def norm(rows, cols):
     return sorted(out, key=repr)
 
 
-def main(sf_dir="/root/testdata/sf0.01"):
+def main(sf_dir="/root/testdata/sf0.01", only=None):
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -40,8 +41,11 @@ def main(sf_dir="/root/testdata/sf0.01"):
     for tb in TABLES:
         con.sql(f"CREATE VIEW {tb} AS SELECT * FROM '{sf_dir}/{tb}.parquet'")
 
+    wanted = set(only.split(",")) if only else None
     failures = []
     for name, fn in SPARK_QUERIES.items():
+        if wanted is not None and name not in wanted:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
