@@ -142,6 +142,32 @@ class SnapshotTable:
     def _manifest_path(self, sid: int) -> str:
         return os.path.join(self.path, f"snapshot-{sid:06d}.json")
 
+    def _repair_current(self) -> int:
+        """Roll CURRENT forward to the highest fully-committed manifest.
+
+        A committer that crashed between linking snapshot-<sid> and renaming
+        CURRENT leaves an ORPHANED manifest: every later committer would read
+        the stale CURRENT, compute the same sid, hit the link-if-absent
+        EEXIST, and exhaust its retries — the table would be permanently
+        unwritable. A manifest file is only ever linked AFTER its content is
+        fsynced, so any snapshot-*.json with id > CURRENT is a complete,
+        valid commit and is the TRUE parent; adopt it. Returns the (possibly
+        repaired) current id."""
+        ids = [
+            int(name[len("snapshot-"): -len(".json")])
+            for name in os.listdir(self.path)
+            if name.startswith("snapshot-") and name.endswith(".json")
+        ]
+        top = max(ids, default=0)
+        if top > self._current_id():
+            cur_tmp = os.path.join(self.path, f"CURRENT.tmp-{uuid.uuid4().hex}")
+            with open(cur_tmp, "w") as f:
+                f.write(str(top))
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(cur_tmp, os.path.join(self.path, "CURRENT"))
+        return top
+
     def manifest(self, snapshot_id: int | None = None) -> dict:
         """Manifest of a specific snapshot (time travel) or CURRENT."""
         sid = self._current_id() if snapshot_id is None else snapshot_id
@@ -235,6 +261,12 @@ class SnapshotTable:
             os.link(tmp, self._manifest_path(sid))
         except FileExistsError:
             os.remove(tmp)
+            # either a concurrent committer won the race, or a PAST committer
+            # crashed after linking this manifest but before moving CURRENT
+            # (orphaned manifest). Roll CURRENT forward to the newest complete
+            # manifest so the retry (or the caller's retry) sees the true
+            # parent instead of conflicting on the same sid forever.
+            self._repair_current()
             raise CommitConflictError(
                 f"snapshot {sid} at {self.path} was committed concurrently"
             ) from None
@@ -396,10 +428,20 @@ class SnapshotTable:
             "partitions_read": len(plan["read"]),
             "pruned": plan["pruned"],
         }
-        keys = plan["read"] or list(man["partitions"])[:1]  # all-pruned: one
-        # partition supplies the schema; the filter below returns zero rows
+        keys = plan["read"]
+        all_pruned = not keys
+        if all_pruned:
+            # every partition pruned: the result is empty, but its schema
+            # must still be the UNION of all partition schemas — under
+            # add-column evolution an arbitrary single partition can predate
+            # newer columns, and the `where` filter below would then raise
+            # AnalysisException on the missing column. mergeSchema over all
+            # paths is a footer-only read; the false filter reads no data.
+            keys = list(man["partitions"])
         paths = [os.path.join(self.path, man["partitions"][k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if all_pruned:
+            df = df.filter(F_lit(False))
         if where:
             df = df.filter(_where_sql(where))
         return df
@@ -526,13 +568,21 @@ class SnapshotTable:
             if n_upd == 0:
                 return sid
             chk = upd.agg(
-                F_count("*").alias("n"), F_count(key_col).alias("n_key")
+                F_count("*").alias("n"),
+                F_count(key_col).alias("n_key"),
+                F_count(lineage_col).alias("n_lin"),
             ).collect()[0]
             if chk.n_key < chk.n:
                 raise ValueError(
                     f"merge: {chk.n - chk.n_key} NULL {key_col} values in updates — "
                     "a NULL key matches nothing in the anti-join and would land "
                     "as an unmatchable orphan row"
+                )
+            if chk.n_lin < chk.n:
+                raise ValueError(
+                    f"merge: {chk.n - chk.n_lin} NULL {lineage_col} values in "
+                    "updates — every upsert row must name an existing lineage "
+                    "partition (a NULL lineage has no home partition)"
                 )
             dups = (
                 upd.groupBy(key_col).count().filter("count > 1").limit(1).count()

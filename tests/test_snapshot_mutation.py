@@ -86,6 +86,17 @@ class TestMerge:
         with pytest.raises(ValueError, match="NULL"):
             table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
 
+    def test_null_lineage_values_raise(self, spark, table):
+        """ADVICE r4: a NULL lineage value must get a targeted diagnostic
+        naming the column, not a confusing 'lineage keys [None]' error or a
+        __HIVE_DEFAULT_PARTITION__ orphan in the stage dir."""
+        write_base(spark, table)
+        upd = spark.createDataFrame(
+            [(5, None, "NEW-5")], "doc_id LONG, bucket LONG, val STRING"
+        )
+        with pytest.raises(ValueError, match="NULL bucket"):
+            table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+
     def test_duplicate_update_keys_raise(self, spark, table):
         write_base(spark, table)
         upd = spark.createDataFrame(
@@ -188,20 +199,38 @@ class TestCommitConcurrency:
         assert "extra" in table.current_manifest()["partitions"]
         assert calls["n"] >= 2  # the retry actually happened
 
-    def test_orphaned_manifest_fails_loudly_not_silently(self, spark, table):
+    def test_orphaned_manifest_adopted_as_true_parent(self, spark, table):
         """A crashed committer's orphaned manifest (linked but CURRENT never
-        advanced) blocks the id — appends must raise after retries, never
-        overwrite or silently skip."""
+        advanced) must not brick the table (ADVICE r4, medium): a manifest is
+        fsynced before it is linked, so an orphan is a COMPLETE commit — the
+        next committer rolls CURRENT forward and builds on it instead of
+        conflicting on the same id forever."""
         import json as _json
-
-        from erased_cells_spark.sources.snapshot import CommitConflictError
 
         write_base(spark, table)
         sid = table.metrics()["snapshot_id"]
+        # simulate the crash window: a fully-written manifest exists but
+        # CURRENT still names its parent
+        orphan = dict(table.current_manifest())
+        orphan["snapshot_id"] = sid + 1
+        orphan["parent"] = sid
         with open(table._manifest_path(sid + 1), "w") as f:
-            _json.dump({"snapshot_id": sid + 1, "parent": sid, "partitions": {}}, f)
-        with pytest.raises(CommitConflictError, match="lost the commit race"):
-            table._commit({})
+            _json.dump(orphan, f)
+        assert table._current_id() == sid
+        new_sid = table._commit({})
+        assert new_sid == sid + 2  # built ON TOP of the orphan, not around it
+        man = table.current_manifest()
+        assert man["parent"] == sid + 1
+        assert set(man["partitions"]) == set(orphan["partitions"])
+        # the table is fully writable again end-to-end
+        table.write_partitions(docs_df(spark, 500).filter("bucket = 4"), "bucket", [4])
+        assert table.read(spark).count() == 500
+
+    def test_repair_current_is_a_noop_when_current_is_fresh(self, spark, table):
+        write_base(spark, table)
+        sid = table.metrics()["snapshot_id"]
+        assert table._repair_current() == sid
+        assert table._current_id() == sid
 
 
 class TestZoneMaps:
@@ -232,6 +261,24 @@ class TestZoneMaps:
         out = table.read(spark, where=[("doc_id", ">", 10_000)])
         assert out.count() == 0
         assert set(out.columns) == {"doc_id", "bucket", "val"}
+
+    def test_all_pruned_schema_is_union_under_evolution(self, spark, table):
+        """ADVICE r4: the all-pruned empty result must carry the UNION of all
+        partition schemas — an arbitrary single partition can predate an
+        added column, and a multi-predicate where on that column would raise
+        AnalysisException against its schema."""
+        write_base(spark, table)
+        evolved = docs_df(spark, 500).filter("bucket = 4").withColumn(
+            "score", F.col("doc_id") * 2
+        )
+        table.write_partitions(evolved, "bucket", [4])
+        # both predicates prune everything; `score` exists only in partition 4
+        out = table.read(
+            spark, where=[("doc_id", ">", 10_000), ("score", ">", 10_000)]
+        )
+        assert "score" in out.columns
+        assert out.count() == 0
+        assert table.last_scan["partitions_read"] == 0
 
     def test_string_and_equality_pruning(self, spark, table):
         write_base(spark, table)
