@@ -84,20 +84,26 @@ def pages_table(spark: SparkSession, n_pages: int) -> str:
     return path
 
 
-def run_flagship_pages(spark: SparkSession, n_pages: int) -> tuple[float, int]:
+def run_flagship_pages(spark: SparkSession, n_pages: int) -> tuple[float, list[float], int]:
     """North-rule pipeline: scan pages table → extract text (byte-identity
-    checked) → geocode → cell-encode → PIP join → zonal counts."""
+    checked) → geocode → cell-encode → PIP join → zonal counts.
+    Median of 3 laps (host-contention discipline, VERDICT r4 #3)."""
+    import statistics
+
     from erased_cells_spark.pipeline import flagship_with_invariant
 
     path = pages_table(spark, n_pages)
     pages = spark.read.parquet(path)
-    t0 = time.perf_counter()
-    # fused single scan: PIP aggregation + extraction invariant via observe
-    out, obs = flagship_with_invariant(pages)
-    out.collect()
-    bad = obs.get["bad_extractions"]
-    assert bad == 0, f"{bad} extraction mismatches"
-    return time.perf_counter() - t0, n_pages
+    laps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # fused single scan: PIP aggregation + extraction invariant via observe
+        out, obs = flagship_with_invariant(pages)
+        out.collect()
+        bad = obs.get["bad_extractions"]
+        assert bad == 0, f"{bad} extraction mismatches"
+        laps.append(round(time.perf_counter() - t0, 3))
+    return statistics.median(laps), laps, n_pages
 
 
 def main() -> None:
@@ -170,20 +176,45 @@ def main() -> None:
             laps.append(time.perf_counter() - t0)
         raw[nm] = round(statistics.median(laps), 3)
 
-    per_query: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = SPARK_QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    # --- timed suite: per-query MEDIAN-OF-3 + a repeated control query -----
+    # (VERDICT r4 finding #3: a single-lap artifact cannot distinguish host
+    # contention from a code regression. The control query — fixed code, run
+    # at start/middle/end — calibrates the run: a wide control spread or a
+    # high control median flags contention INSIDE the artifact; per-query
+    # medians absorb one-off noise spikes.)
+    CONTROL = "q1_pricing_summary"
+    load_start = os.getloadavg()[0]
+    control_secs: list[float] = []
 
-    fl_sec, fl_rows = run_flagship_pages(spark, N_PAGES_FLAGSHIP)
+    def run_control() -> None:
+        t0 = time.perf_counter()
+        SPARK_QUERIES[CONTROL](spark, sf_dir).count()
+        control_secs.append(round(time.perf_counter() - t0, 3))
+
+    per_query: dict[str, float] = {}
+    query_laps: dict[str, list[float]] = {}
+    total = 0.0
+    run_control()
+    for i, name in enumerate(HEADLINE):
+        if i == len(HEADLINE) // 2:
+            run_control()
+        fn = SPARK_QUERIES[name]
+        laps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            laps.append(round(time.perf_counter() - t0, 3))
+        med = statistics.median(laps)
+        per_query[name] = round(med, 3)
+        query_laps[name] = laps
+        total += med
+        print(f"# {name}: {med:.2f}s median of {laps} ({n} rows)", file=sys.stderr)
+    run_control()
+
+    fl_sec, fl_laps, fl_rows = run_flagship_pages(spark, N_PAGES_FLAGSHIP)
     per_query["flagship_pages_pipeline"] = round(fl_sec, 3)
+    query_laps["flagship_pages_pipeline"] = fl_laps
     total += fl_sec
     rows_per_sec = fl_rows / fl_sec
 
@@ -196,6 +227,14 @@ def main() -> None:
         "extra": {
             "cpus": cpus,
             "warmup_sec_sf0.001": warmup_sec,
+            "timing_protocol": "per-query median of 3 consecutive laps",
+            "control_query": {
+                "name": CONTROL,
+                "secs_start_mid_end": control_secs,
+                "spread": round(max(control_secs) / max(min(control_secs), 1e-9), 3),
+            },
+            "loadavg_1m_start_end": [round(load_start, 2), round(os.getloadavg()[0], 2)],
+            "query_laps": query_laps,
             "orderkey_join_shuffled_sec_for_comparison": shuffled_join_sec,
             "orderkey_raw_join_median_sec": raw,
             "flagship_pages": fl_rows,
