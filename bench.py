@@ -22,10 +22,8 @@ HEADLINE = [
     "q5_region_revenue",
     "events_hourly",
     "events_sessionize",
-    "doc_stats",
     "minhash_lsh_dups",
     "simhash_dups",
-    "geo_cell_counts",
     "zonal_raster_box_stats",
     "knn_docs",
     "pip_zone_counts",
@@ -34,7 +32,6 @@ HEADLINE = [
     "bucketed_returns_revenue",
     "events_purchase_asof_view",
     "events_window_interval_join",
-    "lineitem_rollup",
     "dup_clusters",
     "ann_pq_embeddings",
     "doc_bm25_search",
@@ -42,14 +39,12 @@ HEADLINE = [
     "curation_keep_list",
     "knn_join_docs",
     "pip_large_zone_counts",
-    "snapshot_pruned_scan",
     "decontam_eval_overlap",
     "doc_gopher_quality",
     "q6_forecast_revenue",
     "ann_self_topk_embeddings",
     "incremental_cell_rollup",
     "raster_focal_mean",
-    "zone_geometry_stats",
 ]
 
 N_PAGES_FLAGSHIP = 200_000
@@ -132,9 +127,8 @@ def main() -> None:
 
     ensure_bucketed_tpch(spark, sf_dir)
     # snapshot-table builds are INGEST (one-time, like the bucketed write):
-    # run the two snapshot-backed queries once untimed so their timed laps
-    # measure the read/maintenance path, not table creation
-    SPARK_QUERIES["snapshot_pruned_scan"](spark, sf_dir).count()
+    # run the snapshot-backed query once untimed so its timed laps measure
+    # the read/maintenance path, not table creation
     SPARK_QUERIES["incremental_cell_rollup"](spark, sf_dir).count()
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     od = spark.read.parquet(f"{sf_dir}/orders.parquet")

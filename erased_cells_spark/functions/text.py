@@ -151,6 +151,94 @@ def _sql_list(words: list[str]) -> str:
     return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
+# ------------------------------------------------- Gopher/C4 structural rules --
+# Each rule is a pure JVM column expression with an arithmetic-identical
+# DuckDB twin (ints are exact doubles, so ratio parity is bit-exact).
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def symbol_count(text: Column) -> Column:
+    """Gopher symbol count: '#' occurrences + '...' occurrences (the
+    symbol-to-word-ratio numerator)."""
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3.0)
+    return n_hash.cast("double") + n_ell
+
+
+def sql_symbol_count(t: str) -> str:
+    return (
+        f"(length({t}) - length(replace({t}, '#', '')))::DOUBLE"
+        f" + (length({t}) - length(replace({t}, '...', ''))) / 3.0"
+    )
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+_SQL_LINES = "string_split({t}, chr(10))"
+
+
+def bullet_line_frac(text: Column) -> Column:
+    """Fraction of lines starting with a bullet marker ('- ', '* ', '• ')."""
+    lines = _lines(text)
+    bullets = F.filter(
+        lines,
+        lambda l: F.ltrim(l).startswith("- ")
+        | F.ltrim(l).startswith("* ")
+        | F.ltrim(l).startswith("• "),
+    )
+    return F.size(bullets).cast("double") / F.size(lines).cast("double")
+
+
+def sql_bullet_line_frac(t: str) -> str:
+    ls = _SQL_LINES.format(t=t)
+    return (
+        f"len(list_filter({ls}, l -> ltrim(l) LIKE '- %' OR ltrim(l) LIKE '* %' "
+        f"OR ltrim(l) LIKE '• %'))::DOUBLE / len({ls})::DOUBLE"
+    )
+
+
+def ellipsis_line_frac(text: Column) -> Column:
+    """Fraction of lines ending in an ellipsis ('...' or '…')."""
+    lines = _lines(text)
+    ell = F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    )
+    return F.size(ell).cast("double") / F.size(lines).cast("double")
+
+
+def sql_ellipsis_line_frac(t: str) -> str:
+    ls = _SQL_LINES.format(t=t)
+    return (
+        f"len(list_filter({ls}, l -> rtrim(l) LIKE '%...' OR rtrim(l) LIKE '%…'"
+        f"))::DOUBLE / len({ls})::DOUBLE"
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    """1 − distinct/total lines: the duplicate-line (boilerplate) fraction."""
+    lines = _lines(text)
+    return F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / F.size(
+        lines
+    ).cast("double")
+
+
+def sql_dup_line_frac(t: str) -> str:
+    ls = _SQL_LINES.format(t=t)
+    return f"1.0 - len(list_distinct({ls}))::DOUBLE / len({ls})::DOUBLE"
+
+
+def stop_word_hits(text: Column) -> Column:
+    """Distinct Gopher stop words present (the 'has ≥2 stop words' rule)."""
+    return _hits(text, GOPHER_STOP_WORDS).cast("long")
+
+
+def sql_stop_word_hits(t: str) -> str:
+    toks = f"regexp_split_to_array(lower({t}), '\\s+')"
+    return f"len(list_intersect({toks}, {_sql_list(GOPHER_STOP_WORDS)}))::BIGINT"
+
+
 # ----------------------------------------------------------------- fingerprint --
 def doc_fingerprint(text: Column) -> Column:
     """Whitespace-normalized md5 document fingerprint (exact-dedup key)."""

@@ -85,8 +85,8 @@ class TestPlanShapes:
         p = plan_of(df)
         assert "Python" not in p  # md5/shift/sum signature algebra is all JVM
 
-    def test_doc_stats_is_pure_builtin(self, spark):
-        df = SPARK_QUERIES["doc_stats"](spark, SF_DIR)
+    def test_doc_gopher_quality_is_pure_builtin(self, spark):
+        df = SPARK_QUERIES["doc_gopher_quality"](spark, SF_DIR)
         assert "Python" not in plan_of(df)
 
     def test_q6_all_predicates_pushed_schema_pruned(self, spark):

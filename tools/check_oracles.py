@@ -2,6 +2,7 @@
 sf0.01 and compare against its oracle_sql() via DuckDB (row count, column
 names, order-insensitive value comparison).
 Usage: python tools/check_oracles.py [sf_dir] [only_query1,only_query2,...]
+       python tools/check_oracles.py [sf_dir] --twins   # ground-truth twins
 """
 
 import sys
@@ -10,7 +11,12 @@ import duckdb
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
-from erased_cells_spark.queries import ORACLES, SPARK_QUERIES  # noqa: E402
+from erased_cells_spark.queries import (  # noqa: E402
+    ORACLES,
+    SPARK_QUERIES,
+    TWIN_ORACLES,
+    TWIN_QUERIES,
+)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -41,9 +47,13 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
     for tb in TABLES:
         con.sql(f"CREATE VIEW {tb} AS SELECT * FROM '{sf_dir}/{tb}.parquet'")
 
-    wanted = set(only.split(",")) if only else None
+    if only == "--twins":
+        queries, oracles, wanted = TWIN_QUERIES, TWIN_ORACLES, None
+    else:
+        queries, oracles = SPARK_QUERIES, ORACLES
+        wanted = set(only.split(",")) if only else None
     failures = []
-    for name, fn in SPARK_QUERIES.items():
+    for name, fn in queries.items():
         if wanted is not None and name not in wanted:
             continue
         try:
@@ -54,7 +64,7 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"FAIL  {name}: spark error {str(e)[:200]}")
             continue
-        sql = ORACLES.get(name)
+        sql = oracles.get(name)
         if sql is None:
             print(f"ok?   {name}: rows-only ({len(s_rows)} rows)")
             continue
