@@ -45,6 +45,10 @@ HEADLINE = [
     "ann_self_topk_embeddings",
     "incremental_cell_rollup",
     "raster_focal_mean",
+    "media_phash_dups",
+    "q13_customer_distribution",
+    "q18_large_volume_customers",
+    "q21_blamed_suppliers",
 ]
 
 N_PAGES_FLAGSHIP = 200_000

@@ -386,11 +386,39 @@ def simhash_pairs(
     block self-join is salted via buckets.salt_hot_buckets (O(m·cap) worst
     case, see buckets.py). The guarded block table is cached (it feeds both
     join sides); pass `caches=[]` to own the unpersist."""
+    sh = simhash_df(docs, id_col, text_col)
+    return hamming_block_pairs(
+        sh,
+        max_hamming=max_hamming,
+        caches=caches,
+        bucket_cap=bucket_cap,
+        hot_report=hot_report,
+    )
+
+
+def hamming_block_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "id",
+    sig_col: str = "sim",
+    caches: list | None = None,
+    bucket_cap: int = LSH_BUCKET_CAP,
+    hot_report: list | None = None,
+) -> DataFrame:
+    """Generic hamming-block candidate join over ANY ≤64-bit signature
+    column (shared by SimHash text near-dup and dHash image near-dup):
+    explode 4×16-bit chunks, guarded bucket self-join, exact
+    bit_count(XOR) verification. By pigeonhole any pair within hamming 3
+    shares ≥1 exact chunk, so recall is FULL only for max_hamming ≤ 3
+    (asserted). Hot blocks are salted (buckets.py): expected block
+    population is N/2¹⁶ — at 10⁹ items that is ~15k per (chunk, val) even
+    without skew. The guarded block table is cached (it feeds both join
+    sides); pass `caches=[]` to own the unpersist."""
     if max_hamming > 3:
         raise ValueError(
             f"max_hamming={max_hamming}: the 4-block index guarantees recall only for ≤ 3"
         )
-    sh = simhash_df(docs, id_col, text_col)
+    sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
     blocks = sh.select(
         "id",
         "sim",

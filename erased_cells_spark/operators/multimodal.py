@@ -119,6 +119,47 @@ def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+
+def dhash63(img: np.ndarray) -> int:
+    """Difference hash of a luma plane: resize to 8×9 (nearest), compare
+    horizontally adjacent pixels → 64 gradient bits, keep the low 63 so the
+    value stays positive in a signed-64 lane (same convention as the 63-bit
+    SimHash — the block index and bit_count(XOR) verify reuse that
+    machinery verbatim). Perceptually near-identical images flip only a few
+    gradient signs → small hamming distance."""
+    small = resize_nearest(img, 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1).astype(np.uint64)
+    return int((bits[:63] << np.arange(63, dtype=np.uint64)).sum())
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """Per-image perceptual hash: decode(stub) → dHash, the signature feed
+    for the image near-dup family (hamming_block_pairs + connected
+    components — the multimodal twin of SimHash text dedup). Same
+    partition-preserving mapInPandas shape as extract_image_features."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                w = int(r.width) if r.width and r.width == r.width else 32
+                h = int(r.height) if r.height and r.height == r.height else 32
+                img = decode_image_stub(r.payload, w, h)
+                rows.append({"media_id": int(r.media_id), "dhash": dhash63(img)})
+            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
+
+
 VIDEO_FRAME_W, VIDEO_FRAME_H = 32, 24  # stub decode plane for video frames
 
 VIDEO_FEATURE_SCHEMA = StructType(
@@ -248,6 +289,39 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic media fixture as a DataFrame."""
     rows = [{**r, "payload": bytearray(r["payload"])} for r in synthetic_media_rows(n, seed)]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def phash_fixture_rows(n: int = 64, seed: int = 5) -> list[dict]:
+    """Media fixture for the image near-dup query: the synthetic rows PLUS
+    planted byte-identical copies (every image id divisible by 12 gets a
+    copy at 1000+id; image 0 gets a second copy at 2000 → one 3-cluster and
+    five 2-clusters at n=64). The stub codec is a pure function of the
+    payload, so byte-identical payloads are the duplicate class it can
+    express (hamming 0); GRADIENT near-duplicates (hamming 1..3 from small
+    pixel edits) are proven at the dhash63 unit level on synthetic planes —
+    a real codec swap inherits them for free."""
+    rows = synthetic_media_rows(n, seed)
+    planted = []
+    for r in rows:
+        if r["kind"] == "image" and r["media_id"] % 12 == 0:
+            planted.append({**r, "media_id": 1000 + r["media_id"]})
+        if r["kind"] == "image" and r["media_id"] == 0:
+            planted.append({**r, "media_id": 2000})
+    return rows + planted
+
+
+def media_dhash_np(n: int = 64, seed: int = 5) -> list[tuple[int, int]]:
+    """Driver twin of image_dhash over the phash fixture — deterministic
+    stub codec, so expected (media_id, dhash) rows are computable
+    driver-side and inlined into the DuckDB oracle (the media_features_np
+    convention)."""
+    out = []
+    for r in phash_fixture_rows(n, seed):
+        if r["kind"] != "image":
+            continue
+        img = decode_image_stub(r["payload"], r["width"], r["height"])
+        out.append((r["media_id"], dhash63(img)))
+    return out
 
 
 def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: int = 1000):

@@ -124,3 +124,51 @@ class TestMultimodal:
         from erased_cells_spark.operators.multimodal import frame_sample_offsets
 
         assert len(frame_sample_offsets(0)) == 0
+
+
+class TestImageDhash:
+    def test_dhash_gradient_locality(self):
+        """The property that makes dHash a NEAR-dup hash (provable even with
+        the stub codec, which can only emit exact duplicates): flipping a few
+        pixels of a plane flips only the gradient bits they touch, so the
+        hamming distance is small; an unrelated plane lands ~32 bits away."""
+        import numpy as np
+
+        from erased_cells_spark.operators.multimodal import dhash63
+
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+        h0 = dhash63(img)
+        assert 0 <= h0 < 1 << 63
+        near = img.copy()
+        near[10, 10] = 255 - near[10, 10]  # one pixel edit
+        d_near = bin(h0 ^ dhash63(near)).count("1")
+        assert d_near <= 3  # a pixel affects at most its resize bucket's gradients
+        other = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+        d_other = bin(h0 ^ dhash63(other)).count("1")
+        assert d_other > 15  # unrelated planes are far
+
+    def test_identical_payloads_hash_identically(self):
+        from erased_cells_spark.operators.multimodal import decode_image_stub, dhash63
+
+        a = dhash63(decode_image_stub(b"payload-bytes", 32, 24))
+        b = dhash63(decode_image_stub(b"payload-bytes", 32, 24))
+        assert a == b
+
+    def test_image_dhash_matches_driver_twin(self, spark):
+        from erased_cells_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            image_dhash,
+            media_dhash_np,
+            phash_fixture_rows,
+        )
+
+        rows = [
+            {**r, "payload": bytearray(r["payload"])} for r in phash_fixture_rows(64, seed=5)
+        ]
+        df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+        got = sorted((r.media_id, r.dhash) for r in image_dhash(df).collect())
+        assert got == sorted(media_dhash_np())
+        # planted copies share their source's hash exactly
+        hashes = dict(got)
+        assert hashes[1000] == hashes[0] == hashes[2000]
