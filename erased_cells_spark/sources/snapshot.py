@@ -4,14 +4,25 @@ crash-atomic, resumable, with per-partition lineage and metrics.
 Layout of a snapshot table dir:
     <table>/
       data/part-<lineage_id>-....parquet     (one dir, files accumulate)
-      snapshot-000001.json                   (manifest: committed files)
+      manifest-<uuid>.json                   (IMMUTABLE group manifest:
+                                              ≤ MANIFEST_GROUP_TARGET
+                                              partitions' metas + zone maps)
+      snapshot-000001.json                   (manifest LIST: group paths +
+                                              per-group summary zone maps)
       snapshot-000002.json
       CURRENT                                (atomic pointer: highest valid)
 
-A manifest lists, per committed partition: lineage id, file paths, row count,
-and job-defined metrics. Commit protocol = write manifest to a temp name +
-os.rename (atomic on POSIX) + rewrite CURRENT via rename. Resume = read
-CURRENT manifest, skip partitions whose lineage ids are already committed.
+Each snapshot file carries a MANIFEST LIST (the Iceberg shape): entries
+naming immutable group-manifest files plus per-group summary stats. A commit
+REUSES every parent group whose partitions are untouched and writes new
+group files only for changed/new partitions — commit I/O is O(touched
+groups), not O(all partitions); a pruned read opens only the groups whose
+summary zone map admits the predicate. Per committed partition the group
+manifest lists: lineage id, file path, row count, zone maps, and
+job-defined metrics. Commit protocol = write group manifests + snapshot
+file to temp names + os.rename / link-if-absent (atomic on POSIX) + rewrite
+CURRENT via rename. Resume = read CURRENT manifest, skip partitions whose
+lineage ids are already committed.
 
 (The reference has no such machinery — this is the north-rule requirement
 of `BASELINE.json` "resumable from checkpoint with per-partition lineage +
@@ -39,6 +50,29 @@ class CommitConflictError(RuntimeError):
     fresh table state."""
 
 
+ZONE_STR_MAX = 64  # string zone-map bounds are truncated to this many chars
+MANIFEST_GROUP_TARGET = 64  # partitions per group manifest (new groups)
+
+
+def _truncate_lo(s: str) -> str:
+    """Lower zone bound: a prefix is always a valid (weaker) lower bound."""
+    return s[:ZONE_STR_MAX]
+
+
+def _truncate_hi(s: str) -> str:
+    """Upper zone bound: round the prefix UP (increment its last
+    incrementable char, Iceberg-style) so the truncated value still bounds
+    every string that starts with the full prefix."""
+    if len(s) <= ZONE_STR_MAX:
+        return s
+    p = s[:ZONE_STR_MAX]
+    for i in reversed(range(len(p))):
+        c = ord(p[i])
+        if c < 0x10FFFF:
+            return p[:i] + chr(c + 1)
+    return s  # every prefix char is already U+10FFFF — keep the full value
+
+
 def _footer_stats(files: list[str]) -> dict:
     """Per-column [min, max] ZONE MAP for a partition, straight from the
     parquet row-group footers (pure metadata — no data pass). A column gets
@@ -46,7 +80,9 @@ def _footer_stats(files: list[str]) -> dict:
     for it (a single stat-less row group makes the zone unknowable).
     Values are kept JSON-safe: ints/floats/bools/strs pass through,
     timestamps/dates become their ISO str() (zero-padded, so string
-    comparison ≡ time comparison), binary is skipped."""
+    comparison ≡ time comparison), binary is skipped. Long string bounds
+    are TRUNCATED (lower: prefix; upper: prefix rounded up) so a manifest
+    entry never embeds megabyte values."""
     import pyarrow.parquet as pq
 
     mins: dict = {}
@@ -81,7 +117,36 @@ def _footer_stats(files: list[str]) -> dict:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-    return {c: [mins[c], maxs[c]] for c in mins if c not in bad}
+    out = {}
+    for c in mins:
+        if c in bad:
+            continue
+        lo, hi = mins[c], maxs[c]
+        if isinstance(lo, str):
+            lo, hi = _truncate_lo(lo), _truncate_hi(hi)
+        out[c] = [lo, hi]
+    return out
+
+
+def _merged_stats(metas) -> dict:
+    """Group-level zone map: per-column [min, max] over a set of partition
+    metas. A column survives only if EVERY partition has comparable stats
+    for it (same never-prune-on-uncertainty rule as the partition level)."""
+    out: dict | None = None
+    for m in metas:
+        st = m.get("stats") or {}
+        if out is None:
+            out = {c: list(v) for c, v in st.items()}
+            continue
+        for c in list(out):
+            if c not in st:
+                del out[c]
+                continue
+            try:
+                out[c] = [min(out[c][0], st[c][0]), max(out[c][1], st[c][1])]
+            except TypeError:
+                del out[c]
+    return out or {}
 
 
 _PRUNE_OPS = {"<", "<=", ">", ">=", "=", "=="}
@@ -129,6 +194,7 @@ class SnapshotTable:
         self.path = path
         self.data_dir = os.path.join(path, "data")
         self.last_scan: dict | None = None  # set by read(): pruning telemetry
+        self._group_cache: dict[str, dict] = {}  # immutable group manifests
         os.makedirs(self.data_dir, exist_ok=True)
 
     # ----- manifest plumbing ---------------------------------------------
@@ -168,8 +234,9 @@ class SnapshotTable:
             os.rename(cur_tmp, os.path.join(self.path, "CURRENT"))
         return top
 
-    def manifest(self, snapshot_id: int | None = None) -> dict:
-        """Manifest of a specific snapshot (time travel) or CURRENT."""
+    def _raw_manifest(self, snapshot_id: int | None = None) -> dict:
+        """Snapshot file as written: manifest_list entries, partitions NOT
+        resolved (O(1) parse regardless of table width)."""
         sid = self._current_id() if snapshot_id is None else snapshot_id
         if sid == 0:
             return {"snapshot_id": 0, "parent": None, "partitions": {}}
@@ -180,6 +247,32 @@ class SnapshotTable:
             )
         with open(p) as f:
             return json.load(f)
+
+    def _load_group(self, rel_path: str) -> dict:
+        """Partitions of one group manifest. Group manifests are IMMUTABLE
+        (uuid-named, written once), so they cache per table handle — after
+        first touch, commits and reads parse only groups they haven't seen.
+        Cached dicts are treated read-only by every caller."""
+        cached = self._group_cache.get(rel_path)
+        if cached is None:
+            with open(os.path.join(self.path, rel_path)) as f:
+                cached = json.load(f)["partitions"]
+            self._group_cache[rel_path] = cached
+        return cached
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        """Manifest of a specific snapshot (time travel) or CURRENT, with
+        `partitions` RESOLVED across the snapshot's group manifests (cost
+        O(groups not yet cached); pruning readers use plan_scan, which
+        opens only admitting groups). Pre-split inline manifests (a plain
+        `partitions` dict in the snapshot file) read unchanged."""
+        raw = self._raw_manifest(snapshot_id)
+        if "partitions" in raw:
+            return raw
+        parts: dict = {}
+        for entry in raw["manifest_list"]:
+            parts.update(self._load_group(entry["path"]))
+        return {**raw, "partitions": parts}
 
     def current_manifest(self) -> dict:
         return self.manifest()
@@ -192,12 +285,18 @@ class SnapshotTable:
             if name.startswith("snapshot-") and name.endswith(".json"):
                 with open(os.path.join(self.path, name)) as f:
                     m = json.load(f)
+                if "partitions" in m:  # pre-split inline manifest
+                    n_parts = len(m["partitions"])
+                    rows = sum(p["rows"] for p in m["partitions"].values())
+                else:  # manifest list: summaries only, groups stay closed
+                    n_parts = sum(e["n_partitions"] for e in m["manifest_list"])
+                    rows = sum(e["rows"] for e in m["manifest_list"])
                 out.append(
                     {
                         "snapshot_id": m["snapshot_id"],
                         "committed_at": m.get("committed_at"),
-                        "n_partitions": len(m["partitions"]),
-                        "total_rows": sum(p["rows"] for p in m["partitions"].values()),
+                        "n_partitions": n_parts,
+                        "total_rows": rows,
                         "operation": m.get("operation", "append"),
                     }
                 )
@@ -242,11 +341,59 @@ class SnapshotTable:
                 "during commit preparation"
             )
         sid = parent["snapshot_id"] + 1
+        # ---- manifest-list build: REUSE parent groups whose every entry is
+        # unchanged in the new state; everything else (new keys, changed
+        # metas, survivors of partially-invalidated groups) lands in fresh
+        # group manifests of ≤ MANIFEST_GROUP_TARGET partitions. File writes
+        # per commit are therefore O(touched groups + new partitions /
+        # target), never O(all partitions) — the Iceberg manifest-list shape.
+        carried, covered = [], set()
+        tiny_carry = []
+        for entry in parent.get("manifest_list") or []:
+            group = self._load_group(entry["path"])
+            if all(partitions.get(k) == m for k, m in group.items()):
+                if entry["n_partitions"] <= MANIFEST_GROUP_TARGET // 8:
+                    tiny_carry.append((entry, group))
+                else:
+                    carried.append(entry)
+                    covered.update(group)
+            # else: partially invalidated — survivors fall through to rewrite
+        # fold tiny carried groups into the new manifests once they pile up
+        # (per-partition commit loops would otherwise grow the list one
+        # single-partition group per commit); below the fold threshold they
+        # carry over untouched — amortized O(1) group rewrites per commit
+        if len(tiny_carry) > 8:
+            pass  # leave uncovered → rewritten consolidated below
+        else:
+            for entry, group in tiny_carry:
+                carried.append(entry)
+                covered.update(group)
+        changed_keys = sorted(k for k in partitions if k not in covered)
+        new_entries = []
+        for i in range(0, len(changed_keys), MANIFEST_GROUP_TARGET):
+            chunk = changed_keys[i: i + MANIFEST_GROUP_TARGET]
+            gparts = {k: partitions[k] for k in chunk}
+            gname = f"manifest-{uuid.uuid4().hex}.json"
+            gtmp = os.path.join(self.path, gname + ".tmp")
+            with open(gtmp, "w") as f:
+                json.dump({"partitions": gparts}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(gtmp, os.path.join(self.path, gname))
+            self._group_cache[gname] = gparts
+            new_entries.append(
+                {
+                    "path": gname,
+                    "n_partitions": len(gparts),
+                    "rows": sum(m["rows"] for m in gparts.values()),
+                    "stats": _merged_stats(gparts.values()),
+                }
+            )
         manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"] or None,
             "committed_at": time.time(),
-            "partitions": partitions,
+            "manifest_list": carried + new_entries,
             **extra,
         }
         tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex}"
@@ -380,18 +527,53 @@ class SnapshotTable:
         self, where: list[tuple] | None = None, snapshot_id: int | None = None
     ) -> dict:
         """Manifest-level scan plan for a conjunction of simple predicates
-        [(col, op, value), ...], op ∈ <, <=, >, >=, =: which partitions the
-        zone maps keep vs PRUNE. Pure metadata — no Spark, no file opens."""
-        man = self.manifest(snapshot_id)
-        keep, pruned = [], []
-        for key, meta in man["partitions"].items():
-            if where and any(
-                _zone_excludes(meta.get("stats"), c, op, v) for c, op, v in where
-            ):
-                pruned.append(key)
-            else:
-                keep.append(key)
-        return {"read": sorted(keep), "pruned": sorted(pruned)}
+        [(col, op, value), ...], op ∈ <, <=, >, >=, =. TWO pruning levels:
+        a group manifest whose merged zone map excludes the predicate is
+        skipped WITHOUT BEING OPENED (reported in `pruned_groups`), then
+        per-partition zone maps prune inside the admitting groups. Pure
+        metadata — no Spark, no data-file opens; the snapshot file itself
+        is O(groups), not O(partitions). `metas` carries the kept
+        partitions' manifest entries so read() touches no further files."""
+        raw = self._raw_manifest(snapshot_id)
+        keep, pruned, pruned_groups = [], [], []
+        metas: dict = {}
+        if "partitions" in raw:  # pre-split inline manifest (or empty table)
+            group_iter = [(None, raw["partitions"])]
+            groups_total = 1 if raw["partitions"] else 0
+            partitions_total = len(raw["partitions"])
+        else:
+            entries = raw["manifest_list"]
+            groups_total = len(entries)
+            partitions_total = sum(e["n_partitions"] for e in entries)
+            group_iter = []
+            for e in entries:
+                if where and any(
+                    _zone_excludes(e.get("stats"), c, op, v) for c, op, v in where
+                ):
+                    pruned_groups.append(
+                        {"path": e["path"], "n_partitions": e["n_partitions"]}
+                    )
+                else:
+                    group_iter.append((e["path"], self._load_group(e["path"])))
+        for _, group in group_iter:
+            for key, meta in group.items():
+                if where and any(
+                    _zone_excludes(meta.get("stats"), c, op, v) for c, op, v in where
+                ):
+                    pruned.append(key)
+                else:
+                    keep.append(key)
+                    metas[key] = meta
+        return {
+            "read": sorted(keep),
+            "pruned": sorted(pruned),
+            "pruned_groups": pruned_groups,
+            "groups_total": groups_total,
+            "groups_opened": len(group_iter),
+            "partitions_total": partitions_total,
+            "pruned_n": len(pruned) + sum(g["n_partitions"] for g in pruned_groups),
+            "metas": metas,
+        }
 
     def read(
         self,
@@ -419,15 +601,18 @@ class SnapshotTable:
         schemas across the snapshot's partitions, the same add-column
         semantics Iceberg provides (drops/renames are not supported; a
         rename would silently fork into two nullable columns)."""
-        man = self.manifest(snapshot_id)
-        if not man["partitions"]:
-            raise ValueError(f"empty snapshot table at {self.path}")
         plan = self.plan_scan(where, snapshot_id)
+        if plan["partitions_total"] == 0:
+            raise ValueError(f"empty snapshot table at {self.path}")
         self.last_scan = {
-            "partitions_total": len(man["partitions"]),
+            "partitions_total": plan["partitions_total"],
             "partitions_read": len(plan["read"]),
             "pruned": plan["pruned"],
+            "pruned_groups": plan["pruned_groups"],
+            "groups_total": plan["groups_total"],
+            "groups_opened": plan["groups_opened"],
         }
+        metas = plan["metas"]
         keys = plan["read"]
         all_pruned = not keys
         if all_pruned:
@@ -437,8 +622,10 @@ class SnapshotTable:
             # newer columns, and the `where` filter below would then raise
             # AnalysisException on the missing column. mergeSchema over all
             # paths is a footer-only read; the false filter reads no data.
-            keys = list(man["partitions"])
-        paths = [os.path.join(self.path, man["partitions"][k]["path"]) for k in keys]
+            # (This is the one read path that resolves every group.)
+            metas = self.manifest(snapshot_id)["partitions"]
+            keys = list(metas)
+        paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
         if all_pruned:
             df = df.filter(F_lit(False))
@@ -728,7 +915,11 @@ class SnapshotTable:
         ids = sorted(s["snapshot_id"] for s in self.snapshots())
         keep = set(ids[-keep_last:])
         referenced = set()
+        live_groups = set()
         for sid in keep:
+            raw = self._raw_manifest(sid)
+            for e in raw.get("manifest_list") or []:
+                live_groups.add(e["path"])
             for p in self.manifest(sid)["partitions"].values():
                 referenced.add(p["path"])
         expired = []
@@ -736,13 +927,25 @@ class SnapshotTable:
             if sid not in keep:
                 os.remove(self._manifest_path(sid))
                 expired.append(sid)
+        # GC group manifests no kept snapshot references (incl. orphans from
+        # lost commit races)
+        dropped_groups = []
+        for name in os.listdir(self.path):
+            if name.startswith("manifest-") and name.endswith(".json") and name not in live_groups:
+                os.remove(os.path.join(self.path, name))
+                self._group_cache.pop(name, None)
+                dropped_groups.append(name)
         deleted = []
         for d in os.listdir(self.data_dir):
             rel = os.path.relpath(os.path.join(self.data_dir, d), self.path)
             if d.startswith("part-") and rel not in referenced:
                 shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
                 deleted.append(rel)
-        return {"expired_snapshots": expired, "deleted_dirs": sorted(deleted)}
+        return {
+            "expired_snapshots": expired,
+            "deleted_dirs": sorted(deleted),
+            "deleted_manifests": sorted(dropped_groups),
+        }
 
     def metrics(self) -> dict:
         man = self.current_manifest()

@@ -110,7 +110,8 @@ def test_random_zone_prune_predicates_match_full_filter(spark, tmp_path, seed):
         op = str(rng.choice(["<", "<=", ">", ">=", "="]))
         val = int(rng.integers(0, 420))
         got = sorted(map(tuple, tbl.read(spark, where=[(col, op, val)]).collect()))
-        if tbl.last_scan["pruned"]:  # BEFORE the comparison read resets it
+        scan = tbl.last_scan  # BEFORE the comparison read resets it
+        if scan["pruned"] or scan["pruned_groups"]:  # either prune level
             pruned_fired += 1
         sql_op = "=" if op == "=" else op
         want = sorted(map(tuple, tbl.read(spark).filter(f"{col} {sql_op} {val}").collect()))

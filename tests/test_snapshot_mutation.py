@@ -244,7 +244,15 @@ class TestZoneMaps:
     def test_pruned_read_opens_fewer_partitions_same_result(self, spark, table):
         write_base(spark, table)
         plan = table.plan_scan(where=[("doc_id", "<", 150)])
-        assert plan["read"] == ["0", "1"] and plan["pruned"] == ["2", "3"]
+        assert plan["read"] == ["0", "1"]
+        # partitions 2/3 are excluded at the GROUP level: their group
+        # manifests' summary zone maps exclude the predicate, so they are
+        # pruned WITHOUT the group files being opened
+        assert plan["pruned_n"] == 2
+        assert plan["pruned"] == [] and sum(
+            g["n_partitions"] for g in plan["pruned_groups"]
+        ) == 2
+        assert plan["groups_opened"] < plan["groups_total"]
         pruned = table.read(spark, where=[("doc_id", "<", 150)])
         scan = dict(table.last_scan)
         full = table.read(spark).filter("doc_id < 150")
@@ -311,12 +319,16 @@ class TestZoneMaps:
         """Partitions committed before zone maps existed (no 'stats' key)
         must read normally — filter-only, no prune, no KeyError."""
         write_base(spark, table)
+        import copy
         import json
 
         sid = table.metrics()["snapshot_id"]
         p = table._manifest_path(sid)
-        with open(p) as f:
-            man = json.load(f)
+        # rewrite the snapshot as a PRE-SPLIT inline manifest (the format
+        # before the manifest-list layout) with every stats key stripped —
+        # covers the compat read path and the no-stats behavior at once
+        man = copy.deepcopy(table.current_manifest())
+        man.pop("manifest_list", None)
         for meta in man["partitions"].values():
             meta.pop("stats", None)
         with open(p, "w") as f:
