@@ -109,15 +109,38 @@ def shingle_set(text: str, n: int = SHINGLE_N) -> set:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stop_gram_df_cap: int | None = None,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold: (id_a, id_b, jaccard).
-    id_a < id_b. Shuffle profile: explode + equi-join on shingle hash."""
+    id_a < id_b. Shuffle profile: explode + equi-join on shingle hash.
+
+    GROUND-TRUTH TWIN, not a registered query (r5): a shingle shared by m
+    docs emits m² intermediate join rows, so the exact form is quadratic on
+    hot shingles by construction — the registered scale path is
+    minhash_lsh_pairs. For corpora where the exact pass is still wanted at
+    size, `stop_gram_df_cap` applies standard STOP-GRAM removal: shingles
+    whose document frequency exceeds the cap are dropped from the shingle
+    space before the join (similarity is then Jaccard over the informative
+    shingles — sizes and intersections use the same filtered space, so the
+    measure stays a true Jaccard, just on a reduced vocabulary; the
+    unguarded default cap=None is the byte-exact oracle twin)."""
     sh = (
         _spread(docs)
         .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
         .select("id", F.explode("shs").alias("sh"))
     )
+    if stop_gram_df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > stop_gram_df_cap)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

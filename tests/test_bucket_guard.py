@@ -170,3 +170,32 @@ class TestGuardedOperatorsEndToEnd:
             c.unpersist()
         assert len(topk) > 0
         assert report2[0].count() >= 1
+
+
+class TestStopGramCap:
+    def test_hot_shingles_dropped_dups_kept(self, spark):
+        """Stop-gram removal (ngram_jaccard_pairs ground-truth twin's scale
+        option): a boilerplate trigram shared by every doc is excluded from
+        the shingle space, while genuine duplicate pairs still score 1.0 on
+        the informative shingles."""
+        import numpy as np
+
+        from erased_cells_spark.operators.dedup import ngram_jaccard_pairs
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(1000)]
+        docs = []
+        for i in range(50):
+            body = " ".join(rng.choice(vocab, size=12, replace=False))
+            docs.append((i, "common boilerplate header " + body))
+        docs.append((100, docs[7][1]))  # exact dup of doc 7
+        df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+        capped = ngram_jaccard_pairs(df, 0.5, stop_gram_df_cap=10)
+        got = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+        assert set(got) == {(7, 100)}
+        assert got[(7, 100)] == 1.0
+        # unguarded: the shared header trigrams alone connect no pair above
+        # 0.5, so the exact twin agrees on THIS corpus (the cap's job is
+        # the quadratic join blowup, not the final answer)
+        exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, 0.5).collect()}
+        assert exact == {(7, 100)}
