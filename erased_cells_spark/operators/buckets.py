@@ -43,6 +43,14 @@ from pyspark.sql import functions as F
 # the oracle fixtures — asserted in tests/test_bucket_guard.py).
 LSH_BUCKET_CAP = 1024
 
+# Hot buckets are pathological by definition, so the list is collected to
+# the driver when small (one cheap agg job over the caller's cached
+# triples): the healthy-corpus fast path then adds a LITERAL salt 0 — zero
+# plan change, zero extra shuffles. Past this bound the guard falls back to
+# a fully lazy broadcast-join plan (an adversarial corpus where >64k
+# DISTINCT buckets each exceed the cap).
+MAX_HOT_COLLECT = 65_536
+
 
 def salt_hot_buckets(
     triples: DataFrame,
@@ -53,12 +61,17 @@ def salt_hot_buckets(
 ) -> DataFrame:
     """Append a `salt` column bounding per-(keys) group size to ~cap.
 
-    `triples` SHOULD be cached by the caller (it is scanned once for the
-    bucket counts and once for the output join). Buckets with ≤ cap ids get
-    salt 0 (via a broadcast left join against the — tiny — hot-bucket list,
-    usually empty); buckets with m > cap ids are split into ceil(m/cap)
-    deterministic sub-buckets. Join the result to itself on
-    keys + ["salt"] instead of keys alone.
+    `triples` SHOULD be cached by the caller (the bucket-count job and the
+    output both scan it). Buckets with ≤ cap ids get salt 0; buckets with
+    m > cap ids are split into ceil(m/cap) deterministic sub-buckets
+    (salt = xxhash64(id) mod nsplits — identical on both sides of a
+    self-join). Join the result to itself on keys + ["salt"] instead of
+    keys alone.
+
+    EAGER by design: the hot-bucket list materializes here (it is the
+    guard's decision input). When it is empty — every healthy corpus — the
+    returned plan is the input plus a literal 0 column, so the self-join
+    downstream keeps its original shape and cost.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
@@ -66,10 +79,22 @@ def salt_hot_buckets(
     hot = counts.filter(F.col("bucket_n") > cap).withColumn(
         "nsplits", F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
     )
-    if report is not None:
-        report.append(hot)
+    hot_rows = hot.limit(MAX_HOT_COLLECT + 1).collect()
+    spark = triples.sparkSession
+    if len(hot_rows) <= MAX_HOT_COLLECT:
+        if report is not None:
+            report.append(spark.createDataFrame(hot_rows, hot.schema))
+        if not hot_rows:
+            return triples.withColumn("salt", F.lit(0))
+        # tiny hot list → local relation, broadcast join against it (the
+        # count plan never re-executes)
+        hot_df = spark.createDataFrame(hot_rows, hot.schema)
+    else:  # adversarial bucket population: stay fully distributed
+        if report is not None:
+            report.append(hot)
+        hot_df = hot
     return (
-        triples.join(F.broadcast(hot.select(*keys, "nsplits")), keys, "left")
+        triples.join(F.broadcast(hot_df.select(*keys, "nsplits")), keys, "left")
         .withColumn(
             "salt",
             F.coalesce(

@@ -266,14 +266,14 @@ def minhash_lsh_pairs(
     ).cache()
     # hot-bucket guard (see buckets.py): one boilerplate template putting m
     # docs in a band bucket would make the self-join below emit m² rows —
-    # salt oversized buckets so the worst case is O(m·cap). Inactive
-    # (salt≡0) on healthy corpora; `guarded` is cached because it feeds both
-    # sides of the self-join.
+    # salt oversized buckets so the worst case is O(m·cap). On healthy
+    # corpora the hot list collects empty and `guarded` is bands + a
+    # literal 0 — the self-join keeps its unguarded shape and cost.
     guarded = salt_hot_buckets(
         bands, ["band", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
-    ).cache()
+    )
     if caches is not None:
-        caches.extend([sh, bands, guarded])
+        caches.extend([sh, bands])
     a = guarded.alias("a")
     b = guarded.alias("b")
     cand = (
@@ -454,12 +454,14 @@ def hamming_block_pairs(
                 for c in range(4)
             ])
         ).alias("cb"),
-    ).select("id", "sim", "cb.chunk", "cb.val")
+    ).select("id", "sim", "cb.chunk", "cb.val").cache()
+    # blocks is cached: the signature aggregation underneath is the costly
+    # stage and feeds the guard's count job plus both self-join sides
     guarded = salt_hot_buckets(
         blocks, ["chunk", "val"], id_col="id", cap=bucket_cap, report=hot_report
-    ).cache()
+    )
     if caches is not None:
-        caches.append(guarded)
+        caches.append(blocks)
     a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(

@@ -422,12 +422,13 @@ def ann_lsh_self_topk(
     # hot-bucket guard (buckets.py): a degenerate embedding cluster (e.g.
     # near-zero vectors from empty pages) can put m vectors into one LSH
     # bucket and make this self-join emit m² rows; salting bounds it to
-    # O(m·cap). Inactive (salt≡0) on healthy data.
+    # O(m·cap). On healthy data the hot list collects empty and the plan
+    # keeps its unguarded shape (literal salt 0 over the cached tables).
     guarded = salt_hot_buckets(
         tables, ["tbl", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
-    ).cache()
+    )
     if caches is not None:
-        caches.extend([tables, guarded])
+        caches.append(tables)
     a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
@@ -524,12 +525,13 @@ def cosine_dup_pairs_lsh(
         "id", F.posexplode(sigs_udf(F.col("v"))).alias("tbl", "bucket")
     ).cache()
     # hot-bucket guard: bound a degenerate LSH bucket's self-join output to
-    # O(m·cap) — see buckets.py. Inactive (salt≡0) on healthy data.
+    # O(m·cap) — see buckets.py. On healthy data the hot list collects
+    # empty and the plan keeps its unguarded shape (literal salt 0).
     guarded = salt_hot_buckets(
         tables, ["tbl", "bucket"], id_col="id", cap=bucket_cap, report=hot_report
-    ).cache()
+    )
     if caches is not None:
-        caches.extend([tables, guarded])
+        caches.append(tables)
     a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
