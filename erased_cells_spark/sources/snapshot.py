@@ -24,6 +24,13 @@ file to temp names + os.rename / link-if-absent (atomic on POSIX) + rewrite
 CURRENT via rename. Resume = read CURRENT manifest, skip partitions whose
 lineage ids are already committed.
 
+SCHEMA EVOLUTION: add-column via mergeSchema (old partitions read NULL),
+plus METADATA-ONLY rename_column / drop_column through a written-name →
+current-name mapping carried in the snapshot file (reads coalesce a renamed
+column's written generations; written names are never reused — the
+id-reuse discipline Iceberg gets from column ids). Time travel reads each
+snapshot under ITS OWN mapping.
+
 (The reference has no such machinery — this is the north-rule requirement
 of `BASELINE.json` "resumable from checkpoint with per-partition lineage +
 metrics"; Iceberg jars aren't in the environment, so the manifest protocol
@@ -38,6 +45,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import count as F_count
 from pyspark.sql.functions import lit as F_lit
@@ -147,6 +155,35 @@ def _merged_stats(metas) -> dict:
             except TypeError:
                 del out[c]
     return out or {}
+
+
+_EMPTY_MAPPING: dict = {"renames": {}, "dropped": [], "retired": []}
+
+
+def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
+    """Project physical (written) column names to the table's CURRENT
+    logical names: renamed columns surface under their new name (coalesced
+    across the written-name generations a mergeSchema scan unions — at most
+    one generation is non-NULL per partition because written names are
+    never reused), dropped columns disappear."""
+    renames, dropped = m["renames"], set(m["dropped"])
+    if not renames and not dropped:
+        return df
+    exprs, handled = [], set()
+    for c in df.columns:
+        if c in handled:
+            continue
+        tgt = renames.get(c, c)
+        if tgt in dropped:
+            handled.add(c)
+            continue
+        sources = [s for s in df.columns if renames.get(s, s) == tgt]
+        handled.update(sources)
+        if len(sources) == 1:
+            exprs.append(F_col(sources[0]).alias(tgt))
+        else:
+            exprs.append(F_coalesce(*[F_col(s) for s in sources]).alias(tgt))
+    return df.select(*exprs)
 
 
 _PRUNE_OPS = {"<", "<=", ">", ">=", "=", "=="}
@@ -389,11 +426,15 @@ class SnapshotTable:
                     "stats": _merged_stats(gparts.values()),
                 }
             )
+        # table-level metadata (schema-evolution mapping) carries forward
+        # across every commit unless the commit itself overrides it
+        table_meta = {k: parent[k] for k in ("column_mapping",) if k in parent}
         manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"] or None,
             "committed_at": time.time(),
             "manifest_list": carried + new_entries,
+            **table_meta,
             **extra,
         }
         tmp = self._manifest_path(sid) + f".tmp-{uuid.uuid4().hex}"
@@ -451,6 +492,7 @@ class SnapshotTable:
         import pyarrow.parquet as pq
         from pyspark.sql import functions as F
 
+        self._check_writable_columns(df.columns, "write_partitions")
         done = self.committed_lineage()
         manifest_parts = self.current_manifest()["partitions"]
         stats: dict = {}
@@ -535,6 +577,19 @@ class SnapshotTable:
         is O(groups), not O(partitions). `metas` carries the kept
         partitions' manifest entries so read() touches no further files."""
         raw = self._raw_manifest(snapshot_id)
+        # zone maps are recorded under WRITTEN column names; a predicate on a
+        # renamed column consults the stats of every written alias (at most
+        # one alias exists per partition — names are never reused)
+        mapping = raw.get("column_mapping") or _EMPTY_MAPPING
+        aliases: dict = {}
+        for w, cur in mapping["renames"].items():
+            aliases.setdefault(cur, []).append(w)
+
+        def excludes(stats, c, op, v):
+            return _zone_excludes(stats, c, op, v) or any(
+                _zone_excludes(stats, a, op, v) for a in aliases.get(c, ())
+            )
+
         keep, pruned, pruned_groups = [], [], []
         metas: dict = {}
         if "partitions" in raw:  # pre-split inline manifest (or empty table)
@@ -548,7 +603,7 @@ class SnapshotTable:
             group_iter = []
             for e in entries:
                 if where and any(
-                    _zone_excludes(e.get("stats"), c, op, v) for c, op, v in where
+                    excludes(e.get("stats"), c, op, v) for c, op, v in where
                 ):
                     pruned_groups.append(
                         {"path": e["path"], "n_partitions": e["n_partitions"]}
@@ -558,7 +613,7 @@ class SnapshotTable:
         for _, group in group_iter:
             for key, meta in group.items():
                 if where and any(
-                    _zone_excludes(meta.get("stats"), c, op, v) for c, op, v in where
+                    excludes(meta.get("stats"), c, op, v) for c, op, v in where
                 ):
                     pruned.append(key)
                 else:
@@ -627,6 +682,10 @@ class SnapshotTable:
             keys = list(metas)
         paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # schema evolution: surface written names under the snapshot's
+        # CURRENT names (renames coalesce across generations, drops vanish)
+        # BEFORE the predicate filter, which speaks current names
+        df = _apply_column_mapping(df, self.column_mapping(snapshot_id))
         if all_pruned:
             df = df.filter(F_lit(False))
         if where:
@@ -640,11 +699,13 @@ class SnapshotTable:
         from functools import reduce
 
         man = self.current_manifest()
+        mapping = self.column_mapping()
         parts = []
         for key, meta in man["partitions"].items():
             df = spark.read.option("mergeSchema", "true").parquet(
                 os.path.join(self.path, meta["path"])
             )
+            df = _apply_column_mapping(df, mapping)
             parts.append(df.withColumn("__part", F_lit(key)))
         if not parts:
             raise ValueError(f"empty snapshot table at {self.path}")
@@ -749,6 +810,7 @@ class SnapshotTable:
         sid = man["snapshot_id"]
         if not man["partitions"]:
             raise ValueError("merge into an empty table — write_partitions first")
+        self._check_writable_columns(updates.columns, "merge")
         upd = updates.withColumn("__lineage", F_col(lineage_col).cast("string")).cache()
         try:
             n_upd = upd.count()
@@ -845,6 +907,81 @@ class SnapshotTable:
         return self._rewrite_commit(spark, content, rewrite, expected, "delete")
 
     # ----- table maintenance -------------------------------------------------
+    # ----- schema evolution (rename / drop) --------------------------------
+    def column_mapping(self, snapshot_id: int | None = None) -> dict:
+        """The snapshot's written-name → current-name mapping:
+        {"renames": {written: current}, "dropped": [current...],
+        "retired": [written names that may never be reused]}."""
+        import copy
+
+        raw = self._raw_manifest(snapshot_id)
+        return copy.deepcopy(raw.get("column_mapping") or _EMPTY_MAPPING)
+
+    def _reserved_names(self, m: dict | None = None) -> set:
+        m = m if m is not None else self.column_mapping()
+        return set(m["retired"]) | set(m["dropped"])
+
+    def _check_writable_columns(self, cols, operation: str) -> None:
+        """Writers must use CURRENT names only: re-using a retired written
+        name would make old pre-rename data resurface through the read
+        projection's coalesce; re-adding a dropped name would un-hide the
+        dropped history. Both fail loudly (use a fresh name instead)."""
+        clash = set(cols) & self._reserved_names()
+        if clash:
+            raise ValueError(
+                f"{operation}: column names {sorted(clash)} were retired by a "
+                "rename/drop and cannot be written again — pick fresh names "
+                "(written names are never reused, the Iceberg id-reuse rule)"
+            )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """METADATA-ONLY column rename (no data rewrite, the Iceberg
+        semantics): partitions written before the rename keep their
+        physical name and read() surfaces them under `new` via the mapping;
+        partitions written afterwards carry `new` physically. `old` is
+        retired forever (never reusable). Zone-map pruning keeps working
+        across the rename (predicates on `new` consult stats recorded under
+        any of its written aliases). Returns the new snapshot id."""
+        m = self.column_mapping()
+        if old == new:
+            raise ValueError(f"rename_column: {old!r} -> {new!r} is a no-op")
+        if old in m["dropped"] or old in m["retired"]:
+            raise ValueError(f"rename_column: {old!r} is dropped/retired")
+        if new in self._reserved_names(m):
+            raise ValueError(
+                f"rename_column: target {new!r} is a retired/dropped name — "
+                "written names are never reused"
+            )
+        # re-point earlier generations (a -> b -> c compresses to a -> c)
+        for w, cur in list(m["renames"].items()):
+            if cur == old:
+                m["renames"][w] = new
+        m["renames"][old] = new
+        m["retired"].append(old)
+        return self._commit_state(
+            dict(self.current_manifest()["partitions"]),
+            column_mapping=m,
+            operation="rename_column",
+        )
+
+    def drop_column(self, name: str) -> int:
+        """METADATA-ONLY column drop: the column (under its current name,
+        whatever physical names its generations were written with)
+        disappears from reads; history stays intact for time travel. The
+        name is retired — re-adding it would un-hide the dropped data, so
+        writers must pick a fresh name. Returns the new snapshot id."""
+        m = self.column_mapping()
+        if name in m["dropped"]:
+            raise ValueError(f"drop_column: {name!r} already dropped")
+        if name in m["retired"]:
+            raise ValueError(f"drop_column: {name!r} is a retired written name")
+        m["dropped"].append(name)
+        return self._commit_state(
+            dict(self.current_manifest()["partitions"]),
+            column_mapping=m,
+            operation="drop_column",
+        )
+
     def rollback(self, snapshot_id: int) -> int:
         """Roll the table back to an earlier snapshot's state — APPEND-ONLY:
         the rollback is itself a new snapshot whose partition map equals the
