@@ -237,12 +237,13 @@ def main() -> None:
             "orderkey_raw_join_median_sec": raw,
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
-            "scaling_evidence": "BENCH.md: N→4N efficiency 0.927 single-JVM "
-            "(local[2]→local[8]) AND 0.965 separate-executor-JVM "
+            "scaling_evidence": "BENCH.md: N→4N efficiency 0.887 single-JVM "
+            "(local[2]→local[8]) AND 0.889 separate-executor-JVM "
             "(local-cluster 1→4 executors × 2 cores) on the tile+PIP metric "
-            "job at 64M pages, re-measured round 4 — both PASS ≥0.8; 4N "
-            "throughput 1.71M rows/s is the fastest of all rounds "
-            "(tools/scaling_bench.py)",
+            "job at 64M pages, re-measured round 5 — both PASS ≥0.8; 4N "
+            "throughput 1.48M/1.63M rows/s this lap (r4 1.71M; the delta is "
+            "uniform across both levels = host-day variance, controls in "
+            "BENCH.md) (tools/scaling_bench.py)",
         },
     }
     print(json.dumps(out))
