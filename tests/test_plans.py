@@ -89,6 +89,53 @@ class TestPlanShapes:
         df = SPARK_QUERIES["doc_gopher_quality"](spark, SF_DIR)
         assert "Python" not in plan_of(df)
 
+    def test_q21_exists_shapes_are_semi_anti_equi_joins(self, spark):
+        """The EXISTS/NOT-EXISTS pair must plan as hash-partitioned
+        semi/anti EQUI-joins on l_orderkey (the supplier inequality rides
+        as a residual condition) — never a nested-loop/cartesian, which a
+        naive correlated-subquery translation can produce."""
+        df = SPARK_QUERIES["q21_blamed_suppliers"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "LeftSemi" in p and "LeftAnti" in p
+
+    def test_q13_outer_join_preserved(self, spark):
+        """q13's right-side filter must stay INSIDE the outer join (a filter
+        pulled above it would silently drop zero-order customers)."""
+        df = SPARK_QUERIES["q13_customer_distribution"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "LeftOuter" in p
+        zero_bucket = df.filter(F.col("c_count") == 0).collect()
+        assert len(zero_bucket) == 1 and zero_bucket[0].custdist > 0
+
+    def test_q18_semi_join_on_aggregate(self, spark):
+        df = SPARK_QUERIES["q18_large_volume_customers"](spark, SF_DIR)
+        assert "LeftSemi" in plan_of(df)
+
+    def test_media_phash_block_join_has_no_row_python(self, spark):
+        """The dHash pipeline's only Python is the Arrow-batched decode
+        (mapInPandas); the block join + hamming verify stay JVM."""
+        from erased_cells_spark.operators.dedup import hamming_block_pairs
+        from erased_cells_spark.operators.multimodal import (
+            MEDIA_SCHEMA,
+            image_dhash,
+            phash_fixture_rows,
+        )
+
+        rows = [
+            {**r, "payload": bytearray(r["payload"])} for r in phash_fixture_rows(64, 5)
+        ]
+        sigs = image_dhash(spark.createDataFrame(rows, MEDIA_SCHEMA))
+        caches: list = []
+        pairs = hamming_block_pairs(
+            sigs, max_hamming=3, id_col="media_id", sig_col="dhash", caches=caches
+        )
+        p = plan_of(pairs)
+        for c in caches:
+            c.unpersist()
+        assert "BatchEvalPython" not in p
+        assert "CartesianProduct" not in p
+
     def test_q6_all_predicates_pushed_schema_pruned(self, spark):
         """q6 is the canonical pushdown probe: every filter must reach the
         parquet scan and the ReadSchema must carry only the needed columns
