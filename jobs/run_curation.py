@@ -7,14 +7,17 @@ Usage:
 The full keep-list pipeline over a documents table, committed to an
 Iceberg-style snapshot table with per-partition lineage + metrics:
 
-  1. language filter (lang_id == en)  ∧  quality floor  ∧  Gopher-style
-     repetition rules (dup-word fraction / top-word share / word bounds)
-     — all scan-side JVM predicates;
-  2. deterministic md5 hash downsample (reproducible across cluster sizes);
+  1. language filter (lang_id == en)  ∧  quality floor  ∧  the STRUCTURAL
+     C4/Gopher rules (symbol-to-word ratio, bullet/ellipsis line
+     fractions, duplicate-line fraction)  ∧  deterministic md5 hash
+     downsample — all scan-side per-row JVM predicates, zero shuffle;
+  2. Gopher REPETITION rules (word-count bounds, duplicate-word fraction,
+     top-word share, mean word length) — one explode + two combinable
+     aggregations, semi-join back;
   3. eval-set DECONTAMINATION: docs sharing a 13-gram with the --eval-source
      slice are dropped (the benchmark-leak guard);
-  4. MinHash-LSH near-dup clustering over the survivors; non-canonical
-     cluster members dropped;
+  4. MinHash-LSH near-dup clustering over the survivors (hot-bucket
+     guarded); non-canonical cluster members dropped;
   5. keep list written to the snapshot sink (resumable: re-running with the
      same --out skips committed lineage partitions), with per-stage drop
      counts reported as job metrics.
@@ -59,16 +62,48 @@ def main() -> None:
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
-    survivors = (
+    # the structural C4/Gopher rules are pure per-row expressions — they
+    # ride the same scan as lang/quality/sample (n_words denominator =
+    # whitespace token count, so no aggregation is needed at this stage)
+    structural_ok = (
+        (T.symbol_count(F.col("text")) / T.token_count(F.col("text")) < 0.1)
+        & (T.bullet_line_frac(F.col("text")) <= 0.9)
+        & (T.ellipsis_line_frac(F.col("text")) <= 0.3)
+        & (T.dup_line_frac(F.col("text")) < 0.3)
+    )
+    scan_pass = (
         train.filter(
             (T.lang_id(F.col("text")) == "en")
             & (T.quality_score(F.col("text")) >= args.quality_floor)
+            & structural_ok
             & (h < args.sample_pct)
         )
         .select("doc_id", "text")
         .cache()
     )
-    n_filtered = survivors.count()
+    n_filtered = scan_pass.count()
+
+    # Gopher repetition rules need per-doc word statistics: one explode +
+    # two map-side-combinable aggregations, then a semi-join keep
+    words = scan_pass.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("max_c"),
+        (
+            F.sum(F.length("w") * F.col("c")).cast("double") / F.sum("c").cast("double")
+        ).alias("mean_wlen"),
+    )
+    rep_ok = per.filter(
+        (F.col("n_words") >= 20)
+        & (1.0 - F.col("n_distinct").cast("double") / F.col("n_words").cast("double") < 0.55)
+        & (F.col("max_c").cast("double") / F.col("n_words").cast("double") < 0.10)
+        & (F.col("mean_wlen") >= 3.0)
+        & (F.col("mean_wlen") <= 8.0)
+    ).select("doc_id")
+    survivors = scan_pass.join(rep_ok, "doc_id", "semi").cache()
+    n_gopher = survivors.count()
 
     flags = ngram_overlap_flags(survivors, ev, n=13).withColumnRenamed("train_id", "doc_id")
     clean = survivors.join(flags, "doc_id", "left_anti").cache()
@@ -92,6 +127,7 @@ def main() -> None:
 
     table = SnapshotTable(args.out)
     stats = table.write_partitions(keep, "bucket", list(range(args.buckets)))
+    scan_pass.unpersist()
     survivors.unpersist()
     clean.unpersist()
     keep.unpersist()
@@ -100,7 +136,8 @@ def main() -> None:
             {
                 "snapshot": table.metrics()["snapshot_id"],
                 "docs_total": n_total,
-                "after_lang_quality_sample": n_filtered,
+                "after_lang_quality_structural_sample": n_filtered,
+                "after_gopher_repetition": n_gopher,
                 "after_decontam": n_clean,
                 "keep_list": n_keep,
                 "partitions": stats,
