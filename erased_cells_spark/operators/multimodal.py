@@ -139,11 +139,16 @@ def dhash63(img: np.ndarray) -> int:
     return int((bits[:63] << np.arange(63, dtype=np.uint64)).sum())
 
 
-def image_dhash(media: DataFrame) -> DataFrame:
+def image_dhash(media: DataFrame, passthrough: tuple = ()) -> DataFrame:
     """Per-image perceptual hash: decode(stub) → dHash, the signature feed
     for the image near-dup family (hamming_block_pairs + connected
     components — the multimodal twin of SimHash text dedup). Same
-    partition-preserving mapInPandas shape as extract_image_features."""
+    partition-preserving mapInPandas shape as extract_image_features.
+    `passthrough` columns (e.g. the event timestamp for the streaming
+    guard) are carried alongside unchanged."""
+    schema = StructType(
+        list(DHASH_SCHEMA.fields) + [media.schema[c] for c in passthrough]
+    )
 
     def run(batches):
         for pdf in batches:
@@ -154,10 +159,13 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 w = int(r.width) if r.width and r.width == r.width else 32
                 h = int(r.height) if r.height and r.height == r.height else 32
                 img = decode_image_stub(r.payload, w, h)
-                rows.append({"media_id": int(r.media_id), "dhash": dhash63(img)})
-            yield pd.DataFrame(rows, columns=[f.name for f in DHASH_SCHEMA.fields])
+                row = {"media_id": int(r.media_id), "dhash": dhash63(img)}
+                for c in passthrough:
+                    row[c] = getattr(r, c)
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(run, DHASH_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 VIDEO_FRAME_W, VIDEO_FRAME_H = 32, 24  # stub decode plane for video frames
