@@ -3,14 +3,20 @@
 entry(spark)     — flagship pipeline smoke on sf0.001.
 queries()        — every implemented operator (SURVEY.md §2 Part B + the
                    training-data ops) as (spark, sf_dir) → DataFrame.
-oracle_sql()     — a DuckDB twin for EVERY query (44/44 in round 4,
-                   green at sf0.001/sf0.01/sf0.1):
+                   EXACTLY 50 registered (the driver artifact's window,
+                   enforced by tests/test_inventory.py), highest-risk
+                   first; exact quadratic ground truths live in
+                   queries.TWIN_QUERIES (oracle-checked in pytest and via
+                   `tools/check_oracles.py <sf> --twins`).
+oracle_sql()     — a DuckDB twin for EVERY registered query (50/50 in
+                   round 5, green at sf0.001/sf0.01/sf0.1):
                    winding-number PIP as an edge-crossing VALUES query,
                    simhash as md5 signature algebra in SQL, IVF with
                    data-derived centroids, LSH ANN + LSH near-dup with
-                   literal hyperplanes, as-of via DuckDB's native ASOF
-                   JOIN, dup clusters via a recursive reachability CTE,
-                   multimodal with inlined deterministic expected rows.
+                   literal hyperplanes, image-dHash near-dup clusters via
+                   driver-computed hashes + a recursive reachability CTE,
+                   as-of via DuckDB's native ASOF JOIN, multimodal with
+                   inlined deterministic expected rows.
                    tests/test_inventory.py asserts queries() ≡ oracle_sql()
                    and that no operator is test-only.
 """
