@@ -342,12 +342,18 @@ class SnapshotTable:
     def committed_lineage(self) -> set[str]:
         return set(self.current_manifest()["partitions"].keys())
 
-    def _commit(self, new_partitions: dict, max_retries: int = 5) -> int:
+    def _commit(self, new_partitions: dict, max_retries: int = 20) -> int:
         """APPEND commit: merge `new_partitions` over the current state.
         Safe under concurrent committers — on a snapshot-id collision the
         parent is re-read and the merge retried (optimistic concurrency;
-        an append by definition composes with whatever won the race)."""
-        for _ in range(max_retries):
+        an append by definition composes with whatever won the race).
+        Retries back off with jitter: without it a committer can lose
+        every race under many-way contention (N committers racing the same
+        id ladder resolve one per round, so the unlucky tail needs ~N
+        attempts — observed losing 5 straight at 8 threads)."""
+        import random
+
+        for attempt in range(max_retries):
             parent = self.current_manifest()
             try:
                 return self._commit_state(
@@ -355,6 +361,7 @@ class SnapshotTable:
                     _expected_parent=parent["snapshot_id"],
                 )
             except CommitConflictError:
+                time.sleep(random.uniform(0, min(0.01 * 2**attempt, 0.5)))
                 continue
         raise CommitConflictError(
             f"append to {self.path} lost the commit race {max_retries} times"

@@ -120,3 +120,81 @@ class TestStringZoneTruncation:
         # ...and still prune what they can prove
         plan = table.plan_scan(where=[("blob", ">", "w")])
         assert plan["pruned_n"] == 1
+
+
+class TestManifestListModel:
+    def test_random_commit_sequences_match_dict_model(self, tmp_path):
+        """Randomized append/update/delete sequences over the manifest-list
+        layer (pure metadata): after every commit the resolved partitions
+        must equal a plain dict model, summaries must sum correctly, and
+        every referenced group file must exist."""
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        table = SnapshotTable(str(tmp_path / "model"))
+        model: dict = {}
+        next_key = 0
+        for step in range(30):
+            op = rng.choice(["append", "update", "delete"], p=[0.5, 0.3, 0.2])
+            if op == "append" or not model:
+                n = int(rng.integers(1, 40))
+                for _ in range(n):
+                    model[f"{next_key:06d}"] = fake_meta(next_key)
+                    next_key += 1
+            elif op == "update":
+                keys = list(model)
+                for k in rng.choice(keys, size=min(5, len(keys)), replace=False):
+                    model[k] = {**model[k], "rows": int(rng.integers(1, 100))}
+            else:  # delete
+                keys = list(model)
+                for k in rng.choice(keys, size=min(3, len(keys)), replace=False):
+                    del model[k]
+                if not model:  # empty-table commits unsupported by contract
+                    model[f"{next_key:06d}"] = fake_meta(next_key)
+                    next_key += 1
+            table._commit_state(dict(model))
+            got = table.current_manifest()["partitions"]
+            assert got == model, f"divergence at step {step} ({op})"
+            raw = table._raw_manifest()
+            assert sum(e["n_partitions"] for e in raw["manifest_list"]) == len(model)
+            assert sum(e["rows"] for e in raw["manifest_list"]) == sum(
+                m["rows"] for m in model.values()
+            )
+            for e in raw["manifest_list"]:
+                assert os.path.exists(os.path.join(table.path, e["path"]))
+        # a COLD handle resolves identically (nothing depended on the cache)
+        fresh = SnapshotTable(table.path)
+        assert fresh.current_manifest()["partitions"] == model
+        # expire keeps the newest snapshot readable and GCs dead groups
+        res = fresh.expire_snapshots(keep_last=1)
+        assert fresh.current_manifest()["partitions"] == model
+        assert res["expired_snapshots"]
+
+    def test_concurrent_appends_never_lose_partitions(self, tmp_path):
+        """8 threads × 5 appends race on one table: every appended key must
+        be present afterwards (the link-if-absent claim + repair/retry path
+        under real contention)."""
+        import threading
+
+        table_path = str(tmp_path / "conc")
+        SnapshotTable(table_path)._commit_state({"seed": fake_meta(0)})
+        errors: list = []
+
+        def worker(tid: int):
+            t = SnapshotTable(table_path)  # own handle (no shared cache)
+            try:
+                for j in range(5):
+                    key = f"t{tid}-{j}"
+                    t._commit({key: fake_meta(tid * 100 + j)})
+            except Exception as e:  # noqa: BLE001
+                errors.append((tid, repr(e)))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert not errors, errors
+        final = SnapshotTable(table_path).current_manifest()["partitions"]
+        want = {"seed"} | {f"t{i}-{j}" for i in range(8) for j in range(5)}
+        assert set(final) == want
