@@ -51,7 +51,11 @@ def cosine_topk(
             F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    # rounded-score ranking (cross-engine discipline): last-ulp summation
+    # differences between engines must not flip near-tied row_numbers
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -114,7 +118,11 @@ def ann_lsh_topk(
             F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
         ).alias("cosine"),
     ).dropDuplicates(["q_id", "nn_id"])
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    # rounded-score ranking (cross-engine discipline): last-ulp summation
+    # differences between engines must not flip near-tied row_numbers
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -232,7 +240,11 @@ def ivf_ann_topk(
             F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("nn_id").asc())
+    # rounded-score ranking (cross-engine discipline): last-ulp summation
+    # differences between engines must not flip near-tied row_numbers
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+    )
     return (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -351,7 +363,11 @@ def pq_ann_topk(
         lambda a, x: a + x,
     )
     scored = codes.crossJoin(F.broadcast(lut_df)).select("q_id", "nn_id", adist.alias("adist"))
-    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("nn_id").asc())
+    # rounded-distance ranking, same cross-engine discipline as the cosine
+    # windows (ADC sums are doubles on both engines)
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("adist"), 6).asc(), F.col("nn_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

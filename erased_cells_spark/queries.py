@@ -2274,7 +2274,7 @@ s AS (
   FROM embeddings e, q
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(c, 6) DESC, nn_id) AS rnk
   FROM s
 ) WHERE rnk <= 10 ORDER BY q_id, rnk
 """,
@@ -2464,7 +2464,7 @@ cand AS (
   FROM ev v JOIN probes p ON v.list_id = p.list_id
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, nn_id) AS rnk
   FROM cand
 ) WHERE rnk <= 10
 ORDER BY q_id, rnk
@@ -2525,7 +2525,7 @@ d AS (
   GROUP BY 1, 2
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY adist, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(adist, 6), nn_id) AS rnk
   FROM d
 ) WHERE rnk <= 10
 ORDER BY q_id, rnk
@@ -2596,7 +2596,7 @@ cand AS (
   FROM eb e JOIN probes p ON e.bucket = p.bucket
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, nn_id) AS rnk
   FROM cand
 ) WHERE rnk <= 10
 ORDER BY q_id, rnk
