@@ -241,7 +241,9 @@ def knn_join(
         acc = acc.localCheckpoint(eager=False)
 
         # per-query k-th distance so far (tiny collect: |queries| rows)
-        w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+        w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("dist_km"), 6).asc(), F.col("nn_id").asc()
+    )
         stats = (
             acc.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
@@ -287,7 +289,9 @@ def knn_join(
                 f.write(str(round_no))
             os.rename(cur_tmp, os.path.join(checkpoint_dir, "CURRENT"))
 
-    w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("dist_km"), 6).asc(), F.col("nn_id").asc()
+    )
     return (
         acc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -483,7 +487,9 @@ def knn_join_df(
         # stats job below — one pass over the new candidates per round
         acc = acc.localCheckpoint(eager=False)
 
-        w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+        w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("dist_km"), 6).asc(), F.col("nn_id").asc()
+    )
         stats = (
             acc.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= k)
@@ -556,7 +562,9 @@ def knn_join_df(
                 F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
             ).alias("dist_km"),
         )
-    w = Window.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("nn_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.round(F.col("dist_km"), 6).asc(), F.col("nn_id").asc()
+    )
     out = (
         acc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

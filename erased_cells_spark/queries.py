@@ -1550,7 +1550,7 @@ d AS (
   FROM pts p, q
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(dist, 6), nn_id) AS rnk
   FROM d
 ) WHERE rnk <= 5 ORDER BY q_id, rnk
 """,
@@ -1576,7 +1576,7 @@ d AS (
   FROM pts p, q
 )
 SELECT q_id, nn_id, rnk FROM (
-  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, nn_id) AS rnk
+  SELECT q_id, nn_id, row_number() OVER (PARTITION BY q_id ORDER BY round(dist, 6), nn_id) AS rnk
   FROM d
 ) WHERE rnk <= 3 ORDER BY q_id, rnk
 """,
