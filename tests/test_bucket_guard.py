@@ -199,3 +199,36 @@ class TestStopGramCap:
         # the quadratic join blowup, not the final answer)
         exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(df, 0.5).collect()}
         assert exact == {(7, 100)}
+
+
+class TestSaltHotBucketsProperties:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_populations_partition_exactly_and_bound_groups(self, spark, seed):
+        """Random bucket populations (mixed healthy/hot): salting must be a
+        PARTITION of each bucket (no row lost/duplicated, sub-buckets within
+        the bucket) with every (bucket, salt) group ≲ cap, and rows of
+        healthy buckets keep salt 0."""
+        rng = np.random.default_rng(seed)
+        cap = int(rng.integers(8, 64))
+        rows = []
+        sizes = {}
+        next_id = 0
+        for b in range(int(rng.integers(3, 10))):
+            m = int(rng.integers(1, cap * 6))
+            sizes[b] = m
+            for _ in range(m):
+                rows.append((next_id, 0, b))
+                next_id += 1
+        triples = spark.createDataFrame(rows, "id LONG, band LONG, bucket LONG")
+        g = salt_hot_buckets(triples, ["band", "bucket"], cap=cap).collect()
+        assert len(g) == len(rows)  # partition: nothing lost, nothing added
+        assert {(r.id, r.bucket) for r in g} == {(i, b) for i, _, b in rows}
+        from collections import Counter
+
+        group_sizes = Counter((r.bucket, r.salt) for r in g)
+        for (b, salt), n in group_sizes.items():
+            if sizes[b] <= cap:
+                assert salt == 0 and n == sizes[b]
+            else:
+                # hash-balanced around cap; 4x slack for small-sample skew
+                assert n <= 4 * cap
