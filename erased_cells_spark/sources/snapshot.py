@@ -31,6 +31,12 @@ column's written generations; written names are never reused — the
 id-reuse discipline Iceberg gets from column ids). Time travel reads each
 snapshot under ITS OWN mapping.
 
+ROW DELETES come in both Iceberg flavors: COPY-ON-WRITE (delete_where —
+immediate partition rewrites, exact row accounting) and MERGE-ON-READ
+(delete_keys — commit a small delete-key file touching zero data
+partitions; reads anti-join the pending sets; apply_deletes folds them
+into rewrites when read-amplification warrants).
+
 (The reference has no such machinery — this is the north-rule requirement
 of `BASELINE.json` "resumable from checkpoint with per-partition lineage +
 metrics"; Iceberg jars aren't in the environment, so the manifest protocol
@@ -45,6 +51,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast as F_broadcast
 from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import count as F_count
@@ -433,9 +440,12 @@ class SnapshotTable:
                     "stats": _merged_stats(gparts.values()),
                 }
             )
-        # table-level metadata (schema-evolution mapping) carries forward
-        # across every commit unless the commit itself overrides it
-        table_meta = {k: parent[k] for k in ("column_mapping",) if k in parent}
+        # table-level metadata (schema-evolution mapping, merge-on-read
+        # delete files) carries forward across every commit unless the
+        # commit itself overrides it
+        table_meta = {
+            k: parent[k] for k in ("column_mapping", "delete_files") if k in parent
+        }
         manifest = {
             "snapshot_id": sid,
             "parent": parent["snapshot_id"] or None,
@@ -693,6 +703,8 @@ class SnapshotTable:
         # CURRENT names (renames coalesce across generations, drops vanish)
         # BEFORE the predicate filter, which speaks current names
         df = _apply_column_mapping(df, self.column_mapping(snapshot_id))
+        # merge-on-read deletes: anti-join the snapshot's pending delete sets
+        df = self._apply_delete_files(spark, df, snapshot_id)
         if all_pruned:
             df = df.filter(F_lit(False))
         if where:
@@ -716,7 +728,8 @@ class SnapshotTable:
             parts.append(df.withColumn("__part", F_lit(key)))
         if not parts:
             raise ValueError(f"empty snapshot table at {self.path}")
-        return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        out = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+        return self._apply_delete_files(spark, out)
 
     def _rewrite_commit(
         self,
@@ -725,6 +738,7 @@ class SnapshotTable:
         rewrite_keys: set[str],
         expected_rows: dict[str, int],
         operation: str,
+        **extra,
     ) -> int:
         """Copy-on-write commit: stage `content` (must carry a `__lineage`
         string column ∈ rewrite_keys) in ONE partitioned job, verify every
@@ -793,7 +807,7 @@ class SnapshotTable:
             }
         shutil.rmtree(stage, ignore_errors=True)
         keep = {k: v for k, v in man["partitions"].items() if k not in rewrite_keys}
-        return self._commit_state({**keep, **new_parts}, operation=operation)
+        return self._commit_state({**keep, **new_parts}, operation=operation, **extra)
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, key_col: str, lineage_col: str
@@ -818,6 +832,7 @@ class SnapshotTable:
         if not man["partitions"]:
             raise ValueError("merge into an empty table — write_partitions first")
         self._check_writable_columns(updates.columns, "merge")
+        self._require_no_pending_deletes("merge")
         upd = updates.withColumn("__lineage", F_col(lineage_col).cast("string")).cache()
         try:
             n_upd = upd.count()
@@ -894,6 +909,7 @@ class SnapshotTable:
         man = self.current_manifest()
         if not man["partitions"]:
             raise ValueError(f"empty snapshot table at {self.path}")
+        self._require_no_pending_deletes("delete_where")
         tagged = self._tagged_read(spark)
         matched = {
             r["__part"]: r["n"]
@@ -914,6 +930,110 @@ class SnapshotTable:
         return self._rewrite_commit(spark, content, rewrite, expected, "delete")
 
     # ----- table maintenance -------------------------------------------------
+    # ----- merge-on-read DELETE FILES (Iceberg-v2 shape) -------------------
+    def delete_files(self, snapshot_id: int | None = None) -> list:
+        """Pending merge-on-read delete-key files of a snapshot:
+        [{path, key_col, n_keys, committed_at}, ...]."""
+        return list(self._raw_manifest(snapshot_id).get("delete_files") or [])
+
+    def delete_keys(self, spark: SparkSession, keys: DataFrame, key_col: str) -> int:
+        """MERGE-ON-READ delete by key: commit a (small) delete-key file and
+        touch ZERO data partitions — at 10⁵+ partitions a takedown of a few
+        keys must not rewrite anything. Reads anti-join the pending delete
+        sets (broadcast — delete sets are takedown lists, small by
+        contract); time travel to an earlier snapshot does not see later
+        deletes; `apply_deletes` folds them into rewritten partitions when
+        read-amplification warrants. The copy-on-write twin is
+        delete_where (immediate rewrite). NULL keys are dropped (they can
+        match no row). Returns the new snapshot id."""
+        man = self.current_manifest()
+        if not man["partitions"]:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        if key_col in self._reserved_names():
+            raise ValueError(
+                f"delete_keys: {key_col!r} is a retired/dropped name — key on "
+                "the CURRENT column name"
+            )
+        kdf = keys.select(key_col).na.drop().distinct()
+        n = kdf.count()
+        if n == 0:
+            return man["snapshot_id"]
+        rel = f"delete-{uuid.uuid4().hex}"
+        kdf.coalesce(1).write.parquet(os.path.join(self.path, rel))
+        entry = {
+            "path": rel,
+            "key_col": key_col,
+            "n_keys": n,
+            "committed_at": time.time(),
+        }
+        return self._commit_state(
+            dict(man["partitions"]),
+            delete_files=[*self.delete_files(), entry],
+            operation="delete_keys",
+        )
+
+    def _apply_delete_files(
+        self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Anti-join the snapshot's pending delete sets (post
+        column-mapping, so a delete file written before a rename keys on
+        the written name and resolves through the mapping)."""
+        dels = self.delete_files(snapshot_id)
+        if not dels:
+            return df
+        renames = self.column_mapping(snapshot_id)["renames"]
+        for entry in dels:
+            eff = renames.get(entry["key_col"], entry["key_col"])
+            keys = (
+                spark.read.parquet(os.path.join(self.path, entry["path"]))
+                .withColumnRenamed(entry["key_col"], eff)
+            )
+            df = df.join(F_broadcast(keys), eff, "left_anti")
+        return df
+
+    def _require_no_pending_deletes(self, operation: str) -> None:
+        """Copy-on-write rewrites compute expected row counts from the
+        manifest's PHYSICAL rows; with merge-on-read deletes pending those
+        two row spaces differ — fold first, explicitly."""
+        n = len(self.delete_files())
+        if n:
+            raise ValueError(
+                f"{operation}: {n} merge-on-read delete file(s) pending — run "
+                "apply_deletes(spark) first so row accounting stays exact"
+            )
+
+    def apply_deletes(self, spark: SparkSession) -> int:
+        """Fold every pending delete file into COPY-ON-WRITE partition
+        rewrites (only partitions that actually held deleted keys rewrite)
+        and clear the delete list. Old snapshots keep their delete files
+        for time travel; expire_snapshots GCs unreferenced ones."""
+        man = self.current_manifest()
+        dels = self.delete_files()
+        if not dels:
+            return man["snapshot_id"]
+        logical = self._tagged_read(spark)  # mapping + deletes applied
+        counts = {
+            r["__part"]: r["n"]
+            for r in logical.groupBy("__part").agg(F_count("*").alias("n")).collect()
+        }
+        rewrite = {
+            k
+            for k, meta in man["partitions"].items()
+            if counts.get(k, 0) != meta["rows"]
+        }
+        if not rewrite:  # deletes matched nothing: clear the list, metadata-only
+            return self._commit_state(
+                dict(man["partitions"]), delete_files=[], operation="apply_deletes"
+            )
+        expected = {k: counts.get(k, 0) for k in rewrite}
+        content = (
+            logical.filter(F_col("__part").isin(list(rewrite)))
+            .withColumnRenamed("__part", "__lineage")
+        )
+        return self._rewrite_commit(
+            spark, content, rewrite, expected, "apply_deletes", delete_files=[]
+        )
+
     # ----- schema evolution (rename / drop) --------------------------------
     def column_mapping(self, snapshot_id: int | None = None) -> dict:
         """The snapshot's written-name → current-name mapping:
@@ -978,6 +1098,12 @@ class SnapshotTable:
         name is retired — re-adding it would un-hide the dropped data, so
         writers must pick a fresh name. Returns the new snapshot id."""
         m = self.column_mapping()
+        for entry in self.delete_files():
+            if m["renames"].get(entry["key_col"], entry["key_col"]) == name:
+                raise ValueError(
+                    f"drop_column: {name!r} keys a pending merge-on-read delete "
+                    "file — apply_deletes(spark) first"
+                )
         if name in m["dropped"]:
             raise ValueError(f"drop_column: {name!r} already dropped")
         if name in m["retired"]:
@@ -1060,10 +1186,13 @@ class SnapshotTable:
         keep = set(ids[-keep_last:])
         referenced = set()
         live_groups = set()
+        live_deletes = set()
         for sid in keep:
             raw = self._raw_manifest(sid)
             for e in raw.get("manifest_list") or []:
                 live_groups.add(e["path"])
+            for e in raw.get("delete_files") or []:
+                live_deletes.add(e["path"])
             for p in self.manifest(sid)["partitions"].values():
                 referenced.add(p["path"])
         expired = []
@@ -1078,6 +1207,9 @@ class SnapshotTable:
             if name.startswith("manifest-") and name.endswith(".json") and name not in live_groups:
                 os.remove(os.path.join(self.path, name))
                 self._group_cache.pop(name, None)
+                dropped_groups.append(name)
+            if name.startswith("delete-") and name not in live_deletes:
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
                 dropped_groups.append(name)
         deleted = []
         for d in os.listdir(self.data_dir):
@@ -1096,6 +1228,8 @@ class SnapshotTable:
         return {
             "snapshot_id": man["snapshot_id"],
             "n_partitions": len(man["partitions"]),
+            # physical rows: pending merge-on-read deletes are not subtracted
             "total_rows": sum(p["rows"] for p in man["partitions"].values()),
+            "pending_delete_files": len(self.delete_files()),
             "partitions": man["partitions"],
         }
