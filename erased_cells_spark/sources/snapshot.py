@@ -164,7 +164,7 @@ def _merged_stats(metas) -> dict:
     return out or {}
 
 
-_EMPTY_MAPPING: dict = {"renames": {}, "dropped": [], "retired": []}
+_EMPTY_MAPPING: dict = {"renames": {}, "dropped": [], "retired": [], "defaults": {}}
 
 
 def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
@@ -174,7 +174,8 @@ def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
     one generation is non-NULL per partition because written names are
     never reused), dropped columns disappear."""
     renames, dropped = m["renames"], set(m["dropped"])
-    if not renames and not dropped:
+    defaults = m.get("defaults") or {}
+    if not renames and not dropped and not defaults:
         return df
     exprs, handled = [], set()
     for c in df.columns:
@@ -186,10 +187,16 @@ def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
             continue
         sources = [s for s in df.columns if renames.get(s, s) == tgt]
         handled.update(sources)
-        if len(sources) == 1:
-            exprs.append(F_col(sources[0]).alias(tgt))
-        else:
-            exprs.append(F_coalesce(*[F_col(s) for s in sources]).alias(tgt))
+        cols = [F_col(s) for s in sources]
+        if tgt in defaults:
+            # COALESCE default semantics (documented in add_column):
+            # missing-OR-null reads as the default
+            cols.append(F_lit(defaults[tgt]))
+        expr = cols[0] if len(cols) == 1 else F_coalesce(*cols)
+        exprs.append(expr.alias(tgt))
+    for name, v in defaults.items():
+        if renames.get(name, name) not in {renames.get(c, c) for c in df.columns}:
+            exprs.append(F_lit(v).alias(name))  # column exists nowhere yet
     return df.select(*exprs)
 
 
@@ -598,11 +605,17 @@ class SnapshotTable:
         # renamed column consults the stats of every written alias (at most
         # one alias exists per partition — names are never reused)
         mapping = raw.get("column_mapping") or _EMPTY_MAPPING
+        defaults = mapping.get("defaults") or {}
         aliases: dict = {}
         for w, cur in mapping["renames"].items():
             aliases.setdefault(cur, []).append(w)
 
         def excludes(stats, c, op, v):
+            if c in defaults:
+                # parquet min/max ignore NULLs, and NULL/missing reads as
+                # the default here — stats could mis-prune rows that
+                # materialize as the default value
+                return False
             return _zone_excludes(stats, c, op, v) or any(
                 _zone_excludes(stats, a, op, v) for a in aliases.get(c, ())
             )
@@ -1042,7 +1055,10 @@ class SnapshotTable:
         import copy
 
         raw = self._raw_manifest(snapshot_id)
-        return copy.deepcopy(raw.get("column_mapping") or _EMPTY_MAPPING)
+        m = copy.deepcopy(raw.get("column_mapping") or _EMPTY_MAPPING)
+        for k, v in _EMPTY_MAPPING.items():  # normalize pre-field manifests
+            m.setdefault(k, copy.deepcopy(v))
+        return m
 
     def _reserved_names(self, m: dict | None = None) -> set:
         m = m if m is not None else self.column_mapping()
@@ -1060,6 +1076,36 @@ class SnapshotTable:
                 "rename/drop and cannot be written again — pick fresh names "
                 "(written names are never reused, the Iceberg id-reuse rule)"
             )
+
+    def add_column(self, name: str, default) -> int:
+        """METADATA-ONLY ADD COLUMN with a default (no data rewrite):
+        partitions written before the column existed — and, by the
+        documented COALESCE semantics, any physically-NULL cell — read as
+        `default`; partitions written afterwards carry real values. Zone
+        pruning is disabled for defaulted columns (parquet min/max ignore
+        NULLs, which here read as the default, so stats could mis-prune).
+        The plain add-column path (just start writing the column;
+        mergeSchema reads NULL for old partitions) remains available when
+        NULL is the right default. Returns the new snapshot id."""
+        m = self.column_mapping()
+        if name in self._reserved_names(m):
+            raise ValueError(
+                f"add_column: {name!r} is a retired/dropped name — written "
+                "names are never reused"
+            )
+        if name in m["defaults"]:
+            raise ValueError(f"add_column: {name!r} already has a default")
+        if default is None:
+            raise ValueError(
+                "add_column: default must be non-NULL (write the column with "
+                "mergeSchema for NULL-default add-column)"
+            )
+        m["defaults"][name] = default
+        return self._commit_state(
+            dict(self.current_manifest()["partitions"]),
+            column_mapping=m,
+            operation="add_column",
+        )
 
     def rename_column(self, old: str, new: str) -> int:
         """METADATA-ONLY column rename (no data rewrite, the Iceberg
@@ -1085,6 +1131,8 @@ class SnapshotTable:
                 m["renames"][w] = new
         m["renames"][old] = new
         m["retired"].append(old)
+        if old in m["defaults"]:  # defaults are keyed by the current name
+            m["defaults"][new] = m["defaults"].pop(old)
         return self._commit_state(
             dict(self.current_manifest()["partitions"]),
             column_mapping=m,
@@ -1109,6 +1157,7 @@ class SnapshotTable:
         if name in m["retired"]:
             raise ValueError(f"drop_column: {name!r} is a retired written name")
         m["dropped"].append(name)
+        m["defaults"].pop(name, None)
         return self._commit_state(
             dict(self.current_manifest()["partitions"]),
             column_mapping=m,

@@ -134,3 +134,67 @@ class TestNameReuseGuards:
         )
         with pytest.raises(ValueError, match="retired"):
             table.merge(spark, upd, key_col="doc_id", lineage_col="bucket")
+
+
+class TestAddColumnDefault:
+    def test_metadata_only_add_with_default(self, spark, table):
+        table.write_partitions(base_df(spark), "bucket", [0, 1, 2, 3])
+        sid0 = table.metrics()["snapshot_id"]
+        groups_before = sorted(
+            n for n in os.listdir(table.path) if n.startswith("manifest-")
+        )
+        table.add_column("score", default=0)
+        assert sorted(
+            n for n in os.listdir(table.path) if n.startswith("manifest-")
+        ) == groups_before  # no rewrites
+        out = table.read(spark)
+        assert "score" in out.columns
+        assert out.filter("score = 0").count() == 400
+        # pre-add snapshot doesn't have the column (time travel)
+        assert "score" not in table.read(spark, snapshot_id=sid0).columns
+
+    def test_new_writes_carry_real_values_old_read_default(self, spark, table):
+        table.write_partitions(base_df(spark), "bucket", [0, 1, 2, 3])
+        table.add_column("score", default=-1)
+        post = base_df(spark, 500).filter("bucket = 4").withColumn(
+            "score", F.col("doc_id") * 2
+        )
+        table.write_partitions(post, "bucket", [4])
+        got = {r.doc_id: r.score for r in table.read(spark).collect()}
+        assert got[7] == -1 and got[450] == 900
+        # filters on the defaulted column work across generations
+        assert table.read(spark, where=[("score", "=", -1)]).count() == 400
+
+    def test_pruning_disabled_for_defaulted_columns(self, spark, table):
+        table.write_partitions(base_df(spark), "bucket", [0, 1, 2, 3])
+        table.add_column("score", default=-1)
+        post = base_df(spark, 500).filter("bucket = 4").withColumn(
+            "score", F.col("doc_id") * 2
+        )
+        table.write_partitions(post, "bucket", [4])
+        # partition 4's stats say score in [800, 998] — but old partitions
+        # materialize score = -1, so a score predicate must NOT prune them
+        plan = table.plan_scan(where=[("score", "<", 0)])
+        assert plan["pruned_n"] == 0
+        assert table.read(spark, where=[("score", "<", 0)]).count() == 400
+
+    def test_default_follows_rename_and_dies_with_drop(self, spark, table):
+        table.write_partitions(base_df(spark), "bucket", [0, 1, 2, 3])
+        table.add_column("score", default=7)
+        table.rename_column("score", "rating")
+        out = table.read(spark)
+        assert "rating" in out.columns and "score" not in out.columns
+        assert out.filter("rating = 7").count() == 400
+        table.drop_column("rating")
+        assert "rating" not in table.read(spark).columns
+
+    def test_guards(self, spark, table):
+        table.write_partitions(base_df(spark), "bucket", [0, 1, 2, 3])
+        table.rename_column("val", "content")
+        with pytest.raises(ValueError, match="never reused"):
+            table.add_column("val", default=1)
+        table.add_column("score", default=0)
+        with pytest.raises(ValueError, match="already has a default"):
+            table.add_column("score", default=5)
+        with pytest.raises(ValueError, match="non-NULL"):
+            table.add_column("other", default=None)
