@@ -24,14 +24,18 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
 
-    from erased_cells_spark.queries import ORACLES, SPARK_QUERIES
+    from erased_cells_spark.queries import ORACLES, SPARK_QUERIES, TWIN_QUERIES
 
     if args.list or not args.query:
         for name in SPARK_QUERIES:
             mark = "oracle" if name in ORACLES else "rows-only"
             print(f"{name}  [{mark}]")
+        for name in TWIN_QUERIES:
+            print(f"{name}  [ground-truth twin]")
         return
 
+    if args.query in TWIN_QUERIES:
+        SPARK_QUERIES = {**SPARK_QUERIES, **TWIN_QUERIES}  # twins runnable too
     if args.query not in SPARK_QUERIES:
         sys.exit(f"unknown query {args.query!r} — try --list")
 
