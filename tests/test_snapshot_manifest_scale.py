@@ -198,3 +198,62 @@ class TestManifestListModel:
         final = SnapshotTable(table_path).current_manifest()["partitions"]
         want = {"seed"} | {f"t{i}-{j}" for i in range(8) for j in range(5)}
         assert set(final) == want
+
+
+class TestCommitCrashPoints:
+    def test_crash_at_every_commit_io_step_leaves_table_recoverable(self, tmp_path):
+        """Kill the committer at EVERY filesystem step of _commit_state (group
+        write, group rename, manifest write, manifest link, CURRENT rename):
+        after each simulated crash the table must still resolve to the last
+        COMMITTED state, and the next commit must succeed and land on top of
+        whatever the crash left behind (orphan adoption included)."""
+        import erased_cells_spark.sources.snapshot as S
+
+        crash_step = {"n": None, "count": 0}
+        real_rename, real_link = os.rename, os.link
+
+        class Boom(RuntimeError):
+            pass
+
+        def counting(fn):
+            def wrapped(*a, **k):
+                crash_step["count"] += 1
+                if crash_step["n"] is not None and crash_step["count"] == crash_step["n"]:
+                    raise Boom(f"simulated crash at fs-op {crash_step['n']}")
+                return fn(*a, **k)
+
+            return wrapped
+
+        # first, count the fs ops of a clean commit
+        probe = SnapshotTable(str(tmp_path / "probe"))
+        os.rename, os.link = counting(real_rename), counting(real_link)
+        try:
+            crash_step["count"] = 0
+            probe._commit_state({"a": fake_meta(1)})
+            total_ops = crash_step["count"]
+        finally:
+            os.rename, os.link = real_rename, real_link
+        assert total_ops >= 3  # group rename + manifest link + CURRENT rename
+
+        for step in range(1, total_ops + 1):
+            tdir = str(tmp_path / f"t{step}")
+            table = SnapshotTable(tdir)
+            table._commit_state({"base": fake_meta(0)})
+            committed = table.current_manifest()["partitions"]
+            os.rename, os.link = counting(real_rename), counting(real_link)
+            try:
+                crash_step["n"], crash_step["count"] = step, 0
+                with pytest.raises(Boom):
+                    table._commit_state({**committed, "new": fake_meta(9)})
+            finally:
+                os.rename, os.link = real_rename, real_link
+                crash_step["n"] = None
+            # a FRESH handle (the restarted process) must read a consistent
+            # state: either the pre-crash commit or the fully-landed new one
+            fresh = SnapshotTable(tdir)
+            got = set(fresh.current_manifest()["partitions"])
+            assert got in ({"base"}, {"base", "new"}), (step, got)
+            # and the table remains writable (repair adopts any orphan)
+            fresh._commit({"after": fake_meta(7)})
+            final = set(SnapshotTable(tdir).current_manifest()["partitions"])
+            assert {"base", "after"} <= final, (step, final)
