@@ -164,6 +164,75 @@ def _merged_stats(metas) -> dict:
     return out or {}
 
 
+# ---------------------------------------------------------- bloom filters --
+# Zone maps prune RANGE predicates on clustered columns; point lookups on a
+# high-cardinality UNSORTED key (url, doc_id in arrival order) see min/max
+# spans covering everything and prune nothing. A small per-partition Bloom
+# filter closes that gap: `=` predicates skip every partition whose bloom
+# proves absence (false positives only cost an extra partition read — never
+# a wrong result). Hashing is engine-independent (md5 of the value's
+# canonical string), so the filter built at index time and the probe at
+# plan time always agree.
+BLOOM_MAX_ITEMS = 1_000_000  # partitions with more distinct keys skip blooms
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Canonical bytes for bloom hashing; None = type not bloom-indexable.
+    ints and strings only — floats/timestamps have representation-equality
+    pitfalls that would risk FALSE NEGATIVES (the one forbidden error)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v).encode()
+    if isinstance(v, str):
+        return v.encode()
+    return None
+
+
+def _bloom_hashes(canon: bytes, m: int, k: int):
+    import hashlib
+
+    d = hashlib.md5(canon).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_build(values, fpp: float = 0.01) -> dict | None:
+    """{'m': bits, 'k': hashes, 'bits': base64} or None (unindexable)."""
+    import base64
+    import math
+
+    canons = []
+    for v in values:
+        c = _bloom_canon(v)
+        if c is None:
+            return None  # a single unindexable value poisons the filter
+        canons.append(c)
+    n = max(len(canons), 1)
+    m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray((m + 7) // 8)
+    for c in canons:
+        for idx in _bloom_hashes(c, m, k):
+            bits[idx // 8] |= 1 << (idx % 8)
+    return {"m": m, "k": k, "bits": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_might_contain(bloom: dict, v) -> bool:
+    """False ⇒ provably absent. Unindexable probe values → True (no prune)."""
+    import base64
+
+    c = _bloom_canon(v)
+    if c is None:
+        return True
+    bits = base64.b64decode(bloom["bits"])
+    return all(
+        bits[idx // 8] & (1 << (idx % 8))
+        for idx in _bloom_hashes(c, bloom["m"], bloom["k"])
+    )
+
+
 _EMPTY_MAPPING: dict = {"renames": {}, "dropped": [], "retired": [], "defaults": {}}
 
 
@@ -620,6 +689,17 @@ class SnapshotTable:
                 _zone_excludes(stats, a, op, v) for a in aliases.get(c, ())
             )
 
+        def bloom_excludes(meta, c, op, v):
+            # point lookups: a partition bloom proving absence prunes where
+            # zone maps on an unsorted key cannot
+            if op not in ("=", "=="):
+                return False
+            blooms = meta.get("blooms") or {}
+            for name in [c, *aliases.get(c, ())]:
+                if name in blooms:
+                    return not _bloom_might_contain(blooms[name], v)
+            return False
+
         keep, pruned, pruned_groups = [], [], []
         metas: dict = {}
         if "partitions" in raw:  # pre-split inline manifest (or empty table)
@@ -643,7 +723,8 @@ class SnapshotTable:
         for _, group in group_iter:
             for key, meta in group.items():
                 if where and any(
-                    excludes(meta.get("stats"), c, op, v) for c, op, v in where
+                    excludes(meta.get("stats"), c, op, v) or bloom_excludes(meta, c, op, v)
+                    for c, op, v in where
                 ):
                     pruned.append(key)
                 else:
@@ -1172,6 +1253,49 @@ class SnapshotTable:
         return self._commit_state(
             dict(target["partitions"]), operation="rollback", rollback_of=snapshot_id
         )
+
+    def build_bloom(
+        self, spark: SparkSession, col: str, fpp: float = 0.01
+    ) -> int:
+        """Build per-partition BLOOM FILTERS on `col` and commit them into
+        the partition metas — the point-lookup index for high-cardinality
+        UNSORTED keys where zone maps cannot prune (an `=` predicate then
+        skips every partition whose bloom proves absence). An explicit
+        index-build pass like compact(): one scan of the table, every group
+        manifest rewrites once. int/string columns only (float canonical
+        forms risk false negatives — refused); a partition with more than
+        BLOOM_MAX_ITEMS distinct keys, or any NULL/unindexable value,
+        simply gets no bloom (reads stay correct, it just never prunes).
+        The driver materializes each partition's distinct-key set
+        (collect_set bounded by the cap) — at true 100 TB width, fold the
+        bloom BITS distributedly with a pandas aggregator instead; the
+        manifest format stays the same. Returns the new snapshot id."""
+        from pyspark.sql.functions import collect_set as F_collect_set
+
+        self._require_no_pending_deletes("build_bloom")
+        man = self.current_manifest()
+        if not man["partitions"]:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        tagged = self._tagged_read(spark)
+        if col not in tagged.columns:
+            raise ValueError(f"build_bloom: no column {col!r} in the table")
+        sets = {
+            r["__part"]: r["vals"]
+            for r in tagged.groupBy("__part")
+            .agg(F_collect_set(F_col(col)).alias("vals"))
+            .collect()
+        }
+        new_parts = {}
+        for key, meta in man["partitions"].items():
+            vals = sets.get(key, [])
+            blooms = dict(meta.get("blooms") or {})
+            bloom = _bloom_build(vals, fpp) if len(vals) <= BLOOM_MAX_ITEMS else None
+            if bloom is None:
+                blooms.pop(col, None)
+            else:
+                blooms[col] = bloom
+            new_parts[key] = {**meta, "blooms": blooms}
+        return self._commit_state(new_parts, operation="build_bloom")
 
     def compact(self, spark: SparkSession, max_files_per_partition: int = 1) -> int:
         """Rewrite every partition with more than max_files_per_partition
