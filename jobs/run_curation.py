@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=8, help="lineage partitions")
     ap.add_argument("--sample-pct", type=int, default=60)
     ap.add_argument("--quality-floor", type=float, default=0.35)
+    ap.add_argument(
+        "--bloom",
+        action="store_true",
+        help="build a per-partition doc_id Bloom index on the keep-list "
+        "snapshot (point lookups then skip bloom-proven-absent partitions)",
+    )
     args = ap.parse_args()
 
     from erased_cells_spark.functions import text as T
@@ -127,6 +133,19 @@ def main() -> None:
 
     table = SnapshotTable(args.out)
     stats = table.write_partitions(keep, "bucket", list(range(args.buckets)))
+    bloom_metrics = None
+    if args.bloom:
+        # point-lookup index: keep-list ids are hash-bucketed (unsorted per
+        # partition), so zone maps can't answer "is doc X kept" without
+        # opening every partition — the bloom can
+        table.build_bloom(spark, "doc_id")
+        probe = keep.select("doc_id").first()
+        plan = table.plan_scan(where=[("doc_id", "=", probe.doc_id)]) if probe else None
+        bloom_metrics = {
+            "indexed": True,
+            "probe_partitions_read": len(plan["read"]) if plan else None,
+            "partitions_total": plan["partitions_total"] if plan else None,
+        }
     scan_pass.unpersist()
     survivors.unpersist()
     clean.unpersist()
@@ -140,6 +159,7 @@ def main() -> None:
                 "after_gopher_repetition": n_gopher,
                 "after_decontam": n_clean,
                 "keep_list": n_keep,
+                "bloom": bloom_metrics,
                 "partitions": stats,
             }
         )
