@@ -93,6 +93,11 @@ def run_flagship_pages(spark: SparkSession, n_pages: int) -> tuple[float, list[f
 
     path = pages_table(spark, n_pages)
     pages = spark.read.parquet(path)
+    # one UNTIMED warmup lap: the suite's sf0.001 warmup never touches this
+    # plan, so lap 1 would otherwise pay cold file cache + first-compile
+    # (observed 5.9s vs 1.7s steady-state — which is what scales)
+    out, obs = flagship_with_invariant(pages)
+    out.collect()
     laps = []
     for _ in range(3):
         t0 = time.perf_counter()
