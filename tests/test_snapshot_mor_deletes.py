@@ -145,3 +145,43 @@ class TestInterplay:
         assert rel in res["deleted_manifests"]
         assert not os.path.exists(os.path.join(table.path, rel))
         assert table.read(spark).count() == 399
+
+
+class TestComposition:
+    def test_streamed_table_takedown_and_bloom_lookup(self, spark, table, tmp_path):
+        """The operational composition a crawl pipeline runs: stream →
+        snapshot sink (per-batch lineage), then a takedown via
+        merge-on-read delete_keys (zero rewrites), then a bloom point-lookup
+        index over the batch-lineage layout where zone maps can't prune."""
+        from erased_cells_spark.streaming.events import stream_to_snapshot
+
+        src = str(tmp_path / "src")
+        df = base_df(spark, 300).drop("bucket")
+        df.repartition(3).write.parquet(src)
+        stream = spark.readStream.schema(df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = stream_to_snapshot(
+            stream, str(table.path), query_name="mor_compose",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(180)
+        assert table.read(spark).count() == 300
+        assert len(table.current_manifest()["partitions"]) >= 2  # per-batch lineage
+        # takedown: zero rewrites
+        paths = {k: v["path"] for k, v in table.current_manifest()["partitions"].items()}
+        table.delete_keys(spark, keys_df(spark, [7, 123]), "doc_id")
+        assert {
+            k: v["path"] for k, v in table.current_manifest()["partitions"].items()
+        } == paths
+        got = {r.doc_id for r in table.read(spark).collect()}
+        assert len(got) == 298 and not {7, 123} & got
+        # bloom index requires the fold first (exact accounting), then prunes
+        with pytest.raises(ValueError, match="apply_deletes"):
+            table.build_bloom(spark, "doc_id")
+        table.apply_deletes(spark)
+        table.build_bloom(spark, "doc_id")
+        plan = table.plan_scan(where=[("doc_id", "=", 250)])
+        assert len(plan["read"]) < plan["partitions_total"]
+        assert table.read(spark, where=[("doc_id", "=", 250)]).count() == 1
+        assert table.read(spark, where=[("doc_id", "=", 7)]).count() == 0
