@@ -441,7 +441,12 @@ def hamming_block_pairs(
         raise ValueError(
             f"max_hamming={max_hamming}: the 4-block index guarantees recall only for ≤ 3"
         )
-    sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim"))
+    # cache the NARROW signatures (one row per item) — the signature
+    # aggregation underneath is the costly stage and feeds the guard's
+    # count job plus both self-join sides; the 4-way block explode is a
+    # cheap JVM projection recomputed from the cache (caching the exploded
+    # blocks instead measured 3× the materialization cost for no win)
+    sh = sigs.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sim")).cache()
     blocks = sh.select(
         "id",
         "sim",
@@ -454,14 +459,12 @@ def hamming_block_pairs(
                 for c in range(4)
             ])
         ).alias("cb"),
-    ).select("id", "sim", "cb.chunk", "cb.val").cache()
-    # blocks is cached: the signature aggregation underneath is the costly
-    # stage and feeds the guard's count job plus both self-join sides
+    ).select("id", "sim", "cb.chunk", "cb.val")
     guarded = salt_hot_buckets(
         blocks, ["chunk", "val"], id_col="id", cap=bucket_cap, report=hot_report
     )
     if caches is not None:
-        caches.append(blocks)
+        caches.append(sh)
     a, b = guarded.alias("a"), guarded.alias("b")
     cand = (
         a.join(
