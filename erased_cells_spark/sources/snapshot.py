@@ -568,6 +568,7 @@ class SnapshotTable:
         df: DataFrame,
         lineage_col: str,
         lineage_values: list,
+        overwrite: bool = False,
     ) -> dict:
         """Write ALL pending lineage partitions in ONE partitioned Spark job
         (a single scan of the input plan — never one filtered rescan per
@@ -576,6 +577,14 @@ class SnapshotTable:
         stay per-partition and atomic — staged files are invisible until their
         manifest rename — so a crash mid-commit-loop loses at most the
         in-flight partition and resume skips the committed ones.
+
+        `overwrite=True` is the dynamic-partition-overwrite (INSERT
+        OVERWRITE) shape — a re-crawl replacing whole shards: the listed
+        lineage partitions are REWRITTEN even when already committed (their
+        metas replace in the manifest; old files stay readable by earlier
+        snapshots until expire_snapshots). A crashed overwrite re-runs
+        idempotently — partitions committed before the crash simply
+        overwrite again with identical content.
 
         Returns {lineage: metrics}."""
         import glob
@@ -586,7 +595,9 @@ class SnapshotTable:
         from pyspark.sql import functions as F
 
         self._check_writable_columns(df.columns, "write_partitions")
-        done = self.committed_lineage()
+        if overwrite:
+            self._require_no_pending_deletes("write_partitions(overwrite=True)")
+        done = set() if overwrite else self.committed_lineage()
         manifest_parts = self.current_manifest()["partitions"]
         stats: dict = {}
         pending = []

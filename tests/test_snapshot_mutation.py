@@ -336,3 +336,31 @@ class TestZoneMaps:
         plan = table.plan_scan(where=[("doc_id", "<", 50)])
         assert plan["pruned"] == []
         assert table.read(spark, where=[("doc_id", "<", 50)]).count() == 50
+
+
+class TestOverwritePartitions:
+    def test_overwrite_replaces_listed_partitions_only(self, spark, table):
+        write_base(spark, table)
+        before = {k: v["path"] for k, v in table.current_manifest()["partitions"].items()}
+        sid0 = table.metrics()["snapshot_id"]
+        recrawl = docs_df(spark, 400, tag="v2").filter("bucket IN (1, 2)")
+        stats = table.write_partitions(recrawl, "bucket", [1, 2], overwrite=True)
+        assert not any(s.get("skipped") for s in stats.values())
+        after = table.current_manifest()["partitions"]
+        assert after["1"]["path"] != before["1"] and after["2"]["path"] != before["2"]
+        assert after["0"]["path"] == before["0"] and after["3"]["path"] == before["3"]
+        vals = {r.doc_id: r.val for r in table.read(spark).collect()}
+        assert len(vals) == 400
+        assert vals[150] == "v2-150" and vals[250] == "v2-250"  # replaced shards
+        assert vals[50] == "v1-50" and vals[350] == "v1-350"  # untouched shards
+        # time travel still reads the pre-overwrite content
+        old = {r.doc_id: r.val for r in table.read(spark, snapshot_id=sid0).collect()}
+        assert old[150] == "v1-150"
+        # the replaced dirs are reclaimed once history expires
+        res = table.expire_snapshots(keep_last=1)
+        assert before["1"] in res["deleted_dirs"]
+
+    def test_plain_write_still_skips(self, spark, table):
+        write_base(spark, table)
+        stats = table.write_partitions(docs_df(spark, 400), "bucket", [0, 1, 2, 3])
+        assert all(s.get("skipped") for s in stats.values())
