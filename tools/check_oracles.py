@@ -53,9 +53,12 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
         queries, oracles = SPARK_QUERIES, ORACLES
         wanted = set(only.split(",")) if only else None
     failures = []
+    import time as _time
+
     for name, fn in queries.items():
         if wanted is not None and name not in wanted:
             continue
+        _t0 = _time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -90,7 +93,7 @@ def main(sf_dir="/root/testdata/sf0.01", only=None):
             failures.append((name, f"{len(bad)} value mismatches; first: {bad[0]}"))
             print(f"FAIL  {name}: {len(bad)} mismatches; first: {bad[0]}")
         else:
-            print(f"PASS  {name} ({len(a)} rows)")
+            print(f"PASS  {name} ({len(a)} rows, {_time.perf_counter() - _t0:.1f}s)")
     spark.stop()
     if failures:
         sys.exit(1)
