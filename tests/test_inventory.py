@@ -54,6 +54,8 @@ SURFACE_FILES = [
     "__spark_entry__.py",
     "jobs/run_pipeline.py",
     "jobs/write_clustered.py",
+    "jobs/run_curation.py",
+    "jobs/run_maintenance.py",
 ]
 
 # name → why it legitimately has no registered query
