@@ -58,6 +58,7 @@ def salt_hot_buckets(
     id_col: str = "id",
     cap: int = LSH_BUCKET_CAP,
     report: list | None = None,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Append a `salt` column bounding per-(keys) group size to ~cap.
 
@@ -72,10 +73,19 @@ def salt_hot_buckets(
     guard's decision input). When it is empty — every healthy corpus — the
     returned plan is the input plus a literal 0 column, so the self-join
     downstream keeps its original shape and cost.
+
+    `counts` lets a caller hand in an equivalent per-(keys) cardinality
+    DataFrame (columns: *keys, bucket_n) computed more cheaply than
+    `triples.groupBy(*keys).count()` — e.g. hamming_block_pairs derives the
+    per-chunk counts from its cached NARROW signature table instead of
+    re-running the 4-way block explode for the count job (the r5 simhash
+    bench regression). The guard's decision is identical as long as the
+    handed-in counts match the triples' group sizes.
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
-    counts = triples.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_n"))
+    if counts is None:
+        counts = triples.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_n"))
     hot = counts.filter(F.col("bucket_n") > cap).withColumn(
         "nsplits", F.ceil(F.col("bucket_n") / F.lit(cap)).cast("int")
     )
@@ -88,13 +98,17 @@ def salt_hot_buckets(
             return triples.withColumn("salt", F.lit(0))
         # tiny hot list → local relation, broadcast join against it (the
         # count plan never re-executes)
-        hot_df = spark.createDataFrame(hot_rows, hot.schema)
-    else:  # adversarial bucket population: stay fully distributed
+        hot_df = F.broadcast(spark.createDataFrame(hot_rows, hot.schema))
+    else:  # adversarial bucket population (>64k distinct hot buckets):
+        # stay fully distributed — a plain shuffle left join on the bucket
+        # keys, NOT a broadcast of the unbounded hot list (broadcasting it
+        # would recreate the exact driver/executor memory blowup this
+        # branch exists to avoid).
         if report is not None:
             report.append(hot)
         hot_df = hot
     return (
-        triples.join(F.broadcast(hot_df.select(*keys, "nsplits")), keys, "left")
+        triples.join(hot_df.select(*keys, "nsplits"), keys, "left")
         .withColumn(
             "salt",
             F.coalesce(

@@ -402,7 +402,10 @@ def simhash_pairs(
     """Near-dup pairs with simhash hamming distance ≤ max_hamming (≤ 3).
     Block index: 4×16-bit chunks of the 63-bit signature — by pigeonhole any
     pair within hamming 3 shares ≥1 exact chunk, so the bucket join has FULL
-    recall only for max_hamming ≤ 3 (asserted).
+    recall for max_hamming ≤ 3 (asserted) — but ONLY while no block exceeds
+    `bucket_cap`: inside a salted hot block a pair whose sole shared chunk
+    lands in differing salts is never generated (pass `hot_report=[]` and
+    check it is empty when full recall must hold, as the oracle paths do).
 
     Hot-block guard: the expected block population is N/2¹⁶ — at 10⁹ docs
     that is ~15k docs per (chunk, val) even WITHOUT boilerplate skew, so the
@@ -432,10 +435,13 @@ def hamming_block_pairs(
     column (shared by SimHash text near-dup and dHash image near-dup):
     explode 4×16-bit chunks, guarded bucket self-join, exact
     bit_count(XOR) verification. By pigeonhole any pair within hamming 3
-    shares ≥1 exact chunk, so recall is FULL only for max_hamming ≤ 3
-    (asserted). Hot blocks are salted (buckets.py): expected block
-    population is N/2¹⁶ — at 10⁹ items that is ~15k per (chunk, val) even
-    without skew. The guarded block table is cached (it feeds both join
+    shares ≥1 exact chunk, so recall is FULL for max_hamming ≤ 3 (asserted)
+    — but ONLY while no block exceeds `bucket_cap`: hot blocks are salted
+    (buckets.py), and a pair whose only shared chunk lands in a hot bucket
+    with differing salts is never generated. Callers that assert set
+    equality against an all-pairs ground truth (the oracle paths) must pass
+    `hot_report=[]` and verify it stays empty. Expected block population is
+    N/2¹⁶ — at 10⁹ items that is ~15k per (chunk, val) even without skew. The guarded block table is cached (it feeds both join
     sides); pass `caches=[]` to own the unpersist."""
     if max_hamming > 3:
         raise ValueError(
@@ -460,6 +466,12 @@ def hamming_block_pairs(
             ])
         ).alias("cb"),
     ).select("id", "sim", "cb.chunk", "cb.val")
+    # Guard counts run over the exploded blocks in ONE scan that also
+    # materializes the narrow cache. (Measured alternative — a union of 4
+    # per-chunk groupBys straight off `sh` — is 1.5× SLOWER here: the four
+    # scans race the not-yet-materialized cache inside one job, so each
+    # recomputes the signature aggregation. The explode is a cheap JVM
+    # projection; the count shuffle is ≤4·2¹⁶ keys after map-side combine.)
     guarded = salt_hot_buckets(
         blocks, ["chunk", "val"], id_col="id", cap=bucket_cap, report=hot_report
     )

@@ -1291,7 +1291,9 @@ def doc_gopher_quality(spark, sf_dir):
 # SimHash oracle: the md5-based word hash makes the whole signature pipeline
 # SQL-expressible — same 63-bit signature (bits 0..62 of hi·2³²+lo), same
 # per-bit majority, then ALL-PAIRS hamming ≤ 3 (the Spark side's 4×16-bit
-# block index has full recall at ≤ 3 by pigeonhole, so the sets must match).
+# block index has full recall at ≤ 3 by pigeonhole — PROVIDED no block
+# exceeds the hot-bucket cap, which the query asserts via hot_report — so
+# the sets must match).
 _SIMHASH_SQL = """
 WITH words AS (
   SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents
@@ -1322,11 +1324,23 @@ ORDER BY id_a, id_b
 
 @query("simhash_dups", oracle=_SIMHASH_SQL)
 def simhash_dups(spark, sf_dir):
+    # hot_report must stay empty: the DuckDB oracle is ALL-PAIRS, and full
+    # recall of the block index holds only while no block exceeds the cap
+    # (a salted hot block can drop a pair). Fail loud instead of producing
+    # a confusing oracle mismatch the day a fixture block crosses the cap.
     caches: list = []
-    out = simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3, caches=caches)
+    hot_report: list = []
+    out = simhash_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3, caches=caches, hot_report=hot_report
+    )
     out = out.repartition(1).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
+    n_hot = hot_report[0].count() if hot_report else 0
+    assert n_hot == 0, (
+        f"simhash_dups oracle premise violated: {n_hot} hot blocks were salted "
+        "(full recall vs the all-pairs oracle no longer guaranteed)"
+    )
     return out.orderBy("id_a", "id_b")
 
 
@@ -2200,8 +2214,9 @@ def _phash_oracle_sql(max_hamming: int = 3) -> str:
     the per-image dHashes are computed driver-side and inlined as VALUES
     (the media_features convention); the SQL then independently replays the
     ALL-PAIRS hamming filter (the 4-block index has full recall at ≤ 3 by
-    pigeonhole, so the sets must match) and clusters via the recursive
-    reachability CTE."""
+    pigeonhole — PROVIDED no block exceeds the hot-bucket cap, which the
+    query asserts via hot_report — so the sets must match) and clusters via
+    the recursive reachability CTE."""
     from erased_cells_spark.operators.multimodal import media_dhash_np
 
     vals = ", ".join(f"({mid}, {h})" for mid, h in media_dhash_np())
@@ -2247,9 +2262,17 @@ def media_phash_dups(spark, sf_dir):
         {**r, "payload": bytearray(r["payload"])} for r in phash_fixture_rows(64, seed=5)
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # hot_report must stay empty — the oracle replays ALL-PAIRS hamming, and
+    # block-index recall is full only while no block exceeds the cap.
     caches: list = []
+    hot_report: list = []
     pairs = hamming_block_pairs(
-        image_dhash(media), max_hamming=3, id_col="media_id", sig_col="dhash", caches=caches
+        image_dhash(media),
+        max_hamming=3,
+        id_col="media_id",
+        sig_col="dhash",
+        caches=caches,
+        hot_report=hot_report,
     )
     cc = connected_components(pairs, "id_a", "id_b")
     out = (
@@ -2260,6 +2283,11 @@ def media_phash_dups(spark, sf_dir):
     out = out.repartition(1).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
+    n_hot = hot_report[0].count() if hot_report else 0
+    assert n_hot == 0, (
+        f"media_phash_dups oracle premise violated: {n_hot} hot blocks were "
+        "salted (full recall vs the all-pairs oracle no longer guaranteed)"
+    )
     return out.orderBy("cluster_id")
 
 
