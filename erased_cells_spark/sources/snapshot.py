@@ -77,14 +77,21 @@ def _truncate_lo(s: str) -> str:
 def _truncate_hi(s: str) -> str:
     """Upper zone bound: round the prefix UP (increment its last
     incrementable char, Iceberg-style) so the truncated value still bounds
-    every string that starts with the full prefix."""
+    every string that starts with the full prefix. Incrementing must never
+    produce a lone surrogate (U+D800–U+DFFF — e.g. U+D7FF + 1): Python's
+    json would round-trip it but the manifest would be invalid strict
+    UTF-8/JSON for any external reader, so the surrogate block is skipped
+    (U+E000 is the next scalar value — still a valid, weaker upper bound)."""
     if len(s) <= ZONE_STR_MAX:
         return s
     p = s[:ZONE_STR_MAX]
     for i in reversed(range(len(p))):
         c = ord(p[i])
         if c < 0x10FFFF:
-            return p[:i] + chr(c + 1)
+            nxt = c + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                nxt = 0xE000
+            return p[:i] + chr(nxt)
     return s  # every prefix char is already U+10FFFF — keep the full value
 
 
@@ -459,8 +466,11 @@ class SnapshotTable:
         link-if-absent: two concurrent committers that both read parent N
         cannot both own snapshot N+1 — the loser gets CommitConflictError.
         Replace-style callers must NOT blindly retry (their rewrite was
-        computed against a stale state) — they surface the conflict; the
-        append path retries safely in _commit."""
+        computed against a stale state) — every one of them passes
+        `_expected_parent` (the snapshot id its state was computed against)
+        so a parent advance in the window between state computation and
+        commit RAISES instead of silently erasing the concurrent commit;
+        the append path retries safely in _commit."""
         parent = self.current_manifest()
         if _expected_parent is not None and parent["snapshot_id"] != _expected_parent:
             raise CommitConflictError(
@@ -843,6 +853,7 @@ class SnapshotTable:
         rewrite_keys: set[str],
         expected_rows: dict[str, int],
         operation: str,
+        _expected_parent: int | None = None,
         **extra,
     ) -> int:
         """Copy-on-write commit: stage `content` (must carry a `__lineage`
@@ -852,7 +863,13 @@ class SnapshotTable:
         mutation must never silently lose rows), then commit a new snapshot
         whose partition map is {untouched partitions} ∪ {rewrites}. Old
         snapshots keep reading their original files (time travel across the
-        mutation works; expire_snapshots reclaims)."""
+        mutation works; expire_snapshots reclaims).
+
+        `_expected_parent` is the snapshot id the CALLER computed its
+        content/expected_rows against; any parent advance since then (a
+        concurrent append or delete landing mid-rewrite) raises
+        CommitConflictError instead of silently erasing the concurrent
+        commit from the replacement state."""
         import glob
         import shutil
         from urllib.parse import unquote
@@ -860,6 +877,12 @@ class SnapshotTable:
         import pyarrow.parquet as pq
 
         man = self.current_manifest()
+        if _expected_parent is not None and man["snapshot_id"] != _expected_parent:
+            raise CommitConflictError(
+                f"{operation}: snapshot advanced {_expected_parent} → "
+                f"{man['snapshot_id']} since the rewrite was planned — recompute "
+                "against the current state"
+            )
         unknown = rewrite_keys - set(man["partitions"])
         if unknown:
             raise ValueError(
@@ -912,7 +935,12 @@ class SnapshotTable:
             }
         shutil.rmtree(stage, ignore_errors=True)
         keep = {k: v for k, v in man["partitions"].items() if k not in rewrite_keys}
-        return self._commit_state({**keep, **new_parts}, operation=operation, **extra)
+        return self._commit_state(
+            {**keep, **new_parts},
+            _expected_parent=man["snapshot_id"],
+            operation=operation,
+            **extra,
+        )
 
     def merge(
         self, spark: SparkSession, updates: DataFrame, key_col: str, lineage_col: str
@@ -998,7 +1026,9 @@ class SnapshotTable:
             # updates may ADD columns (same add-column evolution contract as
             # read()): old rows read as NULL for them after the rewrite
             content = old_keep.unionByName(upd, allowMissingColumns=True)
-            return self._rewrite_commit(spark, content, rewrite, expected, "merge")
+            return self._rewrite_commit(
+                spark, content, rewrite, expected, "merge", _expected_parent=sid
+            )
         finally:
             upd.unpersist()
 
@@ -1032,7 +1062,10 @@ class SnapshotTable:
             .filter(f"NOT ({predicate})")
             .withColumnRenamed("__part", "__lineage")
         )
-        return self._rewrite_commit(spark, content, rewrite, expected, "delete")
+        return self._rewrite_commit(
+            spark, content, rewrite, expected, "delete",
+            _expected_parent=man["snapshot_id"],
+        )
 
     # ----- table maintenance -------------------------------------------------
     # ----- merge-on-read DELETE FILES (Iceberg-v2 shape) -------------------
@@ -1073,7 +1106,8 @@ class SnapshotTable:
         }
         return self._commit_state(
             dict(man["partitions"]),
-            delete_files=[*self.delete_files(), entry],
+            _expected_parent=man["snapshot_id"],
+            delete_files=[*self.delete_files(man["snapshot_id"]), entry],
             operation="delete_keys",
         )
 
@@ -1128,7 +1162,10 @@ class SnapshotTable:
         }
         if not rewrite:  # deletes matched nothing: clear the list, metadata-only
             return self._commit_state(
-                dict(man["partitions"]), delete_files=[], operation="apply_deletes"
+                dict(man["partitions"]),
+                _expected_parent=man["snapshot_id"],
+                delete_files=[],
+                operation="apply_deletes",
             )
         expected = {k: counts.get(k, 0) for k in rewrite}
         content = (
@@ -1136,7 +1173,8 @@ class SnapshotTable:
             .withColumnRenamed("__part", "__lineage")
         )
         return self._rewrite_commit(
-            spark, content, rewrite, expected, "apply_deletes", delete_files=[]
+            spark, content, rewrite, expected, "apply_deletes",
+            _expected_parent=man["snapshot_id"], delete_files=[]
         )
 
     # ----- schema evolution (rename / drop) --------------------------------
@@ -1179,7 +1217,8 @@ class SnapshotTable:
         The plain add-column path (just start writing the column;
         mergeSchema reads NULL for old partitions) remains available when
         NULL is the right default. Returns the new snapshot id."""
-        m = self.column_mapping()
+        man = self.current_manifest()
+        m = self.column_mapping(man["snapshot_id"])
         if name in self._reserved_names(m):
             raise ValueError(
                 f"add_column: {name!r} is a retired/dropped name — written "
@@ -1194,7 +1233,8 @@ class SnapshotTable:
             )
         m["defaults"][name] = default
         return self._commit_state(
-            dict(self.current_manifest()["partitions"]),
+            dict(man["partitions"]),
+            _expected_parent=man["snapshot_id"],
             column_mapping=m,
             operation="add_column",
         )
@@ -1207,7 +1247,8 @@ class SnapshotTable:
         retired forever (never reusable). Zone-map pruning keeps working
         across the rename (predicates on `new` consult stats recorded under
         any of its written aliases). Returns the new snapshot id."""
-        m = self.column_mapping()
+        man = self.current_manifest()
+        m = self.column_mapping(man["snapshot_id"])
         if old == new:
             raise ValueError(f"rename_column: {old!r} -> {new!r} is a no-op")
         if old in m["dropped"] or old in m["retired"]:
@@ -1226,7 +1267,8 @@ class SnapshotTable:
         if old in m["defaults"]:  # defaults are keyed by the current name
             m["defaults"][new] = m["defaults"].pop(old)
         return self._commit_state(
-            dict(self.current_manifest()["partitions"]),
+            dict(man["partitions"]),
+            _expected_parent=man["snapshot_id"],
             column_mapping=m,
             operation="rename_column",
         )
@@ -1237,8 +1279,9 @@ class SnapshotTable:
         disappears from reads; history stays intact for time travel. The
         name is retired — re-adding it would un-hide the dropped data, so
         writers must pick a fresh name. Returns the new snapshot id."""
-        m = self.column_mapping()
-        for entry in self.delete_files():
+        man = self.current_manifest()
+        m = self.column_mapping(man["snapshot_id"])
+        for entry in self.delete_files(man["snapshot_id"]):
             if m["renames"].get(entry["key_col"], entry["key_col"]) == name:
                 raise ValueError(
                     f"drop_column: {name!r} keys a pending merge-on-read delete "
@@ -1251,7 +1294,8 @@ class SnapshotTable:
         m["dropped"].append(name)
         m["defaults"].pop(name, None)
         return self._commit_state(
-            dict(self.current_manifest()["partitions"]),
+            dict(man["partitions"]),
+            _expected_parent=man["snapshot_id"],
             column_mapping=m,
             operation="drop_column",
         )
@@ -1275,8 +1319,11 @@ class SnapshotTable:
         index-build pass like compact(): one scan of the table, every group
         manifest rewrites once. int/string columns only (float canonical
         forms risk false negatives — refused); a partition with more than
-        BLOOM_MAX_ITEMS distinct keys, or any NULL/unindexable value,
-        simply gets no bloom (reads stay correct, it just never prunes).
+        BLOOM_MAX_ITEMS distinct keys gets no bloom (reads stay correct, it
+        just never prunes). NULL keys are IGNORED (collect_set drops them):
+        the bloom covers the non-null values, which is safe — an `=` probe
+        never matches NULL — and sizing excludes them; only an unindexable
+        non-null value type disables the partition's bloom.
         The driver materializes each partition's distinct-key set
         (collect_set bounded by the cap) — at true 100 TB width, fold the
         bloom BITS distributedly with a pandas aggregator instead; the
@@ -1306,7 +1353,9 @@ class SnapshotTable:
             else:
                 blooms[col] = bloom
             new_parts[key] = {**meta, "blooms": blooms}
-        return self._commit_state(new_parts, operation="build_bloom")
+        return self._commit_state(
+            new_parts, _expected_parent=man["snapshot_id"], operation="build_bloom"
+        )
 
     def compact(self, spark: SparkSession, max_files_per_partition: int = 1) -> int:
         """Rewrite every partition with more than max_files_per_partition
@@ -1356,7 +1405,9 @@ class SnapshotTable:
             changed = True
         if not changed:
             return man["snapshot_id"]
-        return self._commit_state(new_parts, operation="compact")
+        return self._commit_state(
+            new_parts, _expected_parent=man["snapshot_id"], operation="compact"
+        )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
         """Drop all but the newest keep_last snapshots and DELETE every data

@@ -103,6 +103,22 @@ class TestStringZoneTruncation:
         assert lo <= s <= hi  # weaker but VALID bounds
         assert _truncate_lo("short") == "short" == _truncate_hi("short")
 
+    def test_truncate_hi_never_emits_lone_surrogates(self):
+        """ADVICE r5: incrementing U+D7FF must skip the surrogate block —
+        a lone surrogate json-round-trips in Python but is invalid strict
+        UTF-8/JSON for any external manifest reader."""
+        import json as _json
+
+        s = "k" * (ZONE_STR_MAX - 1) + "퟿" + "tail-beyond-the-cap"
+        hi = _truncate_hi(s)
+        assert s <= hi and len(hi) <= ZONE_STR_MAX
+        assert not any(0xD800 <= ord(c) <= 0xDFFF for c in hi)
+        _json.dumps(hi).encode("utf-8")  # strict-encodable
+        # a prefix char that is itself a lone surrogate also increments out
+        s2 = "\ud800" * (ZONE_STR_MAX + 5)
+        hi2 = _truncate_hi(s2)
+        assert not any(0xD800 <= ord(c) <= 0xDFFF for c in hi2[-1:])
+
     def test_footer_stats_truncate_long_strings(self, spark, table):
         df = spark.range(4).select(
             F.col("id").alias("k"),

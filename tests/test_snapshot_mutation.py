@@ -177,6 +177,57 @@ class TestCommitConcurrency:
         # winner's commit intact
         assert table.metrics()["snapshot_id"] == sid + 1
 
+    def test_replace_committers_detect_concurrent_append(self, spark, table):
+        """ADVICE r5 (medium): every replace-style committer computes its
+        new state from a manifest read at function start — an append landing
+        between that read and the commit must raise CommitConflictError, NOT
+        be silently erased from the replacement state. Exercised by patching
+        the commit window: a concurrent append lands right before the
+        replace commit claims its snapshot."""
+        from erased_cells_spark.sources.snapshot import CommitConflictError
+
+        write_base(spark, table)
+
+        def race_then(fn, *args, **kwargs):
+            other = SnapshotTable(table.path)
+            orig = table._commit_state
+
+            def inject_once(partitions, _expected_parent=None, **extra):
+                table._commit_state = orig  # re-arm before the real commit
+                other._commit(
+                    {"late": {"lineage": "late", "path": "data/none",
+                              "rows": 0, "bytes": 0, "n_files": 0}}
+                )
+                return orig(partitions, _expected_parent=_expected_parent, **extra)
+
+            table._commit_state = inject_once
+            try:
+                with pytest.raises(CommitConflictError):
+                    fn(*args, **kwargs)
+            finally:
+                table._commit_state = orig
+            # the concurrent append survived
+            man = table.current_manifest()
+            assert "late" in man["partitions"]
+            del man["partitions"]["late"]  # reset for the next committer
+            table._commit_state(dict(man["partitions"]), operation="cleanup")
+
+        keys = spark.createDataFrame([(3,)], "doc_id long")
+        race_then(table.delete_keys, spark, keys, "doc_id")
+        race_then(table.delete_where, spark, "doc_id = 5")
+        race_then(table.add_column, "lang", "en")
+        race_then(table.rename_column, "val", "value")
+        race_then(table.drop_column, "val")
+        race_then(table.build_bloom, spark, "doc_id")
+        # give compact real work (multi-file partitions) so it reaches commit
+        table.write_partitions(
+            docs_df(spark, 400).repartition(8), "bucket", [0, 1, 2, 3], overwrite=True
+        )
+        assert any(
+            m["n_files"] > 1 for m in table.current_manifest()["partitions"].values()
+        )
+        race_then(table.compact, spark)
+
     def test_append_retries_through_a_lost_race(self, spark, table):
         """The append path re-reads the parent and retries on conflict — a
         stale first read (simulating a concurrent winner) must still land
