@@ -1660,11 +1660,16 @@ def multires_cell_rollup(spark, sf_dir):
     )
 
 
-# Incremental rollup maintenance: a snapshot table holds per-cell doc
-# counts; batch 1 (even doc_ids) lands via write_partitions, batch 2 (odd)
-# arrives as a DELTA that upserts new totals via copy-on-write MERGE — the
-# materialized-view-maintenance pattern (only partitions holding touched
-# cells rewrite). The oracle recomputes the aggregate from scratch: the
+# Incremental rollup maintenance via CDC: a SOURCE snapshot table holds the
+# per-doc crawl batches (batch 0 = even doc_ids, batch 1 = odd, each batch
+# its own lineage partitions, like date-partitioned crawls); a derived
+# ROLLUP table holds per-cell doc counts. Batch 1 refreshes the rollup by
+# consuming the source table's OWN changelog — src.changes(sid_batch0) —
+# whose partition pruning scans only the new batch's partitions, then
+# MERGEs old + delta totals (copy-on-write: only partitions holding
+# touched cells rewrite). The materialized-view-maintenance pattern a
+# 100 TB curation pipeline actually runs: no hand-built deltas, no full
+# rescan. The oracle recomputes the aggregate from scratch: the
 # incrementally-maintained table must equal the full recompute exactly.
 _INCR_ROLLUP_SQL = f"""
 WITH pts AS ({_DOC_PTS_SQL})
@@ -1676,17 +1681,21 @@ GROUP BY 1 ORDER BY cell
 
 @query("incremental_cell_rollup", oracle=_INCR_ROLLUP_SQL)
 def incremental_cell_rollup(spark, sf_dir):
-    """Snapshot lifecycle in one registered query (r5 consolidation:
-    absorbs the former snapshot_pruned_scan entry): write even-doc per-cell
-    counts as the base snapshot in CELL-RANGE lineage partitions
-    (bucket = cell // 1024, so manifest zone maps align with cell
-    predicates), MERGE the odd-doc delta as new per-cell totals (old +
-    delta for touched cells, inserts for new cells), then a ZONE-PRUNED
-    read of the first cell range — which must equal a from-scratch
-    aggregate over ALL docs restricted to that range (the oracle). The
-    read must actually skip partitions (checked in-plan, fail-loud). At
-    100 TB this is the freshness + lookup pattern: ingest batches rewrite
-    only touched partitions, point/range queries open only admitting ones."""
+    """Snapshot lifecycle in one registered query (r5 consolidation; r6:
+    the refresh consumes the source table's CDC changelog): batch 0 (even
+    docs) lands in a SOURCE snapshot table and seeds the rollup table with
+    per-cell counts in CELL-RANGE lineage partitions (bucket = cell //
+    1024, so manifest zone maps align with cell predicates); batch 1 (odd
+    docs) lands in the source as new batch partitions, and the rollup
+    refresh reads `src.changes(sid_batch0)` — partition-pruned to the new
+    batch only (asserted: zero from-side partitions scanned) — and MERGEs
+    old + delta totals. Then a ZONE-PRUNED read of the first cell range
+    must equal a from-scratch aggregate over ALL docs restricted to that
+    range (the oracle). The read must actually skip partitions (checked
+    in-plan, fail-loud). At 100 TB this is the freshness + lookup pattern:
+    ingest batches rewrite only touched partitions, refreshes consume the
+    changelog instead of rescanning, point/range queries open only
+    admitting partitions."""
     import hashlib
 
     from erased_cells_spark.sources.snapshot import SnapshotTable
@@ -1695,32 +1704,45 @@ def incremental_cell_rollup(spark, sf_dir):
     tag = hashlib.md5(
         f"incr:{os.path.abspath(sf_dir)}:{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:10]
+    src = SnapshotTable(f"/tmp/erased_cells_snap/{tag}-src")
     tbl = SnapshotTable(f"/tmp/erased_cells_snap/{tag}")
     if not tbl.current_manifest()["partitions"]:
         p = _doc_points(spark, sf_dir).withColumn(
             "cell", CE.cell_key_expr(F.col("lon"), F.col("lat"), res)
         )
-        # range-aligned lineage over EITHER batch's cells, so the delta can
-        # never name a partition the base write didn't create (empty base
-        # ranges commit schema-only partitions). The distinct().collect()
-        # is bounded by the 4-bucket range here; at a 10⁵+-partition scale
-        # write_partitions should take the partition-values DataFrame
-        # itself rather than a driver list (VERDICT r4 minor).
-        buckets = sorted(
-            r.b for r in p.select((F.col("cell") / 1024).cast("long").alias("b")).distinct().collect()
+        bucket = (F.col("cell") / 1024).cast("long")
+        # batch 0: even docs → source partitions "b0-<range>"; the rollup
+        # base is a full aggregate of the source AT THAT SNAPSHOT
+        b0 = p.filter(F.col("doc_id") % 2 == 0).withColumn(
+            "part", F.concat(F.lit("b0-"), bucket.cast("string"))
         )
+        # partition VALUES go in as a DataFrame plan — only the distinct
+        # values (metadata-scale) reach the driver, never a data collect
+        src.write_partitions(b0, "part", b0.select("part"))
+        sid_b0 = src.metrics()["snapshot_id"]
         base = (
-            p.filter(F.col("doc_id") % 2 == 0)
+            src.read(spark)
             .groupBy("cell")
             .agg(F.count("*").alias("n_docs"))
-            .withColumn("bucket", (F.col("cell") / 1024).cast("long"))
+            .withColumn("bucket", bucket)
         )
-        tbl.write_partitions(base, "bucket", buckets)
-        delta = (
-            p.filter(F.col("doc_id") % 2 == 1)
-            .groupBy("cell")
-            .agg(F.count("*").alias("d"))
+        # rollup lineage spans EITHER batch's ranges so the delta can never
+        # name a partition the base write didn't create (empty base ranges
+        # commit schema-only partitions)
+        tbl.write_partitions(base, "bucket", p.select(bucket.alias("bucket")))
+        # batch 1: odd docs → new source partitions "b1-<range>"
+        b1 = p.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "part", F.concat(F.lit("b1-"), bucket.cast("string"))
         )
+        src.write_partitions(b1, "part", b1.select("part"))
+        # CDC refresh: the changelog since batch 0 IS the delta — and its
+        # partition diff must scan zero batch-0 partitions (their manifest
+        # metas are untouched)
+        ch = src.changes(spark, sid_b0)
+        cscan = src.last_changes_scan
+        if cscan["scanned_from"] != 0:
+            raise RuntimeError(f"changes() rescanned batch-0 partitions: {cscan}")
+        delta = ch["appended"].groupBy("cell").agg(F.count("*").alias("d"))
         cur = tbl.read(spark).select("cell", F.col("n_docs").alias("old_n"))
         upd = (
             delta.join(cur, "cell", "left")
