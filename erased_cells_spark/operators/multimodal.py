@@ -2,10 +2,15 @@
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas batching,
 UDF signatures, tile-struct output reusing the erased-cells layout) is real
-and tested; the codec step is stubbed — the container has no image/audio
-libraries — behind `decode_image_stub`, a deterministic fake decoder that
-produces a seeded uint8 pixel tile from the payload hash. Swapping the stub
-for Pillow/ffmpeg changes ONE function; every schema and batch shape stays.
+and tested. IMAGES decode for real (r6): `decode_image` recognizes PNG byte
+streams and runs the pure-python baseline codec (sources/png.py — zlib +
+all five scanline filters, gray/RGB(A)/palette → BT.601 luma); the image
+fixtures carry actual encoded PNGs, so the dHash near-dup family operates
+on decoded pixels. Non-PNG payloads fall back to `decode_image_stub`, a
+deterministic fake decoder seeded from the payload hash (JPEG/WebP libs
+aren't in the container) — swapping the fallback for Pillow/ffmpeg changes
+ONE function; every schema and batch shape stays. Audio/video remain
+stubbed the same way.
 """
 
 from __future__ import annotations
@@ -51,13 +56,26 @@ FEATURE_SCHEMA = StructType(
 
 def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB CODEC — deterministic fake decode: seeds a PCG from the payload
-    crc and emits a (height, width) uint8 'luma' plane. Replace with a real
-    decoder (PIL.Image.open → np.asarray) when the library exists.
-    Raises like a real codec on empty payloads."""
+    crc and emits a (height, width) uint8 'luma' plane. The fallback for
+    formats without an in-container decoder (JPEG/WebP); PNG payloads take
+    the REAL path in decode_image. Raises like a real codec on empty
+    payloads."""
     if not payload:
         raise NotImplementedError("empty payload; real codec unavailable in this env")
     rng = np.random.Generator(np.random.PCG64(zlib.crc32(payload)))
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Image decode dispatcher: PNG byte streams (magic-sniffed, the
+    container-independent pure-python baseline codec) decode for REAL to
+    their luma plane — dimensions come from IHDR, not the metadata hint;
+    anything else falls back to the deterministic stub at the hinted size."""
+    from erased_cells_spark.sources.png import PNG_MAGIC, png_decode_luma
+
+    if bytes(payload[:8]) == PNG_MAGIC:
+        return png_decode_luma(payload)
+    return decode_image_stub(payload, width, height)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -100,7 +118,7 @@ def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
                 # Arrow→pandas renders nullable ints as floats; coerce back
                 w = int(r.width) if r.width and r.width == r.width else 32
                 h = int(r.height) if r.height and r.height == r.height else 32
-                img = decode_image_stub(r.payload, w, h)
+                img = decode_image(r.payload, w, h)
                 small = resize_nearest(img, out_size, out_size)
                 rows.append(
                     {
@@ -158,7 +176,7 @@ def image_dhash(media: DataFrame, passthrough: tuple = ()) -> DataFrame:
                     continue
                 w = int(r.width) if r.width and r.width == r.width else 32
                 h = int(r.height) if r.height and r.height == r.height else 32
-                img = decode_image_stub(r.payload, w, h)
+                img = decode_image(r.payload, w, h)
                 row = {"media_id": int(r.media_id), "dhash": dhash63(img)}
                 for c in passthrough:
                     row[c] = getattr(r, c)
@@ -273,20 +291,30 @@ def extract_audio_features(media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RAT
 def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
     """Deterministic media fixture rows: payload bytes from a seeded PCG.
     Shared verbatim by the Spark fixture and the local oracle twin."""
+    from erased_cells_spark.sources.png import png_encode_gray
+
     rng = np.random.Generator(np.random.PCG64(seed))
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
         payload = rng.bytes(128 + (i % 5) * 64)
+        w = 32 + (i % 4) * 16 if kind == "image" else None
+        h = 24 + (i % 3) * 16 if kind == "image" else None
+        if kind == "image":
+            # REAL PNG payload (r6): the pixel plane is the old stub output
+            # for these bytes (unchanged rng stream), encoded as an actual
+            # 8-bit gray PNG; filter type cycles so fixtures exercise every
+            # unfilter path. The operators now decode these for real.
+            payload = png_encode_gray(decode_image_stub(payload, w, h), filter_type=i // 3 % 5)
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
                 "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 "payload": payload,
-                "width": 32 + (i % 4) * 16 if kind == "image" else None,
-                "height": 24 + (i % 3) * 16 if kind == "image" else None,
+                "width": w,
+                "height": h,
                 "duration_ms": 4000 + i * 250 if kind != "image" else None,
             }
         )
@@ -327,7 +355,7 @@ def media_dhash_np(n: int = 64, seed: int = 5) -> list[tuple[int, int]]:
     for r in phash_fixture_rows(n, seed):
         if r["kind"] != "image":
             continue
-        img = decode_image_stub(r["payload"], r["width"], r["height"])
+        img = decode_image(r["payload"], r["width"], r["height"])
         out.append((r["media_id"], dhash63(img)))
     return out
 
@@ -345,7 +373,7 @@ def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: 
     out = []
     for r in synthetic_media_rows(n, seed):
         if r["kind"] == "image":
-            img = decode_image_stub(r["payload"], r["width"], r["height"])
+            img = decode_image(r["payload"], r["width"], r["height"])
             small = resize_nearest(img, out_size, out_size)
             out.append((r["media_id"], "image", 1, f"{small.astype(np.float64).mean():.6f}"))
         elif r["kind"] == "video":

