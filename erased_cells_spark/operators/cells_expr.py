@@ -31,6 +31,34 @@ def cell_key_expr(lon: Column, lat: Column, res: int) -> Column:
     return (iy_expr(lat, res) * F.lit(n) + ix_expr(lon, res)).alias(f"cell_r{res}")
 
 
+def _spread_expr(v: Column) -> Column:
+    """JVM twin of spatial.cellid._spread: move bit i of the low 32 bits to
+    bit 2i — five shift/or/mask steps, pure Column arithmetic inside
+    whole-stage codegen."""
+    v = v.bitwiseAND(F.lit(0xFFFFFFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = (v.bitwiseOR(F.shiftleft(v, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = (v.bitwiseOR(F.shiftleft(v, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = (v.bitwiseOR(F.shiftleft(v, 2))).bitwiseAND(F.lit(0x3333333333333333))
+    v = (v.bitwiseOR(F.shiftleft(v, 1))).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def morton_key_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Morton (Z-order) cell id at `res`, BIT-IDENTICAL to
+    spatial.cellid.encode_cell (code = interleave(ix, iy), id = code<<5 |
+    res) but built from Spark builtins so the layout writer clusters on it
+    JVM-side. Unlike the row-major key — whose sorted order walks full
+    grid ROWS, so a range partition is a long thin lon band — consecutive
+    Morton ids stay spatially adjacent in BOTH axes, so range-partitioned
+    row groups cover compact squares and a box query prunes in lon AND
+    lat. Driver-side covers (cellid.cover_bbox) emit these exact ids."""
+    code = _spread_expr(ix_expr(lon, res)).bitwiseOR(
+        F.shiftleft(_spread_expr(iy_expr(lat, res)), 1)
+    )
+    return F.shiftleft(code, 5).bitwiseOR(F.lit(res)).alias(f"zcell_r{res}")
+
+
 def parent_key_expr(cell_key: Column, res: int, parent_res: int) -> Column:
     """Hierarchy walk on grid keys: ix,iy each shift right — plain arithmetic."""
     n, pn = 1 << res, 1 << parent_res

@@ -1,24 +1,33 @@
-"""Spatially-clustered (Z-order-style) parquet layout for scan pruning.
+"""Spatially-clustered (Z-order) parquet layout for scan pruning.
 
 At 100 TB the cheapest query is the one that never reads the bytes: parquet
 row-group min/max statistics prune a scan only when rows with similar key
 values sit in the same row group. Randomly-laid-out points give every row
-group the FULL key range (no pruning); range-partitioning by the grid cell
-key and sorting within partitions gives each row group a narrow cell band,
-so a spatial box query — expressed as cell-key ranges from the box's cover —
-skips almost every row group at the footer. The same trick Iceberg calls
-`sort_order(z-order)` and Delta calls `OPTIMIZE ZORDER BY`, built here from
-stock Spark primitives: repartitionByRange + sortWithinPartitions on the
-row-major grid key (spatial/cells_expr), which is exactly a space-filling
-curve at a fixed resolution."""
+group the FULL key range (no pruning). The writer range-partitions + sorts
+on the MORTON cell id (r6, VERDICT r5 item 5 — previously the row-major
+key): consecutive Morton ids are spatially adjacent in BOTH axes, so each
+row group covers a compact square and a box query — expressed as Morton-id
+ranges from the box's cover — prunes in lon AND lat. The row-major key
+sorts grid ROW by ROW, so at high res an equal-size row group is a long
+thin lon band: a box query intersects ~every band in its lat range and
+prunes only one dimension (proven side by side in tests/test_layout.py).
+The same trick Iceberg calls `sort_order(z-order)` and Delta calls
+`OPTIMIZE ZORDER BY`, built from stock Spark primitives:
+repartitionByRange + sortWithinPartitions on a builtins-only interleave
+expression (operators/cells_expr.morton_key_expr — bit-identical to
+spatial/cellid.encode_cell, so driver-side covers emit the exact ids the
+footers index)."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from erased_cells_spark.operators.cells_expr import cell_key_expr
+from erased_cells_spark.operators.cells_expr import cell_key_expr, morton_key_expr
 from erased_cells_spark.plans.skew import repartition_by_cell
+
+_RES_STEP = 1 << 5  # consecutive same-res Morton ids differ by 2^_RES_BITS
 
 
 def write_spatially_clustered(
@@ -29,20 +38,27 @@ def write_spatially_clustered(
     res: int = 12,
     n_partitions: int | None = None,
     cell_col: str = "cell",
+    curve: str = "morton",
 ) -> None:
-    """Write df to parquet clustered by the res-level grid cell key: range
-    partition on the key (spatial neighbors co-locate in files), sort within
-    partitions (row groups get narrow min/max bands). The key is kept as
-    `cell_col` so readers can push cell-range predicates straight to the
-    footer stats."""
-    keyed = df.withColumn(cell_col, cell_key_expr(F.col(lon_col), F.col(lat_col), res))
-    out = repartition_by_cell(keyed, cell_col, n_partitions).sortWithinPartitions(cell_col)
+    """Write df to parquet clustered by the res-level MORTON cell id
+    (curve="rowmajor" keeps the old one-dimensional layout for
+    comparison). Both keys are kept as columns — `zcell` (the clustering
+    key: readers push Morton-range predicates from box covers straight to
+    the footer stats) and the row-major `cell_col` (the shuffle/join key
+    the rest of the engine speaks)."""
+    if curve not in ("morton", "rowmajor"):
+        raise ValueError(f"unknown curve {curve!r}")
+    keyed = df.withColumn(
+        cell_col, cell_key_expr(F.col(lon_col), F.col(lat_col), res)
+    ).withColumn("zcell", morton_key_expr(F.col(lon_col), F.col(lat_col), res))
+    order_col = "zcell" if curve == "morton" else cell_col
+    out = repartition_by_cell(keyed, order_col, n_partitions).sortWithinPartitions(order_col)
     out.write.mode("overwrite").parquet(path)
 
 
-def rowgroup_cell_spans(path: str, cell_col: str = "cell") -> list[int]:
-    """Per-row-group (max - min) span of the cell key from the parquet
-    FOOTERS (no data read) — the direct measure of how prunable the layout
+def rowgroup_cell_spans(path: str, cell_col: str = "zcell") -> list[int]:
+    """Per-row-group (max - min) span of the clustering key from the
+    parquet FOOTERS (no data read) — how narrow each row group's key band
     is: clustered layouts have spans ≪ the full key range."""
     import glob
 
@@ -56,3 +72,58 @@ def rowgroup_cell_spans(path: str, cell_col: str = "cell") -> list[int]:
             st = md.row_group(rg).column(idx).statistics
             spans.append(int(st.max - st.min))
     return spans
+
+
+def box_query_ranges(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int, curve: str
+) -> list[tuple[int, int]]:
+    """The key ranges a box query pushes to the footers, in the given
+    curve's key space: the box's cell cover (driver-side, cellid) sorted
+    and merged into maximal consecutive runs. Row-major covers merge into
+    one run per grid ROW (a box of h rows → h ranges); Morton covers merge
+    quad-aligned blocks into far fewer, fatter-in-2D runs."""
+    from erased_cells_spark.spatial import cellid
+
+    # driver-side enumeration of the cover: bounded by the limit — ids and
+    # merged ranges are metadata-scale (a 20°×20° box at res 12 is ~10⁵
+    # cells → a few thousand merged Morton runs)
+    ids = cellid.cover_bbox(lon_min, lat_min, lon_max, lat_max, res, limit=1 << 20)
+    if curve == "morton":
+        keys = np.sort(ids.astype(np.int64))
+        step = _RES_STEP
+    elif curve == "rowmajor":
+        ix, iy = cellid.cell_xy(ids)
+        keys = np.sort(iy * (1 << res) + ix)
+        step = 1
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
+    ranges: list[tuple[int, int]] = []
+    start = prev = int(keys[0])
+    for k in keys[1:]:
+        k = int(k)
+        if k != prev + step:
+            ranges.append((start, prev))
+            start = k
+        prev = k
+    ranges.append((start, prev))
+    return ranges
+
+
+def rowgroups_touched(path: str, key_col: str, ranges: list[tuple[int, int]]) -> tuple[int, int]:
+    """(touched, total) row groups whose footer [min, max] interval on
+    `key_col` intersects ANY query range — the row groups a box scan must
+    actually read; everything else prunes at the footer."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(key_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            total += 1
+            if any(st.min <= hi and lo <= st.max for lo, hi in ranges):
+                touched += 1
+    return touched, total
