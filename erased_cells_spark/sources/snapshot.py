@@ -1599,6 +1599,23 @@ class SnapshotTable:
             "deleted_manifests": sorted(dropped_groups),
         }
 
+    # ----- SQL surface ------------------------------------------------------
+    def create_or_replace_view(
+        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Register the snapshot (CURRENT by default) as a Spark temp view
+        so `spark.sql` speaks the engine's tables — the first thing an
+        analyst tries. The view is the full read() plan: column mapping
+        (renames coalesced, drops hidden), add-column defaults, and
+        merge-on-read delete sets ALL apply, so SQL over the view ≡ read()
+        under every evolution state. The view PINS the snapshot resolved at
+        registration time (a later commit needs a re-register to become
+        visible — time-travel-consistent, never half-new). Returns the
+        underlying DataFrame."""
+        df = self.read(spark, snapshot_id)
+        df.createOrReplaceTempView(name)
+        return df
+
     def metrics(self) -> dict:
         man = self.current_manifest()
         return {
