@@ -30,13 +30,15 @@ def connected_components(
 
     SIZE-ADAPTIVE: the edge list is materialized once (localCheckpoint —
     the upstream LSH pipeline runs exactly once whichever path follows);
-    at or below `driver_threshold` edges the components are solved with a
-    driver-side union-find (microseconds) instead of paying O(log n)
-    distributed rounds of Spark scheduling on a graph that fits in one
-    task — near-dup graphs are tiny relative to their corpus (edges ≈
-    duplicates, not documents), so at 100 TB the typical dup graph is
-    millions of edges and STILL takes this path, while anything larger
-    falls through to the pointer-jumping fixpoint below. Both paths produce
+    at or below `driver_threshold` edges (100k ≈ a few MB of id pairs —
+    comfortably driver-safe) the components are solved with a driver-side
+    union-find (microseconds) instead of paying O(log n) distributed
+    rounds of Spark scheduling on a graph that fits in one task. Near-dup
+    graphs are small relative to their corpus (edges ≈ duplicates, not
+    documents), but a 100 TB crawl's dup graph IS typically millions of
+    edges — that takes the distributed pointer-jumping fixpoint below;
+    raise `driver_threshold` deliberately (with the driver memory to match)
+    if profiling shows the scheduling rounds dominate. Both paths produce
     the identical min-label labeling (tests run each explicitly)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
         eager=True

@@ -28,6 +28,7 @@ so no second stateful operator is needed.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -207,10 +208,11 @@ def _make_image_claim(retention_ms: int, max_hamming: int):
         wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(max(int(first_ms) + retention_ms, wm + 1))
         # a row is ok for this block iff it IS the claimer, or it is NOT a
-        # true near-dup of the claimer (block collision alone never drops)
-        ham = (rows["dhash"].astype("int64") ^ first_dhash).map(
-            lambda v: bin(int(v)).count("1")
-        )
+        # true near-dup of the claimer (block collision alone never drops).
+        # popcount is vectorized numpy (view the XOR as bytes → unpackbits
+        # → row sums), not a per-row Python lambda (VERDICT r5 #7)
+        x = (rows["dhash"].to_numpy(dtype="int64") ^ first_dhash).view(np.uint8)
+        ham = np.unpackbits(x.reshape(-1, 8), axis=1).sum(axis=1)
         yield pd.DataFrame(
             {
                 "id": rows["id"],
