@@ -31,11 +31,19 @@ column's written generations; written names are never reused — the
 id-reuse discipline Iceberg gets from column ids). Time travel reads each
 snapshot under ITS OWN mapping.
 
-ROW DELETES come in both Iceberg flavors: COPY-ON-WRITE (delete_where —
-immediate partition rewrites, exact row accounting) and MERGE-ON-READ
-(delete_keys — commit a small delete-key file touching zero data
-partitions; reads anti-join the pending sets; apply_deletes folds them
-into rewrites when read-amplification warrants).
+ROW DELETES come in all three Iceberg flavors: COPY-ON-WRITE
+(delete_where — immediate partition rewrites, exact row accounting) and
+two MERGE-ON-READ kinds — EQUALITY (delete_keys: a small delete-key file,
+zero data partitions touched) and POSITION (delete_where_positions, r6:
+exact (file, row-ordinal) pairs from the scan's hidden _metadata — any
+predicate, no key column needed). Reads anti-join the pending sets;
+apply_deletes folds both kinds into rewrites when read-amplification
+warrants; compact refuses while positions are pending (ordinal safety).
+
+PARTITION-SPEC EVOLUTION (r6): each partition records the lineage column
+it was written under; later batches may partition by a different column
+with zero rewrites (reads/pruning union transparently, cross-spec key
+collisions fail loudly at write time; partition_specs() reports).
 
 (The reference has no such machinery — this is the north-rule requirement
 of `BASELINE.json` "resumable from checkpoint with per-partition lineage +
@@ -55,6 +63,7 @@ from pyspark.sql.functions import broadcast as F_broadcast
 from pyspark.sql.functions import coalesce as F_coalesce
 from pyspark.sql.functions import col as F_col
 from pyspark.sql.functions import count as F_count
+from pyspark.sql.functions import expr as F_expr
 from pyspark.sql.functions import lit as F_lit
 
 
@@ -432,6 +441,21 @@ class SnapshotTable:
     def committed_lineage(self) -> set[str]:
         return set(self.current_manifest()["partitions"].keys())
 
+    def partition_specs(self, snapshot_id: int | None = None) -> dict:
+        """PARTITION-SPEC EVOLUTION surface: {spec_name: [keys...]} of the
+        snapshot — the spec (lineage column) each partition was written
+        under. Changing specs is free: later write_partitions calls may
+        partition NEW data by a different column; committed partitions are
+        never rewritten, reads union across specs transparently, zone-map
+        pruning works per-partition regardless of spec (the Iceberg
+        spec-evolution property). Key collisions across specs fail loudly
+        at write time. Partitions from before spec recording report spec
+        None."""
+        out: dict = {}
+        for key, meta in self.manifest(snapshot_id)["partitions"].items():
+            out.setdefault(meta.get("spec"), []).append(key)
+        return {k: sorted(v) for k, v in out.items()}
+
     def _commit(self, new_partitions: dict, max_retries: int = 20) -> int:
         """APPEND commit: merge `new_partitions` over the current state.
         Safe under concurrent committers — on a snapshot-id collision the
@@ -530,7 +554,9 @@ class SnapshotTable:
         # delete files) carries forward across every commit unless the
         # commit itself overrides it
         table_meta = {
-            k: parent[k] for k in ("column_mapping", "delete_files") if k in parent
+            k: parent[k]
+            for k in ("column_mapping", "delete_files", "position_delete_files")
+            if k in parent
         }
         manifest = {
             "snapshot_id": sid,
@@ -624,6 +650,19 @@ class SnapshotTable:
         for lv in lineage_values:
             key = str(lv)
             if key in done:
+                # PARTITION-SPEC EVOLUTION guard: resume-skip is only valid
+                # when the committed partition was written under the SAME
+                # spec (lineage column) — a key collision across specs
+                # ("0" as a bucket vs "0" as a doc_id) silently skipping
+                # would alias two unrelated shards
+                prev_spec = manifest_parts[key].get("spec")
+                if prev_spec is not None and prev_spec != lineage_col:
+                    raise ValueError(
+                        f"write_partitions: key {key!r} already committed under "
+                        f"partition spec {prev_spec!r}; writing it under "
+                        f"{lineage_col!r} would alias two specs — use distinct "
+                        "key values per spec (e.g. prefix them)"
+                    )
                 stats[key] = {**manifest_parts[key], "skipped": True}
             else:
                 pending.append(lv)
@@ -676,6 +715,7 @@ class SnapshotTable:
             n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
             meta = {
                 "lineage": key,
+                "spec": lineage_col,
                 "path": os.path.relpath(out_dir, self.path),
                 "rows": n,
                 "bytes": sum(os.path.getsize(f) for f in files),
@@ -824,6 +864,10 @@ class SnapshotTable:
             keys = list(metas)
         paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        # merge-on-read POSITION deletes need each row's physical identity
+        # — attach it from the scan's hidden metadata BEFORE any projection
+        if self.position_delete_files(snapshot_id):
+            df = df.select("*", *self._position_cols())
         # schema evolution: surface written names under the snapshot's
         # CURRENT names (renames coalesce across generations, drops vanish)
         # BEFORE the predicate filter, which speaks current names
@@ -844,11 +888,14 @@ class SnapshotTable:
 
         man = self.current_manifest()
         mapping = self.column_mapping()
+        pos_pending = bool(self.position_delete_files())
         parts = []
         for key, meta in man["partitions"].items():
             df = spark.read.option("mergeSchema", "true").parquet(
                 os.path.join(self.path, meta["path"])
             )
+            if pos_pending:
+                df = df.select("*", *self._position_cols())
             df = _apply_column_mapping(df, mapping)
             parts.append(df.withColumn("__part", F_lit(key)))
         if not parts:
@@ -868,6 +915,8 @@ class SnapshotTable:
         metas = self.manifest(snapshot_id)["partitions"]
         paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        if self.position_delete_files(snapshot_id):
+            df = df.select("*", *self._position_cols())
         df = _apply_column_mapping(df, self.column_mapping(snapshot_id))
         return self._apply_delete_files(spark, df, snapshot_id)
 
@@ -944,7 +993,9 @@ class SnapshotTable:
         if from_sid > to_sid:
             raise ValueError(f"changes: from={from_sid} is after to={to_sid}")
         pf, pt = man_from["partitions"], man_to["partitions"]
-        mor_delta = self.delete_files(from_sid) != self.delete_files(to_sid)
+        mor_delta = self.delete_files(from_sid) != self.delete_files(
+            to_sid
+        ) or self.position_delete_files(from_sid) != self.position_delete_files(to_sid)
 
         def unchanged(k: str) -> bool:
             a, b = pf[k], pt[k]
@@ -1066,6 +1117,11 @@ class SnapshotTable:
                 )
             new_parts[key] = {
                 "lineage": key,
+                **(
+                    {"spec": man["partitions"][key]["spec"]}
+                    if "spec" in man["partitions"][key]
+                    else {}
+                ),
                 "path": os.path.relpath(out_dir, self.path),
                 "rows": rows,
                 "bytes": sum(os.path.getsize(f) for f in files),
@@ -1215,6 +1271,23 @@ class SnapshotTable:
         [{path, key_col, n_keys, committed_at}, ...]."""
         return list(self._raw_manifest(snapshot_id).get("delete_files") or [])
 
+    def position_delete_files(self, snapshot_id: int | None = None) -> list:
+        """Pending merge-on-read POSITION-delete files of a snapshot:
+        [{path, n_rows, committed_at}, ...] — each file holds (__file,
+        __pos) pairs naming exact row ordinals in exact data files."""
+        return list(self._raw_manifest(snapshot_id).get("position_delete_files") or [])
+
+    def _position_cols(self) -> list:
+        """Hidden-metadata projections identifying each row's physical
+        position: table-relative file path + row ordinal (Spark's
+        _metadata struct — stable for a given file, which is why compact
+        refuses to run while position deletes are pending)."""
+        prefix = "file:" + os.path.abspath(self.path) + "/"
+        return [
+            F_expr(f"substring(_metadata.file_path, {len(prefix) + 1})").alias("__file"),
+            F_col("_metadata.row_index").alias("__pos"),
+        ]
+
     def delete_keys(self, spark: SparkSession, keys: DataFrame, key_col: str) -> int:
         """MERGE-ON-READ delete by key: commit a (small) delete-key file and
         touch ZERO data partitions — at 10⁵+ partitions a takedown of a few
@@ -1252,6 +1325,58 @@ class SnapshotTable:
             operation="delete_keys",
         )
 
+    def delete_where_positions(self, spark: SparkSession, predicate: str) -> int:
+        """MERGE-ON-READ POSITION delete (the second Iceberg-v2 delete
+        flavor, r6): record the exact (file, row-ordinal) positions of
+        every CURRENTLY-VISIBLE row matching the SQL `predicate` in a small
+        delete file and touch ZERO data partitions. Unlike equality
+        delete_keys no key column is required — any predicate works — and
+        unlike copy-on-write delete_where nothing rewrites. Reads anti-join
+        on the scan's hidden (_metadata.file_path, _metadata.row_index)
+        identity; time travel to an earlier snapshot does not see the
+        delete; `apply_deletes` folds positions and keys together into
+        copy-on-write rewrites. compact() refuses while position deletes
+        are pending (a rewrite would reshuffle the ordinals the file
+        references — fold first). IDEMPOTENT: a second identical call
+        matches only already-hidden rows, records nothing, and returns the
+        current snapshot id. Returns the new snapshot id."""
+        man = self.current_manifest()
+        if not man["partitions"]:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        paths = [os.path.join(self.path, m["path"]) for m in man["partitions"].values()]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        df = df.select("*", *self._position_cols())
+        mapped = _apply_column_mapping(df, self.column_mapping())
+        # visibility = current read semantics: existing equality AND
+        # position deletes apply before the predicate, so re-deleting an
+        # already-hidden row never double-records it — but we must KEEP the
+        # position identity through the anti-joins, so they are applied
+        # inline here rather than via _apply_delete_files (which drops them)
+        renames = self.column_mapping()["renames"]
+        for entry in self.delete_files():
+            eff = renames.get(entry["key_col"], entry["key_col"])
+            keys = (
+                spark.read.parquet(os.path.join(self.path, entry["path"]))
+                .withColumnRenamed(entry["key_col"], eff)
+            )
+            mapped = mapped.join(F_broadcast(keys), eff, "left_anti")
+        for entry in self.position_delete_files():
+            prior = spark.read.parquet(os.path.join(self.path, entry["path"]))
+            mapped = mapped.join(F_broadcast(prior), ["__file", "__pos"], "left_anti")
+        hits = mapped.filter(predicate).select("__file", "__pos")
+        n = hits.count()
+        if n == 0:
+            return man["snapshot_id"]
+        rel = f"delete-pos-{uuid.uuid4().hex}"
+        hits.coalesce(1).write.parquet(os.path.join(self.path, rel))
+        entry = {"path": rel, "n_rows": n, "committed_at": time.time()}
+        return self._commit_state(
+            dict(man["partitions"]),
+            _expected_parent=man["snapshot_id"],
+            position_delete_files=[*self.position_delete_files(man["snapshot_id"]), entry],
+            operation="delete_where_positions",
+        )
+
     def _apply_delete_files(
         self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
     ) -> DataFrame:
@@ -1259,8 +1384,6 @@ class SnapshotTable:
         column-mapping, so a delete file written before a rename keys on
         the written name and resolves through the mapping)."""
         dels = self.delete_files(snapshot_id)
-        if not dels:
-            return df
         renames = self.column_mapping(snapshot_id)["renames"]
         for entry in dels:
             eff = renames.get(entry["key_col"], entry["key_col"])
@@ -1269,13 +1392,29 @@ class SnapshotTable:
                 .withColumnRenamed(entry["key_col"], eff)
             )
             df = df.join(F_broadcast(keys), eff, "left_anti")
+        pos = self.position_delete_files(snapshot_id)
+        if pos:
+            if "__file" not in df.columns:
+                raise RuntimeError(
+                    "internal: position deletes pending but the read did not "
+                    "attach __file/__pos before projection"
+                )
+            from functools import reduce as _reduce
+
+            sets = [
+                spark.read.parquet(os.path.join(self.path, e["path"])) for e in pos
+            ]
+            allpos = _reduce(lambda a, b: a.unionByName(b), sets)
+            df = df.join(F_broadcast(allpos), ["__file", "__pos"], "left_anti")
+        if "__file" in df.columns:
+            df = df.drop("__file", "__pos")
         return df
 
     def _require_no_pending_deletes(self, operation: str) -> None:
         """Copy-on-write rewrites compute expected row counts from the
         manifest's PHYSICAL rows; with merge-on-read deletes pending those
         two row spaces differ — fold first, explicitly."""
-        n = len(self.delete_files())
+        n = len(self.delete_files()) + len(self.position_delete_files())
         if n:
             raise ValueError(
                 f"{operation}: {n} merge-on-read delete file(s) pending — run "
@@ -1289,7 +1428,7 @@ class SnapshotTable:
         for time travel; expire_snapshots GCs unreferenced ones."""
         man = self.current_manifest()
         dels = self.delete_files()
-        if not dels:
+        if not dels and not self.position_delete_files():
             return man["snapshot_id"]
         logical = self._tagged_read(spark)  # mapping + deletes applied
         counts = {
@@ -1306,6 +1445,7 @@ class SnapshotTable:
                 dict(man["partitions"]),
                 _expected_parent=man["snapshot_id"],
                 delete_files=[],
+                position_delete_files=[],
                 operation="apply_deletes",
             )
         expected = {k: counts.get(k, 0) for k in rewrite}
@@ -1315,7 +1455,8 @@ class SnapshotTable:
         )
         return self._rewrite_commit(
             spark, content, rewrite, expected, "apply_deletes",
-            _expected_parent=man["snapshot_id"], delete_files=[]
+            _expected_parent=man["snapshot_id"], delete_files=[],
+            position_delete_files=[],
         )
 
     # ----- schema evolution (rename / drop) --------------------------------
@@ -1512,6 +1653,12 @@ class SnapshotTable:
 
         import pyarrow.parquet as pq
 
+        if self.position_delete_files():
+            raise ValueError(
+                "compact: pending POSITION delete files reference the current "
+                "file layout (file path + row ordinal) — a rewrite would "
+                "resurrect deleted rows; run apply_deletes(spark) first"
+            )
         man = self.current_manifest()
         new_parts = {}
         changed = False
@@ -1568,6 +1715,8 @@ class SnapshotTable:
             for e in raw.get("manifest_list") or []:
                 live_groups.add(e["path"])
             for e in raw.get("delete_files") or []:
+                live_deletes.add(e["path"])
+            for e in raw.get("position_delete_files") or []:
                 live_deletes.add(e["path"])
             for p in self.manifest(sid)["partitions"].values():
                 referenced.add(p["path"])
