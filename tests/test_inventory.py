@@ -48,6 +48,7 @@ SURFACE_MODULES = [
     "erased_cells_spark.streaming.events",
     "erased_cells_spark.streaming.pages",
     "erased_cells_spark.streaming.dedup",
+    "erased_cells_spark.streaming.cdc_source",
 ]
 SURFACE_FILES = [
     "bench.py",

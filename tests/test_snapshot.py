@@ -163,3 +163,37 @@ class TestSnapshot:
         with open(os.path.join(table.path, "snapshot-000004.json")) as f:
             man = json.load(f)
         assert man["parent"] == 3
+
+
+class TestCommitBatching:
+    def test_commit_batch_reduces_snapshots_same_state(self, spark, tmp_path):
+        """commit_batch trades commit I/O for resume granularity: 8
+        partitions at batch 4 → 2 commits; batch 0 → 1 commit; table
+        content identical to per-partition commits either way."""
+        from pyspark.sql import functions as F
+
+        from erased_cells_spark.sources.snapshot import SnapshotTable
+
+        def df(spark):
+            return spark.range(800).select(
+                F.col("id").alias("doc_id"), (F.col("id") % 8).alias("bucket")
+            )
+
+        per = SnapshotTable(str(tmp_path / "per"))
+        per.write_partitions(df(spark), "bucket", list(range(8)))
+        assert per.metrics()["snapshot_id"] == 8
+
+        batched = SnapshotTable(str(tmp_path / "batched"))
+        batched.write_partitions(df(spark), "bucket", list(range(8)), commit_batch=4)
+        assert batched.metrics()["snapshot_id"] == 2
+
+        one = SnapshotTable(str(tmp_path / "one"))
+        one.write_partitions(df(spark), "bucket", list(range(8)), commit_batch=0)
+        assert one.metrics()["snapshot_id"] == 1
+
+        want = sorted(r.doc_id for r in per.read(spark).collect())
+        for tbl in (batched, one):
+            assert sorted(r.doc_id for r in tbl.read(spark).collect()) == want
+        # resume still skips everything
+        stats = one.write_partitions(df(spark), "bucket", list(range(8)), commit_batch=0)
+        assert all(m.get("skipped") for m in stats.values())
