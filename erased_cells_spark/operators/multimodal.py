@@ -67,14 +67,20 @@ def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image decode dispatcher: PNG byte streams (magic-sniffed, the
-    container-independent pure-python baseline codec) decode for REAL to
-    their luma plane — dimensions come from IHDR, not the metadata hint;
-    anything else falls back to the deterministic stub at the hinted size."""
+    """Image decode dispatcher: PNG and baseline-gray JPEG byte streams
+    (magic-sniffed; the container-independent pure-python codecs in
+    sources/png.py and sources/jpeg.py) decode for REAL to their luma
+    plane — dimensions come from the stream headers, not the metadata
+    hint; an out-of-scope PNG/JPEG raises like a real codec would; any
+    other format falls back to the deterministic stub at the hinted
+    size."""
+    from erased_cells_spark.sources.jpeg import JPEG_MAGIC, jpeg_decode_gray
     from erased_cells_spark.sources.png import PNG_MAGIC, png_decode_luma
 
     if bytes(payload[:8]) == PNG_MAGIC:
         return png_decode_luma(payload)
+    if bytes(payload[:2]) == JPEG_MAGIC:
+        return jpeg_decode_gray(payload)
     return decode_image_stub(payload, width, height)
 
 
@@ -302,16 +308,28 @@ def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
         w = 32 + (i % 4) * 16 if kind == "image" else None
         h = 24 + (i % 3) * 16 if kind == "image" else None
         if kind == "image":
-            # REAL PNG payload (r6): the pixel plane is the old stub output
-            # for these bytes (unchanged rng stream), encoded as an actual
-            # 8-bit gray PNG; filter type cycles so fixtures exercise every
-            # unfilter path. The operators now decode these for real.
-            payload = png_encode_gray(decode_image_stub(payload, w, h), filter_type=i // 3 % 5)
+            # REAL image payloads (r6): the pixel plane is the old stub
+            # output for these bytes (unchanged rng stream), encoded as an
+            # actual byte stream the operators decode for real — every 4th
+            # image a baseline JFIF (lossy; sources/jpeg.py), the rest
+            # 8-bit gray PNGs with the filter type cycling so fixtures
+            # exercise every unfilter path (sources/png.py).
+            plane = decode_image_stub(payload, w, h)
+            if (i // 3) % 4 == 3:
+                from erased_cells_spark.sources.jpeg import jpeg_encode_gray
+
+                payload = jpeg_encode_gray(plane, quality=90)
+            else:
+                payload = png_encode_gray(plane, filter_type=i // 3 % 5)
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
-                "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                "mime": {
+                    "image": "image/jpeg" if (i // 3) % 4 == 3 else "image/png",
+                    "audio": "audio/wav",
+                    "video": "video/mp4",
+                }[kind],
                 "payload": payload,
                 "width": w,
                 "height": h,

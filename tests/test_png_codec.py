@@ -122,8 +122,10 @@ class TestDispatcherAndLocality:
         got = decode_image(png_encode_gray(img), 1, 1)  # hint ignored for PNG
         assert np.array_equal(got, img)
 
-    def test_decode_image_falls_back_for_non_png(self):
-        payload = b"\xff\xd8\xff\xe0 not-a-png payload"
+    def test_decode_image_falls_back_for_unknown_formats(self):
+        # neither PNG nor JPEG magic (JPEG magic now routes to the real
+        # JFIF decoder) — e.g. a WebP RIFF header
+        payload = b"RIFF\x00\x00\x00\x00WEBPVP8 opaque-bytes"
         got = decode_image(payload, 8, 6)
         assert np.array_equal(got, decode_image_stub(payload, 8, 6))
 
@@ -140,11 +142,12 @@ class TestDispatcherAndLocality:
         assert bin(base ^ near).count("1") <= 3
         assert bin(base ^ far).count("1") > 10
 
-    def test_fixture_payloads_are_real_pngs(self):
+    def test_fixture_payloads_are_real_images(self):
         from erased_cells_spark.operators.multimodal import synthetic_media_rows
 
         rows = [r for r in synthetic_media_rows(64) if r["kind"] == "image"]
-        assert rows and all(r["payload"][:8] == PNG_MAGIC for r in rows)
+        pngs = [r for r in rows if r["mime"] == "image/png"]
+        assert pngs and all(r["payload"][:8] == PNG_MAGIC for r in pngs)
         for r in rows[:6]:
             img = decode_image(r["payload"], 1, 1)
             assert img.shape == (r["height"], r["width"])
