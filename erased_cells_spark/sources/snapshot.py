@@ -1598,9 +1598,21 @@ class SnapshotTable:
         )
 
     def rollback(self, snapshot_id: int) -> int:
-        """Roll the table back to an earlier snapshot's state — APPEND-ONLY:
-        the rollback is itself a new snapshot whose partition map equals the
-        target's, so history (and time travel across the rollback) is kept."""
+        """Roll the table back to an earlier snapshot's PARTITION state —
+        APPEND-ONLY: the rollback is itself a new snapshot whose partition
+        map equals the target's, so history (and time travel across the
+        rollback) is kept.
+
+        Deliberately NOT rolled back (the Iceberg semantics, where
+        rollback moves the snapshot pointer but table-level metadata stays
+        current): the column mapping — renames/drops are forever, written
+        names are never reused, so a rollback cannot resurrect a retired
+        name — and the pending merge-on-read delete lists: a TAKEDOWN
+        survives a rollback (rolling back across a delete_keys commit must
+        not re-expose the taken-down rows — test-pinned). Position delete
+        files that reference data files absent from the restored partition
+        map simply match nothing (harmless). Time travel to the target id
+        itself still reads the target's OWN metadata, unchanged."""
         target = self.manifest(snapshot_id)
         return self._commit_state(
             dict(target["partitions"]), operation="rollback", rollback_of=snapshot_id

@@ -173,3 +173,28 @@ class TestPartitionSpecEvolution:
         table.write_partitions(docs_df(spark), "bucket", [0, 1, 2, 3])
         stats = table.write_partitions(docs_df(spark), "bucket", [0, 1, 2, 3])
         assert all(m.get("skipped") for m in stats.values())
+
+
+class TestRollbackTakedownInterplay:
+    def test_rollback_never_resurrects_taken_down_rows(self, spark, table):
+        """Pinned semantics (r6): rolling back across a merge-on-read
+        delete commit restores the PARTITION state but keeps the pending
+        delete lists — a takedown survives a rollback (the operational
+        must-have: an operator reverting a bad batch cannot re-expose
+        removed content). Time travel to the pre-delete snapshot itself is
+        unaffected."""
+        sid0 = write_base(spark, table)
+        table.delete_keys(
+            spark, spark.createDataFrame([(7,)], "doc_id long"), "doc_id"
+        )
+        table.delete_where_positions(spark, "doc_id = 205")
+        table.write_partitions(docs_df(spark, 400, 450), "bucket", [4])
+        table.rollback(sid0)
+        # partitions restored to the pre-append, pre-delete state...
+        assert set(table.current_manifest()["partitions"]) == {"0", "1", "2", "3"}
+        # ...but both delete flavors still apply to the CURRENT read
+        cur = table.read(spark)
+        assert cur.count() == 398
+        assert cur.filter("doc_id IN (7, 205)").count() == 0
+        # history is intact: the target snapshot itself reads unfiltered
+        assert table.read(spark, snapshot_id=sid0).count() == 400
