@@ -982,6 +982,13 @@ class SnapshotTable:
         100 TB curation pipeline re-runs on: consume `appended`/`deleted`
         instead of rescanning the table (see incremental_cell_rollup).
 
+        Precisely: the changelog's COLUMN SET is the to-mapping applied
+        over the CHANGED partitions (defaults included). A column that
+        physically exists only in untouched partitions is absent rather
+        than all-NULL — deriving the full union schema would mean opening
+        every partition's footer, the exact O(all partitions) work the
+        partition diff exists to avoid.
+
         PARTITION-LEVEL PRUNING: a partition whose manifest meta is
         identical in both snapshots — or whose to-meta is a pure compaction
         of its from-meta (`compacted_from`, equal rows) — contributes to
@@ -1496,6 +1503,13 @@ class SnapshotTable:
         name would make old pre-rename data resurface through the read
         projection's coalesce; re-adding a dropped name would un-hide the
         dropped history. Both fail loudly (use a fresh name instead)."""
+        internal = {c for c in cols if c.startswith("__")}
+        if internal:
+            raise ValueError(
+                f"{operation}: column names {sorted(internal)} use the "
+                "double-underscore prefix reserved for engine internals "
+                "(__lineage, __part, __file, __pos) — rename them"
+            )
         clash = set(cols) & self._reserved_names()
         if clash:
             raise ValueError(

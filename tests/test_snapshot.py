@@ -197,3 +197,19 @@ class TestCommitBatching:
         # resume still skips everything
         stats = one.write_partitions(df(spark), "bucket", list(range(8)), commit_batch=0)
         assert all(m.get("skipped") for m in stats.values())
+
+    def test_internal_column_prefix_rejected(self, spark, tmp_path):
+        """Engine-internal names (__lineage/__part/__file/__pos) are
+        reserved at write time — a user column named __file would collide
+        with the position-delete identity columns mid-read."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from erased_cells_spark.sources.snapshot import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "resv"))
+        df = spark.range(4).select(
+            F.col("id").alias("doc_id"), F.lit(0).alias("bucket"), F.lit("x").alias("__file")
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            t.write_partitions(df, "bucket", [0])
