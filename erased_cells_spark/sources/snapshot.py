@@ -1047,12 +1047,29 @@ class SnapshotTable:
             empty = self.read(spark, to_sid).filter(F_lit(False)).limit(0)
             return {"appended": empty, "deleted": empty}
         to_schema = a.schema if a is not None else None
-        if to_schema is None:
+        if to_schema is None and pt:
             # nothing on the to side changed: diff against an empty to-side
             # under the full to-snapshot schema
             probe = self.read(spark, to_sid).limit(0)
             to_schema = probe.schema
             a = probe.filter(F_lit(False))
+        elif to_schema is None:
+            # the to snapshot is EMPTY (everything deleted in the window):
+            # there is no to-side file to derive a schema from — rename the
+            # from-side columns through the window mapping instead (same
+            # name composition _remap_between uses; types carry over)
+            mf, mt = self.column_mapping(from_sid), self.column_mapping(to_sid)
+            cur_map = {}
+            for w, ct in mt["renames"].items():
+                cur_map[mf["renames"].get(w, w)] = ct
+            dropped = set(mt["dropped"])
+            cols = [
+                F_col(c).alias(cur_map.get(c, c))
+                for c in b.columns
+                if cur_map.get(c, c) not in dropped
+            ]
+            a = b.select(*cols).filter(F_lit(False))
+            to_schema = a.schema
         b = (
             self._remap_between(b, from_sid, to_sid, to_schema)
             if b is not None

@@ -217,6 +217,7 @@ def run_incremental(
     stats = table.write_partitions(
         keyed, "bucket", [f"b{src_sid}-{i}" for i in range(buckets)]
     )
+    keep.unpersist()
     _write_state(out, {"source_snapshot": src_sid, "counts": counts})
     return {
         "mode": mode,

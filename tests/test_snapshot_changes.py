@@ -210,3 +210,18 @@ class TestPruningAndIsolation:
         ch = table.changes(spark, sid0)
         assert rows(ch["appended"], "doc_id") == [(3,)]
         assert ch["deleted"].count() == 0
+
+
+class TestEmptyToSide:
+    def test_window_ending_in_empty_table(self, spark, table):
+        """Everything deleted in the window: deleted = all prior rows,
+        appended empty — the to side has no files to derive a schema from,
+        so it renames through the window mapping instead of crashing."""
+        table.write_partitions(docs_df(spark, 0, 50), "bucket", [0])
+        sid0 = table.metrics()["snapshot_id"]
+        table.rename_column("val", "content")
+        table.delete_where(spark, "doc_id >= 0")  # empties the table
+        ch = table.changes(spark, sid0)
+        assert ch["appended"].count() == 0
+        assert ch["deleted"].count() == 50
+        assert "content" in ch["deleted"].columns and "val" not in ch["deleted"].columns
