@@ -2,6 +2,7 @@
 
 Usage:
     ./jobs/submit.sh jobs/run_pipeline.py --pages 1000000 --out /tmp/zc_snapshot
+    ./jobs/submit.sh jobs/run_pipeline.py --warc /crawl/segment0 --out /tmp/zc_snapshot
 
 Scans (or generates+materializes) the pages table, runs extract→geocode→
 cell-encode→PIP→zonal counts, and commits results to an Iceberg-style
@@ -23,6 +24,12 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=1_000_000)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--input", default=None, help="existing pages parquet dir")
+    ap.add_argument(
+        "--warc",
+        default=None,
+        help=".warc/.warc.gz dir — Common-Crawl-style ingest: records parse "
+        "per file (binaryFile scan), text/lang derive from html",
+    )
     ap.add_argument("--out", required=True, help="snapshot table dir")
     ap.add_argument("--buckets", type=int, default=16, help="lineage partitions")
     args = ap.parse_args()
@@ -36,9 +43,21 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    pages = (
-        spark.read.parquet(args.input) if args.input else generate_pages(spark, args.pages, args.seed)
-    )
+    if args.warc:
+        from erased_cells_spark.functions.text import extract_text, lang_id
+        from erased_cells_spark.sources.warc import read_warc
+
+        raw = read_warc(spark, args.warc)
+        # WARC records carry url/ts/html only; text and lang are DERIVED
+        # here (the real ingest flow) — the pipeline's byte-identity
+        # invariant then verifies extraction against exactly this column
+        pages = raw.withColumn("text", extract_text(F.col("html"))).withColumn(
+            "lang", lang_id(F.col("text"))
+        )
+    elif args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = generate_pages(spark, args.pages, args.seed)
 
     # fused single scan: PIP aggregation + extraction byte-identity invariant
     out, obs = flagship_with_invariant(pages)

@@ -39,6 +39,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.plans.skew",
     "erased_cells_spark.plans.bucketing",
     "erased_cells_spark.sources.layout",
+    "erased_cells_spark.sources.warc",
 ]
 
 # the engine surface an operator must be reachable from (tests NOT included)
