@@ -1650,7 +1650,8 @@ class SnapshotTable:
         )
 
     def build_bloom(
-        self, spark: SparkSession, col: str, fpp: float = 0.01
+        self, spark: SparkSession, col: str, fpp: float = 0.01,
+        distributed: bool = False,
     ) -> int:
         """Build per-partition BLOOM FILTERS on `col` and commit them into
         the partition metas — the point-lookup index for high-cardinality
@@ -1664,10 +1665,14 @@ class SnapshotTable:
         the bloom covers the non-null values, which is safe — an `=` probe
         never matches NULL — and sizing excludes them; only an unindexable
         non-null value type disables the partition's bloom.
-        The driver materializes each partition's distinct-key set
-        (collect_set bounded by the cap) — at true 100 TB width, fold the
-        bloom BITS distributedly with a pandas aggregator instead; the
-        manifest format stays the same. Returns the new snapshot id."""
+        Two build strategies, BIT-IDENTICAL output (test-proven):
+        the default driver path materializes each partition's distinct-key
+        set (collect_set, bounded by the cap — fine up to millions of keys
+        total); `distributed=True` is the 100 TB path — one tiny
+        per-partition distinct-count agg sizes (m, k), then the bloom BITS
+        fold inside an applyInPandas over the partition groups and only
+        (partition, base64 bits) rows reach the driver, never key sets.
+        Returns the new snapshot id."""
         from pyspark.sql.functions import collect_set as F_collect_set
 
         self._require_no_pending_deletes("build_bloom")
@@ -1677,6 +1682,8 @@ class SnapshotTable:
         tagged = self._tagged_read(spark)
         if col not in tagged.columns:
             raise ValueError(f"build_bloom: no column {col!r} in the table")
+        if distributed:
+            return self._build_bloom_distributed(spark, tagged, col, fpp, man)
         sets = {
             r["__part"]: r["vals"]
             for r in tagged.groupBy("__part")
@@ -1688,6 +1695,114 @@ class SnapshotTable:
             vals = sets.get(key, [])
             blooms = dict(meta.get("blooms") or {})
             bloom = _bloom_build(vals, fpp) if len(vals) <= BLOOM_MAX_ITEMS else None
+            if bloom is None:
+                blooms.pop(col, None)
+            else:
+                blooms[col] = bloom
+            new_parts[key] = {**meta, "blooms": blooms}
+        return self._commit_state(
+            new_parts, _expected_parent=man["snapshot_id"], operation="build_bloom"
+        )
+
+    def _build_bloom_distributed(
+        self, spark: SparkSession, tagged: DataFrame, col: str, fpp: float, man: dict
+    ) -> int:
+        """The scale path of build_bloom: key sets never reach the driver.
+        Job 1 (tiny agg): per-partition exact distinct counts → (m, k)
+        sizing on the driver (metadata-scale rows). Job 2: the bloom bit
+        arrays fold inside applyInPandas over the partition groups using
+        the SAME canonicalization + double-hash as the driver path
+        (bit-identity is asserted in tests — the probe at plan time must
+        agree with the build regardless of strategy). Over-cap and
+        type-unindexable partitions yield no bloom, exactly as the driver
+        path."""
+        import base64
+        import math
+
+        from pyspark.sql.functions import countDistinct as F_count_distinct
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        dt = tagged.schema[col].dataType
+        indexable = isinstance(dt, (ByteType, ShortType, IntegerType, LongType, StringType))
+        counts = {}
+        if indexable:
+            counts = {
+                r["__part"]: r["n"]
+                for r in tagged.groupBy("__part")
+                .agg(F_count_distinct(F_col(col)).alias("n"))
+                .collect()
+            }
+        sizing = {}
+        blooms_by_part: dict = {}
+        if indexable:
+            for key in man["partitions"]:
+                n = counts.get(key, 0)
+                if n == 0:
+                    # empty / all-NULL partition: the zero-bit bloom proves
+                    # absence for EVERY probe (same as the driver path) —
+                    # maximum pruning, no job needed
+                    blooms_by_part[key] = _bloom_build([], fpp)
+                elif n <= BLOOM_MAX_ITEMS:
+                    m = max(8, int(-n * math.log(fpp) / (math.log(2) ** 2)))
+                    k = max(1, round(m / n * math.log(2)))
+                    sizing[key] = (m, k)
+        if sizing:
+            out_schema = StructType(
+                [
+                    StructField("part", StringType(), False),
+                    StructField("m", LongType(), False),
+                    StructField("k", LongType(), False),
+                    StructField("bits", StringType(), False),
+                ]
+            )
+
+            def fold(pdf):
+                import pandas as pd
+
+                part = pdf["__part"].iloc[0]
+                mk = sizing.get(part)
+                if mk is None:
+                    return pd.DataFrame([], columns=["part", "m", "k", "bits"])
+                m, k = mk
+                bits = bytearray((m + 7) // 8)
+                is_str = isinstance(dt, StringType)
+                for v in pdf[col].dropna():
+                    canon = v.encode() if is_str else str(int(v)).encode()
+                    for idx in _bloom_hashes(canon, m, k):
+                        bits[idx // 8] |= 1 << (idx % 8)
+                return pd.DataFrame(
+                    [
+                        {
+                            "part": part,
+                            "m": m,
+                            "k": k,
+                            "bits": base64.b64encode(bytes(bits)).decode(),
+                        }
+                    ]
+                )
+
+            rows = (
+                tagged.select("__part", col)
+                .groupBy("__part")
+                .applyInPandas(fold, out_schema)
+                .collect()
+            )
+            for r in rows:
+                blooms_by_part[r["part"]] = {
+                    "m": int(r["m"]), "k": int(r["k"]), "bits": r["bits"]
+                }
+        new_parts = {}
+        for key, meta in man["partitions"].items():
+            blooms = dict(meta.get("blooms") or {})
+            bloom = blooms_by_part.get(key)
             if bloom is None:
                 blooms.pop(col, None)
             else:

@@ -30,6 +30,12 @@ def main() -> None:
     ap.add_argument("--apply-deletes", action="store_true")
     ap.add_argument("--compact", type=int, default=None, metavar="N")
     ap.add_argument("--bloom", default=None, metavar="COL")
+    ap.add_argument(
+        "--bloom-distributed",
+        action="store_true",
+        help="fold bloom bits executor-side (the 100 TB path: key sets "
+        "never reach the driver; bit-identical output)",
+    )
     ap.add_argument("--expire", type=int, default=None, metavar="KEEP")
     args = ap.parse_args()
 
@@ -63,7 +69,7 @@ def main() -> None:
             "compacted_partitions": sum(1 for m in man.values() if "compacted_from" in m),
         }
     if args.bloom:
-        sid = table.build_bloom(spark, args.bloom)
+        sid = table.build_bloom(spark, args.bloom, distributed=args.bloom_distributed)
         out["steps"]["bloom"] = {"column": args.bloom, "snapshot": sid}
     if args.expire is not None:
         res = table.expire_snapshots(keep_last=args.expire)

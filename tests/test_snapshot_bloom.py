@@ -96,3 +96,64 @@ class TestBloomPruning:
         assert plan["pruned_n"] == 0
         with pytest.raises(ValueError, match="no column"):
             table.build_bloom(spark, "nope")
+
+
+class TestDistributedBuild:
+    def test_distributed_blooms_bit_identical_to_driver(self, spark, tmp_path):
+        """The 100 TB build path (key sets never reach the driver) must
+        produce BYTE-identical manifest blooms to the driver path — the
+        plan-time probe cannot know which strategy built the index."""
+        from pyspark.sql import functions as F
+
+        from erased_cells_spark.sources.snapshot import SnapshotTable
+
+        def df(spark):
+            base = spark.range(600).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 4).alias("bucket"),
+                F.concat(F.lit("u-"), (F.col("id") * 7 % 997).cast("string")).alias("url"),
+            )
+            # bucket 3 becomes all-NULL on url; bucket 4 is empty
+            return base.withColumn(
+                "url", F.when(F.col("bucket") == 3, F.lit(None)).otherwise(F.col("url"))
+            )
+
+        a = SnapshotTable(str(tmp_path / "driver"))
+        b = SnapshotTable(str(tmp_path / "dist"))
+        for t in (a, b):
+            t.write_partitions(df(spark), "bucket", [0, 1, 2, 3, 4])
+        a.build_bloom(spark, "url")
+        b.build_bloom(spark, "url", distributed=True)
+        ba = {k: m.get("blooms") for k, m in a.current_manifest()["partitions"].items()}
+        bb = {k: m.get("blooms") for k, m in b.current_manifest()["partitions"].items()}
+        assert ba == bb
+        assert all(v and "url" in v for v in ba.values())
+        # and both prune identically on a point probe
+        probe = [("url", "=", "u-7")]
+        assert a.plan_scan(probe)["read"] == b.plan_scan(probe)["read"]
+        # int column too
+        a.build_bloom(spark, "doc_id")
+        b.build_bloom(spark, "doc_id", distributed=True)
+        ia = {k: m["blooms"]["doc_id"] for k, m in a.current_manifest()["partitions"].items()}
+        ib = {k: m["blooms"]["doc_id"] for k, m in b.current_manifest()["partitions"].items()}
+        assert ia == ib
+
+    def test_distributed_refuses_nothing_but_matches_type_rules(self, spark, tmp_path):
+        """A float column gets no blooms on either path (representation
+        equality risks false negatives)."""
+        from pyspark.sql import functions as F
+
+        from erased_cells_spark.sources.snapshot import SnapshotTable
+
+        t = SnapshotTable(str(tmp_path / "f"))
+        d = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).alias("bucket"),
+            (F.col("id") * 1.5).alias("score"),
+        )
+        t.write_partitions(d, "bucket", [0, 1])
+        t.build_bloom(spark, "score", distributed=True)
+        assert all(
+            not (m.get("blooms") or {}).get("score")
+            for m in t.current_manifest()["partitions"].values()
+        )
