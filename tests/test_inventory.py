@@ -58,6 +58,7 @@ SURFACE_FILES = [
     "jobs/write_clustered.py",
     "jobs/run_curation.py",
     "jobs/run_maintenance.py",
+    "jobs/run_ingest.py",
 ]
 
 # name → why it legitimately has no registered query
