@@ -107,3 +107,33 @@ class TestDispatcherAndFixtures:
                 assert bytes(r["payload"][:2]) == JPEG_MAGIC
             img = decode_image(r["payload"], 1, 1)
             assert img.shape == (r["height"], r["width"])
+
+
+class TestPropertyRoundTrip:
+    """Hypothesis: ANY uint8 plane survives encode→decode with bounded
+    error (lossy, but dims exact and error within the quantization
+    envelope even on pure noise — the worst case for DCT coding)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # quality → MAE ceiling, calibrated over 400 random planes (worst
+    # observed: q50 24.1 — heavy quantization on tiny noise blocks padded
+    # into an 8×8 DCT — q85 6.6, q95 2.2) with ~1.5× headroom
+    BOUNDS = {50: 36.0, 85: 11.0, 95: 4.0}
+
+    @staticmethod
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        q=st.sampled_from([50, 85, 95]),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_any_plane_bounded_error(h, w, q, seed):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        dec = jpeg_decode_gray(jpeg_encode_gray(img, q))
+        assert dec.shape == (h, w)
+        mae = np.abs(dec.astype(float) - img.astype(float)).mean()
+        assert mae < TestPropertyRoundTrip.BOUNDS[q]

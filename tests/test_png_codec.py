@@ -151,3 +151,24 @@ class TestDispatcherAndLocality:
         for r in rows[:6]:
             img = decode_image(r["payload"], 1, 1)
             assert img.shape == (r["height"], r["width"])
+
+
+class TestPropertyRoundTrip:
+    """Hypothesis: ANY uint8 plane round-trips bit-exactly under ANY
+    scanline filter (the decoder's unfilter paths are exact inverses)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_any_plane_any_filter(h, w, ft, seed):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(png_decode(png_encode_gray(img, filter_type=ft)), img)
