@@ -244,7 +244,12 @@ class SnapshotCdcDataSource(DataSource):
             for field in sch:
                 tgt = renames.get(field.name, field.name)
                 if tgt not in dropped and tgt not in fields:
-                    fields[tgt] = field.with_name(tgt)
+                    # every stream column is NULLABLE regardless of the
+                    # sampled footer: under add-column evolution any
+                    # column can be absent in some batch (read as NULL),
+                    # and a required-marked column would poison downstream
+                    # file sinks' merged schemas
+                    fields[tgt] = pa.field(tgt, field.type, nullable=True)
         for name, default in mapping["defaults"].items():
             if name not in fields and name not in dropped:
                 fields[name] = pa.field(name, pa.scalar(default).type)

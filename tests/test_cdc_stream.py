@@ -129,3 +129,32 @@ class TestCdcStream:
         assert sorted(r.doc_id for r in got.collect()) == [
             i for i in range(100, 110) if i != 105
         ]
+
+
+class TestRestartAcrossEvolution:
+    def test_restart_surfaces_columns_added_after_first_run(self, spark, table, tmp_path):
+        """The documented fixed-schema rule: a running stream keeps its
+        frozen schema; a RESTART re-derives it from the current snapshot,
+        so columns added (with defaults) between drains appear after the
+        restart — with old batches' rows reading the default."""
+        write_batch(spark, table, 0, 40, 0)
+        ckpt, out1 = str(tmp_path / "ck"), str(tmp_path / "o1")
+        got = drain(spark, table, ckpt, out1)
+        assert "lang" not in got.columns
+        table.add_column("lang", "en")
+        df = (
+            docs_df(spark, 40, 60)
+            .withColumn("lang", F.lit("fr"))
+            .withColumn("part", F.concat(F.lit("b1-"), F.col("bucket").cast("string")))
+        )
+        table.write_partitions(df, "part", df.select("part"))
+        # restart with the SAME checkpoint + sink (the file sink's batch
+        # log is checkpoint-bound): only the delta streams, now carrying
+        # lang; the accumulated output unions schemas — old batches read
+        # NULL for the later column (mergeSchema), new rows read 'fr'
+        drain(spark, table, ckpt, out1)
+        got2 = spark.read.option("mergeSchema", "true").parquet(out1)
+        assert "lang" in got2.columns
+        langs = {r.doc_id: r.lang for r in got2.collect()}
+        assert sorted(langs) == list(range(60))
+        assert langs[50] == "fr" and langs[0] is None
