@@ -74,13 +74,27 @@ TESTDATA_TABLES = (
 ).split()
 
 
-def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+_VIEWREG_CONF = "spark.erased_cells.testdata_views_dir"
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str, *, force: bool = False) -> None:
     """SQL surface over the testdata tables: one temp view per parquet
-    table (idempotent), so `spark.sql` runs the same ANSI text the DuckDB
-    oracles run. SnapshotTable-backed tables get the same treatment via
-    SnapshotTable.create_or_replace_view."""
+    table, so `spark.sql` runs the same ANSI text the DuckDB oracles run.
+    SnapshotTable-backed tables get the same treatment via
+    SnapshotTable.create_or_replace_view.
+
+    Registration is cached per (session, sf_dir): temp views are
+    session-scoped, so once a session has views over `sf_dir` there is
+    nothing to redo, and re-running the loop per query call costs ~0.6 s of
+    driver-side parquet footer reads (the one >2x bench regression of r6 —
+    VERDICT r6 "What's wrong #1"). The last-registered dir is recorded in a
+    session conf key; a different sf_dir (or `force=True`, e.g. after a
+    caller dropped/replaced a view by name) re-registers."""
+    if not force and spark.conf.get(_VIEWREG_CONF, None) == sf_dir:
+        return
     for name in TESTDATA_TABLES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+    spark.conf.set(_VIEWREG_CONF, sf_dir)
 
 
 # =========================================================== relational ====

@@ -93,6 +93,8 @@ def _parse_chunks(payload: bytes):
     while pos + 12 <= n:
         (ln,) = struct.unpack(">I", payload[pos: pos + 4])
         typ = payload[pos + 4: pos + 8]
+        if pos + 12 + ln > n:
+            raise PngFormatError(f"truncated {typ!r} chunk (declared {ln} bytes)")
         data = payload[pos + 8: pos + 8 + ln]
         (crc,) = struct.unpack(">I", payload[pos + 8 + ln: pos + 12 + ln])
         if zlib.crc32(typ + data) != crc:
@@ -110,6 +112,8 @@ def png_decode(payload: bytes) -> np.ndarray:
     chunks = _parse_chunks(payload)
     if chunks[0][0] != b"IHDR":
         raise PngFormatError("first chunk is not IHDR")
+    if len(chunks[0][1]) != 13:
+        raise PngFormatError(f"IHDR length {len(chunks[0][1])} != 13")
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", chunks[0][1]
     )
@@ -124,9 +128,14 @@ def png_decode(payload: bytes) -> np.ndarray:
     palette = None
     for typ, data in chunks:
         if typ == b"PLTE":
+            if len(data) == 0 or len(data) % 3:
+                raise PngFormatError(f"PLTE length {len(data)} not a positive multiple of 3")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
     idat = b"".join(data for typ, data in chunks if typ == b"IDAT")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise PngFormatError(f"corrupt IDAT stream: {e}") from None
     nch = _CHANNELS[color]
     stride = w * nch
     if len(raw) != h * (stride + 1):
@@ -173,7 +182,12 @@ def png_decode(payload: bytes) -> np.ndarray:
     if color == 3:
         if palette is None:
             raise PngFormatError("palette image without PLTE")
-        return palette[img.reshape(h, w)]  # (h, w, 3)
+        idx = img.reshape(h, w)
+        if idx.size and int(idx.max()) >= len(palette):
+            raise PngFormatError(
+                f"palette index {int(idx.max())} >= PLTE size {len(palette)}"
+            )
+        return palette[idx]  # (h, w, 3)
     if nch == 1:
         return img.reshape(h, w)
     return img.reshape(h, w, nch)

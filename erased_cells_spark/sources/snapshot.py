@@ -502,6 +502,16 @@ class SnapshotTable:
                 "during commit preparation"
             )
         sid = parent["snapshot_id"] + 1
+        # ---- data-sequence stamping (Iceberg sequence numbers, r7): every
+        # partition meta records the snapshot id at which its DATA was
+        # (re)written. Metas that already carry a seq keep it — compaction
+        # and rollback spread old metas, so a pure layout change or a
+        # restore never advances a partition's data sequence. The seq is
+        # what scope='past' equality deletes compare against.
+        partitions = {
+            k: (m if "seq" in m else {**m, "seq": sid})
+            for k, m in partitions.items()
+        }
         # ---- manifest-list build: REUSE parent groups whose every entry is
         # unchanged in the new state; everything else (new keys, changed
         # metas, survivors of partially-invalidated groups) lands in fresh
@@ -879,9 +889,10 @@ class SnapshotTable:
             keys = list(metas)
         paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        # merge-on-read POSITION deletes need each row's physical identity
-        # — attach it from the scan's hidden metadata BEFORE any projection
-        if self.position_delete_files(snapshot_id):
+        # merge-on-read POSITION (and scope='past' equality) deletes need
+        # each row's physical identity — attach it from the scan's hidden
+        # metadata BEFORE any projection
+        if self._needs_row_identity(snapshot_id):
             df = df.select("*", *self._position_cols())
         # schema evolution: surface written names under the snapshot's
         # CURRENT names (renames coalesce across generations, drops vanish)
@@ -903,7 +914,7 @@ class SnapshotTable:
 
         man = self.current_manifest()
         mapping = self.column_mapping()
-        pos_pending = bool(self.position_delete_files())
+        pos_pending = self._needs_row_identity()
         parts = []
         for key, meta in man["partitions"].items():
             df = spark.read.option("mergeSchema", "true").parquet(
@@ -930,7 +941,7 @@ class SnapshotTable:
         metas = self.manifest(snapshot_id)["partitions"]
         paths = [os.path.join(self.path, metas[k]["path"]) for k in keys]
         df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        if self.position_delete_files(snapshot_id):
+        if self._needs_row_identity(snapshot_id):
             df = df.select("*", *self._position_cols())
         df = _apply_column_mapping(df, self.column_mapping(snapshot_id))
         return self._apply_delete_files(spark, df, snapshot_id)
@@ -1327,7 +1338,10 @@ class SnapshotTable:
             F_col("_metadata.row_index").alias("__pos"),
         ]
 
-    def delete_keys(self, spark: SparkSession, keys: DataFrame, key_col: str) -> int:
+    def delete_keys(
+        self, spark: SparkSession, keys: DataFrame, key_col: str,
+        scope: str = "global",
+    ) -> int:
         """MERGE-ON-READ delete by key: commit a (small) delete-key file and
         touch ZERO data partitions — at 10⁵+ partitions a takedown of a few
         keys must not rewrite anything. Reads anti-join the pending delete
@@ -1336,7 +1350,22 @@ class SnapshotTable:
         deletes; `apply_deletes` folds them into rewritten partitions when
         read-amplification warrants. The copy-on-write twin is
         delete_where (immediate rewrite). NULL keys are dropped (they can
-        match no row). Returns the new snapshot id."""
+        match no row). Returns the new snapshot id.
+
+        `scope` picks which data the delete can hide (r7):
+        - "global" (default): the key is hidden EVERYWHERE, including rows
+          appended AFTER the delete commits — takedown semantics: until the
+          delete is folded by apply_deletes, a re-crawl cannot resurface
+          the key.
+        - "past": Iceberg-v2 SEQUENCE-NUMBER semantics — the delete applies
+          only to partitions whose data sequence is <= the snapshot current
+          at commit time. A later append of the same key is NEW data and
+          stays visible, which is what delete-then-re-append (update)
+          windows need: the incremental curation job deletes a changed
+          doc's old version and re-writes its new version in the same run
+          without the delete swallowing the rewrite (ADVICE r6)."""
+        if scope not in ("global", "past"):
+            raise ValueError(f"delete_keys: scope {scope!r} not in ('global', 'past')")
         man = self.current_manifest()
         if not man["partitions"]:
             raise ValueError(f"empty snapshot table at {self.path}")
@@ -1356,6 +1385,10 @@ class SnapshotTable:
             "key_col": key_col,
             "n_keys": n,
             "committed_at": time.time(),
+            # scope='past': hide only rows whose partition data-seq <= this
+            # (everything committed up to and including the parent snapshot);
+            # absence of "seq" == global (legacy entries are global too)
+            **({"seq": man["snapshot_id"]} if scope == "past" else {}),
         }
         return self._commit_state(
             dict(man["partitions"]),
@@ -1392,13 +1425,24 @@ class SnapshotTable:
         # position identity through the anti-joins, so they are applied
         # inline here rather than via _apply_delete_files (which drops them)
         renames = self.column_mapping()["renames"]
+        if any(e.get("seq") is not None for e in self.delete_files()):
+            mapped = self._attach_seq(spark, mapped)
         for entry in self.delete_files():
             eff = renames.get(entry["key_col"], entry["key_col"])
             keys = (
                 spark.read.parquet(os.path.join(self.path, entry["path"]))
                 .withColumnRenamed(entry["key_col"], eff)
             )
-            mapped = mapped.join(F_broadcast(keys), eff, "left_anti")
+            if entry.get("seq") is not None:
+                keys = keys.withColumnRenamed(eff, "__delkey")
+                mapped = mapped.join(
+                    F_broadcast(keys),
+                    (F_col(eff) == F_col("__delkey"))
+                    & (F_col("__seq") <= F_lit(int(entry["seq"]))),
+                    "left_anti",
+                )
+            else:
+                mapped = mapped.join(F_broadcast(keys), eff, "left_anti")
         for entry in self.position_delete_files():
             prior = spark.read.parquet(os.path.join(self.path, entry["path"]))
             mapped = mapped.join(F_broadcast(prior), ["__file", "__pos"], "left_anti")
@@ -1416,21 +1460,66 @@ class SnapshotTable:
             operation="delete_where_positions",
         )
 
+    def _needs_row_identity(self, snapshot_id: int | None = None) -> bool:
+        """True when the read must attach hidden (__file, __pos) identity
+        BEFORE projection: position deletes anti-join on it, and
+        scope='past' equality deletes derive each row's partition data-seq
+        from __file."""
+        return bool(self.position_delete_files(snapshot_id)) or any(
+            e.get("seq") is not None for e in self.delete_files(snapshot_id)
+        )
+
+    def _attach_seq(
+        self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Join each row's partition data-sequence as `__seq`, derived from
+        the hidden __file path (first two segments = the partition dir) via
+        a broadcast of the manifest's (dir, seq) map — metadata-scale, one
+        row per partition, never data-proportional."""
+        man_parts = self.manifest(snapshot_id)["partitions"]
+        dim = spark.createDataFrame(
+            [(m["path"], int(m.get("seq", 0))) for m in man_parts.values()],
+            "__dir string, __seq long",
+        )
+        df = df.withColumn("__dir", F_expr("substring_index(__file, '/', 2)"))
+        df = df.join(F_broadcast(dim), "__dir", "left").drop("__dir")
+        return df.withColumn("__seq", F_coalesce(F_col("__seq"), F_lit(0)))
+
     def _apply_delete_files(
         self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
     ) -> DataFrame:
         """Anti-join the snapshot's pending delete sets (post
         column-mapping, so a delete file written before a rename keys on
-        the written name and resolves through the mapping)."""
+        the written name and resolves through the mapping). scope='past'
+        entries additionally compare the row's partition data-seq against
+        the entry's seq — data appended after the delete stays visible."""
         dels = self.delete_files(snapshot_id)
         renames = self.column_mapping(snapshot_id)["renames"]
+        if any(e.get("seq") is not None for e in dels):
+            if "__file" not in df.columns:
+                raise RuntimeError(
+                    "internal: scope='past' deletes pending but the read did "
+                    "not attach __file before projection"
+                )
+            df = self._attach_seq(spark, df, snapshot_id)
         for entry in dels:
             eff = renames.get(entry["key_col"], entry["key_col"])
             keys = (
                 spark.read.parquet(os.path.join(self.path, entry["path"]))
                 .withColumnRenamed(entry["key_col"], eff)
             )
-            df = df.join(F_broadcast(keys), eff, "left_anti")
+            if entry.get("seq") is not None:
+                keys = keys.withColumnRenamed(eff, "__delkey")
+                df = df.join(
+                    F_broadcast(keys),
+                    (F_col(eff) == F_col("__delkey"))
+                    & (F_col("__seq") <= F_lit(int(entry["seq"]))),
+                    "left_anti",
+                )
+            else:
+                df = df.join(F_broadcast(keys), eff, "left_anti")
+        if "__seq" in df.columns:
+            df = df.drop("__seq")
         pos = self.position_delete_files(snapshot_id)
         if pos:
             if "__file" not in df.columns:
@@ -1870,10 +1959,18 @@ class SnapshotTable:
             new_parts, _expected_parent=man["snapshot_id"], operation="compact"
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, keep_last: int = 1, stage_grace_seconds: float = 3600.0) -> dict:
         """Drop all but the newest keep_last snapshots and DELETE every data
         dir no kept snapshot references (the GC half of compaction/rollback;
-        time travel to an expired snapshot raises afterwards)."""
+        time travel to an expired snapshot raises afterwards).
+
+        This sweep is also the ORPHAN GC (ADVICE r6): a writer that crashed
+        mid commit-loop (commit_batch > 1 can leave up to batch-1 fully
+        written part-* dirs referenced by no snapshot) or mid stage
+        (.stage-* scratch dirs) leaves garbage in data/; unreferenced
+        part-* dirs delete unconditionally, .stage-* dirs only after
+        `stage_grace_seconds` of mtime quiet so a CONCURRENT in-flight
+        write's live stage is never pulled out from under it."""
         import shutil
 
         if keep_last < 1:
@@ -1910,11 +2007,21 @@ class SnapshotTable:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
                 dropped_groups.append(name)
         deleted = []
+        now = time.time()
         for d in os.listdir(self.data_dir):
-            rel = os.path.relpath(os.path.join(self.data_dir, d), self.path)
+            full = os.path.join(self.data_dir, d)
+            rel = os.path.relpath(full, self.path)
             if d.startswith("part-") and rel not in referenced:
-                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+                shutil.rmtree(full, ignore_errors=True)
                 deleted.append(rel)
+            elif d.startswith(".stage-"):
+                try:
+                    quiet = now - os.path.getmtime(full) >= stage_grace_seconds
+                except OSError:
+                    quiet = False  # raced with its own cleanup
+                if quiet:
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(rel)
         return {
             "expired_snapshots": expired,
             "deleted_dirs": sorted(deleted),

@@ -27,9 +27,12 @@ renames re-point through written names, add-column defaults fill, drops
 vanish — against the schema FROZEN AT STREAM START (restart the stream to
 surface columns added later; the standard fixed-schema streaming rule).
 Equality delete sets pending at the window end are anti-filtered file-side
-(takedown lists are broadcast-small by contract); POSITION deletes cannot
-reference files newer than themselves, so appended files need no position
-filtering.
+(takedown lists are broadcast-small by contract; scope='past' sets skip
+partitions whose data-seq postdates them), and POSITION delete sets
+pending at the window end are anti-filtered by (table-relative file path,
+row ordinal) — with skip_replace a window can contain an append followed
+by a delete_where_positions commit whose positions reference the appended
+files (ADVICE r6).
 """
 
 from __future__ import annotations
@@ -46,6 +49,31 @@ from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPart
 # a bounded metadata read; tables wider than this should pass an explicit
 # .schema(...) (documented, fail-safe: extra columns just read as NULL)
 SCHEMA_SAMPLE_PARTITIONS = 64
+
+
+# partition-meta keys that carry no row-visibility information: a commit
+# touching only these (build_bloom rewriting the blooms map, the one-time
+# seq-stamping migration) is INDEX/METADATA MAINTENANCE, not a replace —
+# flagging it would permanently wedge a strict-mode stream (ADVICE r6)
+_NON_DATA_META_KEYS = ("blooms", "committed_at", "seq")
+
+
+def _is_data_change(a: dict, b: dict) -> bool:
+    """True when partition meta a→b changed the partition's visible ROWS:
+    identical modulo non-data keys → no; a pure compaction chain
+    (compacted_from == old path, equal rows) → no (mirrors the whitelist
+    batch-side changes() applies); anything else → yes."""
+    if a == b:
+        return False
+    strip = lambda m: {k: v for k, v in m.items() if k not in _NON_DATA_META_KEYS}  # noqa: E731
+    sa, sb = strip(a), strip(b)
+    if sa == sb:
+        return False
+    return not (
+        b.get("compacted_from") == a.get("path")
+        and b.get("rows") == a.get("rows")
+        and b.get("lineage") == a.get("lineage")
+    )
 
 
 def _mapping_of(raw: dict) -> dict:
@@ -113,11 +141,15 @@ def _apply_mapping_arrow(tbl: pa.Table, mapping: dict, target: pa.Schema) -> pa.
 
 
 class _CdcPartition(InputPartition):
-    def __init__(self, files, mapping, target_schema, delete_sets):
+    def __init__(self, files, mapping, target_schema, delete_sets, seq=0,
+                 pos_delete_files=(), rel_dir=""):
         self.files = files
         self.mapping = mapping
         self.target_schema = target_schema  # serialized (pickled pa.Schema is fine)
-        self.delete_sets = delete_sets  # [(effective_col, [abs file paths])]
+        self.delete_sets = delete_sets  # [(eff_col, written_col, path, entry_seq)]
+        self.seq = seq  # partition data-sequence (scope='past' delete scoping)
+        self.pos_delete_files = pos_delete_files  # abs paths of (__file,__pos) sets
+        self.rel_dir = rel_dir  # table-relative partition dir (position matching)
 
 
 class SnapshotCdcStreamReader(DataSourceStreamReader):
@@ -141,7 +173,7 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
         ps = _partitions_of(self.table_path, raw_s)
         pe = _partitions_of(self.table_path, raw_e)
         replaced = sorted(
-            k for k in ps if k not in pe or (pe[k] != ps[k])
+            k for k in ps if k not in pe or _is_data_change(ps[k], pe[k])
         )
         dels_changed = (raw_s.get("delete_files") or []) != (
             raw_e.get("delete_files") or []
@@ -160,15 +192,27 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
             )
         mapping = _mapping_of(raw_e)
         # equality delete sets pending at the window END apply to appended
-        # rows too (a takedown key can match a row appended later)
+        # rows too (a takedown key can match a row appended later) — except
+        # scope='past' entries, which by construction only hide partitions
+        # whose data-seq <= the entry seq (checked per partition in read())
         delete_sets = [
             (
                 mapping["renames"].get(e["key_col"], e["key_col"]),
                 e["key_col"],
                 os.path.join(self.table_path, e["path"]),
+                e.get("seq"),
             )
             for e in raw_e.get("delete_files") or []
         ]
+        # POSITION delete sets pending at the window end (ADVICE r6): with
+        # skip_replace a window can contain an append followed by a
+        # delete_where_positions commit — the positions then reference the
+        # appended files, so each appended partition must anti-filter its
+        # own (table-relative file path, row ordinal) pairs during read
+        pos_delete_files = tuple(
+            os.path.join(self.table_path, e["path"])
+            for e in raw_e.get("position_delete_files") or []
+        )
         out = []
         for key in sorted(pe):
             if key in ps:
@@ -181,16 +225,24 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                 if f.endswith(".parquet")
             )
             out.append(
-                _CdcPartition(files, mapping, self.arrow_schema, delete_sets)
+                _CdcPartition(
+                    files, mapping, self.arrow_schema, delete_sets,
+                    seq=int(meta.get("seq", 0)),
+                    pos_delete_files=pos_delete_files,
+                    rel_dir=meta["path"],
+                )
             )
         return out
 
     def read(self, partition: _CdcPartition):
         target = partition.target_schema
         # load pending equality-delete key sets once per task (small by
-        # contract — they are takedown lists)
+        # contract — they are takedown lists). scope='past' sets whose seq
+        # predates this partition's data-seq cannot hide its rows — skip.
         dels = []
-        for eff, written, path in partition.delete_sets:
+        for eff, written, path, entry_seq in partition.delete_sets:
+            if entry_seq is not None and partition.seq > entry_seq:
+                continue
             files = [
                 os.path.join(path, f)
                 for f in os.listdir(path)
@@ -198,8 +250,32 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
             ]
             keys = pa.concat_tables([pq.read_table(f) for f in files])
             dels.append((eff, keys.column(written)))
+        # pending POSITION deletes that reference THIS partition's files:
+        # table-relative path → set of deleted row ordinals (ADVICE r6 —
+        # without this, a skip_replace window spanning an append and a
+        # later delete_where_positions commit would stream deleted rows)
+        pos_by_file: dict = {}
+        for path in partition.pos_delete_files:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            for pf in files:
+                t = pq.read_table(pf)
+                for fp, pos in zip(
+                    t.column("__file").to_pylist(), t.column("__pos").to_pylist()
+                ):
+                    if fp.startswith(partition.rel_dir + "/"):
+                        pos_by_file.setdefault(fp, set()).add(pos)
         for f in partition.files:
-            tbl = _apply_mapping_arrow(pq.read_table(f), partition.mapping, target)
+            tbl = pq.read_table(f)
+            rel = os.path.join(partition.rel_dir, os.path.basename(f))
+            dead = pos_by_file.get(rel)
+            if dead:
+                keep = [i for i in range(len(tbl)) if i not in dead]
+                tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            tbl = _apply_mapping_arrow(tbl, partition.mapping, target)
             if len(tbl) == 0:
                 continue
             for eff, keys in dels:

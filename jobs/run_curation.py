@@ -194,18 +194,25 @@ def run_incremental(
             sample_pct,
             quality_floor,
         )
+        # takedown propagation FIRST: source rows deleted in the window
+        # leave the keep list via merge-on-read delete keys (zero rewrites).
+        # scope='past' (Iceberg sequence semantics) + delete-before-read
+        # ordering make delete+re-append (update) windows correct: the
+        # delete hides only the doc's OLD keep-list version; the new
+        # version — written below at a higher data-seq — stays visible,
+        # and the existing-id anti-join (computed after the delete) no
+        # longer sees the old version, so the update is re-written instead
+        # of silently vanishing (ADVICE r6).
+        gone = ch["deleted"].select("doc_id").distinct()
+        n_gone = gone.count()
+        counts["source_deletions_propagated"] = n_gone
+        if n_gone:
+            table.delete_keys(spark, gone, "doc_id", scope="past")
         # exact cross-batch dedup by id: a doc re-crawled into a new batch
         # must not enter the keep list twice
         existing = table.read(spark).select("doc_id")
         keep = keep.join(existing, "doc_id", "left_anti").cache()
         counts["keep_list"] = keep.count()
-        # takedown propagation: source rows deleted in the window leave the
-        # keep list via merge-on-read delete keys (zero rewrites)
-        gone = ch["deleted"].select("doc_id").distinct()
-        n_gone = gone.count()
-        counts["source_deletions_propagated"] = n_gone
-        if n_gone:
-            table.delete_keys(spark, gone, "doc_id")
         mode = "incremental"
 
     keyed = keep.withColumn(

@@ -131,6 +131,69 @@ class TestCdcStream:
         ]
 
 
+class TestDeleteScoping:
+    def test_scoped_delete_does_not_filter_later_appends(self, spark, table, tmp_path):
+        """scope='past' (r7): a sequence-scoped delete pending at the
+        window end must NOT swallow rows appended after it — the appended
+        partition's data-seq postdates the entry."""
+        write_batch(spark, table, 0, 50, 0)
+        table.delete_keys(
+            spark, spark.createDataFrame([(7,), (105,)], "doc_id long"),
+            "doc_id", scope="past",
+        )
+        sid = table.metrics()["snapshot_id"]
+        write_batch(spark, table, 100, 110, 1)
+        got = drain(
+            spark, table, str(tmp_path / "ck7"), str(tmp_path / "o7"),
+            from_snapshot=str(sid),
+        )
+        # 105 appended AFTER the scoped delete → visible (global would hide it)
+        assert sorted(r.doc_id for r in got.collect()) == list(range(100, 110))
+
+    def test_metadata_only_commit_does_not_wedge_strict_stream(self, spark, table, tmp_path):
+        """ADVICE r6: build_bloom rewrites every partition meta (blooms key)
+        with zero data change — routine index maintenance must not read as
+        a replace-style window in strict mode."""
+        write_batch(spark, table, 0, 40, 0)
+        ckpt, out = str(tmp_path / "ck8"), str(tmp_path / "o8")
+        drain(spark, table, ckpt, out)
+        table.build_bloom(spark, "doc_id")
+        write_batch(spark, table, 40, 60, 1)
+        got = drain(spark, table, ckpt, out)  # strict mode: must not raise
+        assert sorted(r.doc_id for r in got.collect()) == list(range(60))
+
+    def test_compaction_window_does_not_wedge_strict_stream(self, spark, table, tmp_path):
+        """Pure compaction (compacted_from chain, equal rows) is a layout
+        change — whitelisted exactly like batch-side changes() does."""
+        # multi-file partitions so compact() actually rewrites
+        df = docs_df(spark, 0, 40).repartition(4).withColumn(
+            "part", F.concat(F.lit("b0-"), F.col("bucket").cast("string"))
+        )
+        table.write_partitions(df, "part", df.select("part"))
+        ckpt, out = str(tmp_path / "ck9"), str(tmp_path / "o9")
+        drain(spark, table, ckpt, out)
+        sid_before = table.metrics()["snapshot_id"]
+        table.compact(spark, max_files_per_partition=1)
+        assert table.metrics()["snapshot_id"] > sid_before, "compaction was a no-op"
+        write_batch(spark, table, 40, 50, 2)
+        got = drain(spark, table, ckpt, out)  # strict mode: must not raise
+        assert sorted(r.doc_id for r in got.collect()) == list(range(50))
+
+    def test_position_deletes_filter_skip_replace_window(self, spark, table, tmp_path):
+        """ADVICE r6 (medium): with skip_replace a window can contain an
+        append followed by a delete_where_positions commit whose positions
+        reference the appended files — those rows must not stream."""
+        write_batch(spark, table, 0, 30, 0)
+        ckpt, out = str(tmp_path / "ck10"), str(tmp_path / "o10")
+        drain(spark, table, ckpt, out)
+        write_batch(spark, table, 100, 110, 1)
+        table.delete_where_positions(spark, "doc_id in (103, 107)")
+        got = drain(spark, table, ckpt, out, skip_replace="true")
+        assert sorted(r.doc_id for r in got.collect()) == (
+            list(range(30)) + [i for i in range(100, 110) if i not in (103, 107)]
+        )
+
+
 class TestRestartAcrossEvolution:
     def test_restart_surfaces_columns_added_after_first_run(self, spark, table, tmp_path):
         """The documented fixed-schema rule: a running stream keeps its

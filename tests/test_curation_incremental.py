@@ -72,6 +72,51 @@ class TestIncrementalCuration:
         tbl = SnapshotTable(out)
         assert len(tbl.delete_files()) >= 1
 
+    def test_update_window_keeps_new_version(self, spark, docs, tmp_path):
+        """ADVICE r6 (medium): a doc deleted AND re-appended (= updated) in
+        one CDC window must NOT vanish from the keep list — the takedown of
+        its old version is scope='past', so the re-curated new version
+        (written at a higher data-seq) stays visible with the NEW text."""
+        src = SnapshotTable(str(tmp_path / "src3"))
+        out = str(tmp_path / "keep3")
+        write_src_batch(spark, src, docs, 0, 300, 0)
+        run_incremental(spark, src.path, out, buckets=4)
+        keep1 = {r.doc_id for r in SnapshotTable(out).read(spark).collect()}
+        victim = sorted(keep1)[0]
+        old_text = (
+            src.read(spark).filter(F.col("doc_id") == victim).collect()[0].text
+        )
+        new_text = old_text + " and then some more plain text follows here"
+
+        # one window: delete the old version AND append the updated one
+        src.delete_where(spark, f"doc_id = {victim}")
+        upd = spark.createDataFrame(
+            [(victim, "src1", new_text, f"b9-{victim % 4}")],
+            "doc_id long, source string, text string, part string",
+        )
+        src.write_partitions(upd, "part", upd.select("part"))
+
+        r = run_incremental(spark, src.path, out, buckets=4)
+        assert r["mode"] == "incremental"
+        assert r["source_deletions_propagated"] >= 1
+        tbl = SnapshotTable(out)
+        ids = {r_.doc_id for r_ in tbl.read(spark).collect()}
+        assert victim in ids, "updated doc silently disappeared from the keep list"
+        # duplicated nowhere: the old keep row is hidden by the scoped
+        # delete, only the re-written one is visible
+        all_rows = [r_.doc_id for r_ in tbl.read(spark).collect()]
+        assert all_rows.count(victim) == 1
+        # the visible row is the NEW one (written in the b<new-sid> lineage
+        # partition, i.e. at a data-seq above the scoped delete's)
+        part = {
+            r_.doc_id: r_.bucket for r_ in tbl.read(spark).collect()
+        }[victim]
+        assert part == f"b{r['source_snapshot']}-{victim % 4}"
+        # and a later apply_deletes fold must not change visibility
+        tbl.apply_deletes(spark)
+        ids2 = {r_.doc_id for r_ in tbl.read(spark).collect()}
+        assert victim in ids2 and ids2 == ids
+
     def test_crash_between_state_and_write_is_idempotent(self, spark, docs, tmp_path):
         """A re-run after a crash that committed partitions but not the
         state file must not duplicate keep rows (write_partitions resume

@@ -115,6 +115,52 @@ class TestFailLoud:
         with pytest.raises(PngFormatError):
             png_decode(full[:-8])
 
+    def test_palette_index_out_of_range(self):
+        """ADVICE r6: an index past the PLTE length must raise the typed
+        PngFormatError (quarantine-catchable), not a raw numpy IndexError."""
+        idx = np.array([[0, 5]], dtype=np.uint8)  # 5 >= len(palette)=2
+        pal = np.array([[255, 0, 0], [0, 255, 0]], dtype=np.uint8)
+        with pytest.raises(PngFormatError, match="palette index"):
+            png_decode(encode_color(idx, 3, palette=pal))
+
+    def test_short_ihdr_rejected(self):
+        buf = (
+            PNG_MAGIC
+            + _chunk(b"IHDR", struct.pack(">II", 2, 2))  # 8 bytes, not 13
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngFormatError, match="IHDR length"):
+            png_decode(buf)
+
+    def test_bad_plte_length_rejected(self):
+        idx = np.array([[0]], dtype=np.uint8)
+        raw = b"\x00" + idx[0].tobytes()
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+        buf = (
+            PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", b"\x01\x02")
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngFormatError, match="PLTE length"):
+            png_decode(buf)
+
+    def test_corrupt_idat_zlib_rejected(self):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        buf = (
+            PNG_MAGIC + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", b"\x99not-deflate\x00")
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(PngFormatError, match="IDAT"):
+            png_decode(buf)
+
+    def test_truncated_chunk_declared_length_rejected(self):
+        """A chunk whose declared length runs past the payload end raises
+        the typed error instead of struct.error."""
+        body = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        bad = PNG_MAGIC + body + struct.pack(">I", 99999) + b"IDATxx"
+        with pytest.raises(PngFormatError, match="no IEND|truncated"):
+            png_decode(bad)
+
 
 class TestDispatcherAndLocality:
     def test_decode_image_takes_real_path_for_png(self):
