@@ -67,20 +67,21 @@ def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image decode dispatcher: PNG and baseline-gray JPEG byte streams
-    (magic-sniffed; the container-independent pure-python codecs in
+    """Image decode dispatcher: PNG and baseline JPEG byte streams — gray
+    AND 3-component YCbCr color with 4:2:0/4:2:2/4:4:4 subsampling since
+    r7 (magic-sniffed; the container-independent pure-python codecs in
     sources/png.py and sources/jpeg.py) decode for REAL to their luma
     plane — dimensions come from the stream headers, not the metadata
     hint; an out-of-scope PNG/JPEG raises like a real codec would; any
     other format falls back to the deterministic stub at the hinted
     size."""
-    from erased_cells_spark.sources.jpeg import JPEG_MAGIC, jpeg_decode_gray
+    from erased_cells_spark.sources.jpeg import JPEG_MAGIC, jpeg_decode_luma
     from erased_cells_spark.sources.png import PNG_MAGIC, png_decode_luma
 
     if bytes(payload[:8]) == PNG_MAGIC:
         return png_decode_luma(payload)
     if bytes(payload[:2]) == JPEG_MAGIC:
-        return jpeg_decode_gray(payload)
+        return jpeg_decode_luma(payload)
     return decode_image_stub(payload, width, height)
 
 
@@ -109,11 +110,52 @@ def decode_video_frame_stub(payload: bytes, offset_ms: int, width: int, height: 
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
 
-def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
-    """decode(stub) → resize → pack as an erased-cells tile struct + stats.
+# codec exceptions a QUARANTINE lane may absorb: malformed/out-of-scope
+# media (PngFormatError/JpegFormatError are ValueErrors; the stubs raise
+# NotImplementedError on empty payloads). Anything else — a numpy bug, a
+# MemoryError — still fails the task loudly.
+_CODEC_ERRORS = (ValueError, NotImplementedError)
+
+
+def _quarantine_schema(base: StructType) -> StructType:
+    """The quarantine-mode output schema: every non-key field nullable
+    (a failed record carries NULL features) plus an `error` column holding
+    'ExceptionType: message' — NULL on good rows."""
+    fields = [
+        StructField(f.name, f.dataType, True if f.name != "media_id" else False)
+        for f in base.fields
+    ]
+    return StructType(fields + [StructField("error", StringType(), True)])
+
+
+def media_quarantine(features: DataFrame) -> DataFrame:
+    """The quarantine side-output of a quarantine-mode media operator:
+    (media_id, error) of every record whose codec failed. Pair with
+    `.filter(F.col('error').isNull())` for the clean lane; surface
+    `.count()` of this in job metrics."""
+    return features.filter(F.col("error").isNotNull()).select("media_id", "error")
+
+
+def extract_image_features(
+    media: DataFrame, out_size: int = 16, errors: str = "quarantine"
+) -> DataFrame:
+    """decode → resize → pack as an erased-cells tile struct + stats.
 
     mapInPandas keeps the input partitioning (no shuffle); each batch is one
-    Arrow block; per-image work is whole-array numpy."""
+    Arrow block; per-image work is whole-array numpy.
+
+    `errors` (r7, VERDICT r6 item 1): a real crawl's media is guaranteed to
+    contain malformed bytes — one truncated PNG must not kill a 100 TB job.
+    - "quarantine" (default): per-record codec failures become rows with
+      NULL features and `error` = 'ExceptionType: message'; good rows carry
+      error NULL. Split lanes with media_quarantine / error-is-null.
+    - "strict": failures raise through the task (the r6 behavior, right
+      for engine-owned fixtures); output schema has NO error column."""
+    if errors not in ("quarantine", "strict"):
+        raise ValueError(f"errors={errors!r} not in ('quarantine', 'strict')")
+    strict = errors == "strict"
+    schema = FEATURE_SCHEMA if strict else _quarantine_schema(FEATURE_SCHEMA)
+    empty = {f.name: None for f in schema.fields if f.name != "media_id"}
 
     def run(batches):
         for pdf in batches:
@@ -124,23 +166,34 @@ def extract_image_features(media: DataFrame, out_size: int = 16) -> DataFrame:
                 # Arrow→pandas renders nullable ints as floats; coerce back
                 w = int(r.width) if r.width and r.width == r.width else 32
                 h = int(r.height) if r.height and r.height == r.height else 32
-                img = decode_image(r.payload, w, h)
+                try:
+                    img = decode_image(r.payload, w, h)
+                except _CODEC_ERRORS as e:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            **empty,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+                    continue
                 small = resize_nearest(img, out_size, out_size)
-                rows.append(
-                    {
-                        "media_id": int(r.media_id),
-                        "cell_type": "UInt8",
-                        "cols": out_size,
-                        "rows": out_size,
-                        "data": small.tobytes(),
-                        "mean_luma": f"{small.astype(np.float64).mean():.6f}",
-                    }
-                )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
-            )
+                row = {
+                    "media_id": int(r.media_id),
+                    "cell_type": "UInt8",
+                    "cols": out_size,
+                    "rows": out_size,
+                    "data": small.tobytes(),
+                    "mean_luma": f"{small.astype(np.float64).mean():.6f}",
+                }
+                if not strict:
+                    row["error"] = None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(run, FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 DHASH_SCHEMA = StructType(
@@ -163,16 +216,21 @@ def dhash63(img: np.ndarray) -> int:
     return int((bits[:63] << np.arange(63, dtype=np.uint64)).sum())
 
 
-def image_dhash(media: DataFrame, passthrough: tuple = ()) -> DataFrame:
-    """Per-image perceptual hash: decode(stub) → dHash, the signature feed
+def image_dhash(
+    media: DataFrame, passthrough: tuple = (), errors: str = "quarantine"
+) -> DataFrame:
+    """Per-image perceptual hash: decode → dHash, the signature feed
     for the image near-dup family (hamming_block_pairs + connected
     components — the multimodal twin of SimHash text dedup). Same
-    partition-preserving mapInPandas shape as extract_image_features.
+    partition-preserving mapInPandas shape — and the same per-record
+    `errors` quarantine contract — as extract_image_features.
     `passthrough` columns (e.g. the event timestamp for the streaming
     guard) are carried alongside unchanged."""
-    schema = StructType(
-        list(DHASH_SCHEMA.fields) + [media.schema[c] for c in passthrough]
-    )
+    if errors not in ("quarantine", "strict"):
+        raise ValueError(f"errors={errors!r} not in ('quarantine', 'strict')")
+    strict = errors == "strict"
+    base = DHASH_SCHEMA if strict else _quarantine_schema(DHASH_SCHEMA)
+    schema = StructType(list(base.fields) + [media.schema[c] for c in passthrough])
 
     def run(batches):
         for pdf in batches:
@@ -182,8 +240,23 @@ def image_dhash(media: DataFrame, passthrough: tuple = ()) -> DataFrame:
                     continue
                 w = int(r.width) if r.width and r.width == r.width else 32
                 h = int(r.height) if r.height and r.height == r.height else 32
-                img = decode_image(r.payload, w, h)
+                try:
+                    img = decode_image(r.payload, w, h)
+                except _CODEC_ERRORS as e:
+                    if strict:
+                        raise
+                    row = {
+                        "media_id": int(r.media_id),
+                        "dhash": None,
+                        "error": f"{type(e).__name__}: {e}",
+                    }
+                    for c in passthrough:
+                        row[c] = getattr(r, c)
+                    rows.append(row)
+                    continue
                 row = {"media_id": int(r.media_id), "dhash": dhash63(img)}
+                if not strict:
+                    row["error"] = None
                 for c in passthrough:
                     row[c] = getattr(r, c)
                 rows.append(row)
@@ -203,14 +276,23 @@ VIDEO_FEATURE_SCHEMA = StructType(
 )
 
 
-def extract_video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+def extract_video_features(
+    media: DataFrame, every_ms: int = 1000, errors: str = "quarantine"
+) -> DataFrame:
     """Video feature extraction: frame_sample_offsets plans the frames, the
     (stub) codec decodes each sampled frame, mean luma aggregates across
-    frames. Same partition-preserving mapInPandas shape as the image path.
+    frames. Same partition-preserving mapInPandas shape — and the same
+    per-record `errors` quarantine contract — as the image path.
 
     Degenerate input convention (shared with the local twin
     media_features_np): media with duration_ms <= 0 sample ZERO frames and
     produce NO feature row on either path."""
+    if errors not in ("quarantine", "strict"):
+        raise ValueError(f"errors={errors!r} not in ('quarantine', 'strict')")
+    strict = errors == "strict"
+    schema = (
+        VIDEO_FEATURE_SCHEMA if strict else _quarantine_schema(VIDEO_FEATURE_SCHEMA)
+    )
 
     def run(batches):
         for pdf in batches:
@@ -222,22 +304,38 @@ def extract_video_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 offs = frame_sample_offsets(dur, every_ms)
                 if len(offs) == 0:
                     continue
-                frames = np.stack(
-                    [
-                        decode_video_frame_stub(r.payload, int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
-                        for o in offs
-                    ]
-                )
-                rows.append(
-                    {
-                        "media_id": int(r.media_id),
-                        "n_frames": int(len(offs)),
-                        "mean_luma": f"{frames.astype(np.float64).mean():.6f}",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FEATURE_SCHEMA.fields])
+                try:
+                    frames = np.stack(
+                        [
+                            decode_video_frame_stub(
+                                r.payload, int(o), VIDEO_FRAME_W, VIDEO_FRAME_H
+                            )
+                            for o in offs
+                        ]
+                    )
+                except _CODEC_ERRORS as e:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "n_frames": None,
+                            "mean_luma": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+                    continue
+                row = {
+                    "media_id": int(r.media_id),
+                    "n_frames": int(len(offs)),
+                    "mean_luma": f"{frames.astype(np.float64).mean():.6f}",
+                }
+                if not strict:
+                    row["error"] = None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(run, VIDEO_FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 AUDIO_SAMPLE_RATE = 8000  # stub decode rate (Hz)
@@ -265,12 +363,40 @@ def decode_audio_stub(
     return rng.integers(-32768, 32768, size=n, dtype=np.int16)
 
 
-def extract_audio_features(media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RATE) -> DataFrame:
-    """Audio feature extraction: (stub) PCM decode → waveform stats
-    (n_samples, RMS amplitude). Same partition-preserving mapInPandas shape
-    as the image/video paths; per-item Python loop is inherent to codec
-    calls. Zero-duration audio produces NO row (the shared degenerate-input
-    convention with media_features_np)."""
+def decode_audio(
+    payload: bytes, duration_ms: int, sample_rate: int = AUDIO_SAMPLE_RATE
+) -> np.ndarray:
+    """Audio decode dispatcher (the image decode_image twin): RIFF/WAVE
+    byte streams decode for REAL via the pure-python PCM codec
+    (sources/wav.py, r7) — sample count and rate come from the stream,
+    not the metadata hint; a malformed/compressed WAV raises like a real
+    codec would; any other format falls back to the deterministic stub at
+    the hinted duration."""
+    from erased_cells_spark.sources.wav import WAV_MAGIC, wav_decode_mono
+
+    if bytes(payload[:4]) == WAV_MAGIC:
+        _, samples = wav_decode_mono(payload)
+        return samples
+    return decode_audio_stub(payload, duration_ms, sample_rate)
+
+
+def extract_audio_features(
+    media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RATE, errors: str = "quarantine"
+) -> DataFrame:
+    """Audio feature extraction: PCM decode → waveform stats (n_samples,
+    RMS amplitude). WAV/PCM payloads decode for REAL (sources/wav.py, r7);
+    other formats fall back to the deterministic stub. Same
+    partition-preserving mapInPandas shape — and the same per-record
+    `errors` quarantine contract — as the image/video paths; per-item
+    Python loop is inherent to codec calls. Zero-duration audio produces
+    NO row (the shared degenerate-input convention with
+    media_features_np)."""
+    if errors not in ("quarantine", "strict"):
+        raise ValueError(f"errors={errors!r} not in ('quarantine', 'strict')")
+    strict = errors == "strict"
+    schema = (
+        AUDIO_FEATURE_SCHEMA if strict else _quarantine_schema(AUDIO_FEATURE_SCHEMA)
+    )
 
     def run(batches):
         for pdf in batches:
@@ -281,17 +407,31 @@ def extract_audio_features(media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RAT
                 dur = int(r.duration_ms) if r.duration_ms == r.duration_ms else 0
                 if dur <= 0:
                     continue
-                x = decode_audio_stub(r.payload, dur, sample_rate).astype(np.float64)
-                rows.append(
-                    {
-                        "media_id": int(r.media_id),
-                        "n_samples": int(len(x)),
-                        "rms": f"{np.sqrt((x ** 2).mean()):.6f}",
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+                try:
+                    x = decode_audio(r.payload, dur, sample_rate).astype(np.float64)
+                except _CODEC_ERRORS as e:
+                    if strict:
+                        raise
+                    rows.append(
+                        {
+                            "media_id": int(r.media_id),
+                            "n_samples": None,
+                            "rms": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+                    continue
+                row = {
+                    "media_id": int(r.media_id),
+                    "n_samples": int(len(x)),
+                    "rms": f"{np.sqrt((x ** 2).mean()):.6f}",
+                }
+                if not strict:
+                    row["error"] = None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema)
 
 
 def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
@@ -307,33 +447,55 @@ def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
         payload = rng.bytes(128 + (i % 5) * 64)
         w = 32 + (i % 4) * 16 if kind == "image" else None
         h = 24 + (i % 3) * 16 if kind == "image" else None
+        dur = 4000 + i * 250 if kind != "image" else None
+        mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
         if kind == "image":
-            # REAL image payloads (r6): the pixel plane is the old stub
-            # output for these bytes (unchanged rng stream), encoded as an
-            # actual byte stream the operators decode for real — every 4th
-            # image a baseline JFIF (lossy; sources/jpeg.py), the rest
-            # 8-bit gray PNGs with the filter type cycling so fixtures
-            # exercise every unfilter path (sources/png.py).
+            # REAL image payloads (r6, color since r7): the pixel plane is
+            # the old stub output for these bytes (unchanged rng stream),
+            # encoded as an actual byte stream the operators decode for
+            # real. The mix cycles: gray JFIF, COLOR 4:2:0 JFIF, COLOR
+            # 4:4:4 JFIF, and 8-bit gray PNGs with the filter type cycling
+            # so fixtures exercise every unfilter path.
             plane = decode_image_stub(payload, w, h)
-            if (i // 3) % 4 == 3:
+            slot = (i // 3) % 4
+            if slot == 3:
                 from erased_cells_spark.sources.jpeg import jpeg_encode_gray
 
                 payload = jpeg_encode_gray(plane, quality=90)
+                mime = "image/jpeg"
+            elif slot == 1:
+                from erased_cells_spark.sources.jpeg import jpeg_encode_color
+
+                rgb = np.stack(
+                    [
+                        plane,
+                        decode_image_stub(payload + b"G", w, h),
+                        decode_image_stub(payload + b"B", w, h),
+                    ],
+                    axis=-1,
+                )
+                sub = "420" if (i // 3) % 8 == 1 else "444"
+                payload = jpeg_encode_color(rgb, quality=90, subsampling=sub)
+                mime = "image/jpeg"
             else:
                 payload = png_encode_gray(plane, filter_type=i // 3 % 5)
+        elif kind == "audio":
+            # REAL audio payloads (r7): the PCM samples are the old stub
+            # output for these bytes, packaged as an actual RIFF/WAVE
+            # stream the decode_audio dispatcher parses for real.
+            from erased_cells_spark.sources.wav import wav_encode_pcm16
+
+            samples = decode_audio_stub(payload, dur)
+            payload = wav_encode_pcm16(samples, AUDIO_SAMPLE_RATE)
         rows.append(
             {
                 "media_id": i,
                 "kind": kind,
-                "mime": {
-                    "image": "image/jpeg" if (i // 3) % 4 == 3 else "image/png",
-                    "audio": "audio/wav",
-                    "video": "video/mp4",
-                }[kind],
+                "mime": mime,
                 "payload": payload,
                 "width": w,
                 "height": h,
-                "duration_ms": 4000 + i * 250 if kind != "image" else None,
+                "duration_ms": dur,
             }
         )
     return rows
@@ -411,6 +573,6 @@ def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: 
             dur = r["duration_ms"] or 0
             if dur <= 0:
                 continue
-            x = decode_audio_stub(r["payload"], dur).astype(np.float64)
+            x = decode_audio(r["payload"], dur).astype(np.float64)
             out.append((r["media_id"], "audio", len(x), f"{np.sqrt((x ** 2).mean()):.6f}"))
     return out

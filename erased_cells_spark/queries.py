@@ -2239,19 +2239,27 @@ def media_features(spark, sf_dir):
     )
 
     media = synthetic_media(spark, 64, seed=5)
-    img = extract_image_features(media, out_size=16).select(
+    # the extractors run in quarantine mode (the operational default — one
+    # malformed payload must not kill the job); the clean lane is
+    # error-IS-NULL and the fixtures are all decodable, so the oracle rows
+    # are unchanged
+    img = extract_image_features(media, out_size=16).filter(
+        F.col("error").isNull()
+    ).select(
         "media_id",
         F.lit("image").alias("kind"),
         F.lit(1).cast("long").alias("n_units"),
         F.col("mean_luma").alias("feature"),
     )
-    vid = extract_video_features(media, every_ms=1000).select(
+    vid = extract_video_features(media, every_ms=1000).filter(
+        F.col("error").isNull()
+    ).select(
         "media_id",
         F.lit("video").alias("kind"),
         F.col("n_frames").alias("n_units"),
         F.col("mean_luma").alias("feature"),
     )
-    aud = extract_audio_features(media).select(
+    aud = extract_audio_features(media).filter(F.col("error").isNull()).select(
         "media_id",
         F.lit("audio").alias("kind"),
         F.col("n_samples").alias("n_units"),
@@ -2318,7 +2326,7 @@ def media_phash_dups(spark, sf_dir):
     caches: list = []
     hot_report: list = []
     pairs = hamming_block_pairs(
-        image_dhash(media),
+        image_dhash(media).filter(F.col("error").isNull()).select("media_id", "dhash"),
         max_hamming=3,
         id_col="media_id",
         sig_col="dhash",

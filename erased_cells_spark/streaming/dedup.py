@@ -244,7 +244,9 @@ def image_block_verdicts_stream(
     exact dedup. Non-image rows produce no verdicts."""
     from erased_cells_spark.operators.multimodal import image_dhash
 
-    sigs = image_dhash(media_stream, passthrough=(ts_col,)).select(
+    sigs = image_dhash(media_stream, passthrough=(ts_col,)).filter(
+        F.col("error").isNull()  # quarantined codec failures never claim
+    ).select(
         F.col(id_col).cast("string").alias("id"),
         F.col(ts_col).alias("ts"),
         "dhash",
@@ -396,7 +398,9 @@ def media_keep_list_batch(
     same exact verification the stream applies)."""
     from erased_cells_spark.operators.multimodal import image_dhash
 
-    sigs = image_dhash(media, passthrough=(ts_col,)).select(
+    sigs = image_dhash(media, passthrough=(ts_col,)).filter(
+        F.col("error").isNull()
+    ).select(
         F.col(id_col).cast("string").alias("id"), F.col(ts_col).alias("ts"), "dhash"
     )
     return _keep_from_sigs_batch(sigs)
