@@ -33,6 +33,15 @@ pending at the window end are anti-filtered by (table-relative file path,
 row ordinal) — with skip_replace a window can contain an append followed
 by a delete_where_positions commit whose positions reference the appended
 files (ADVICE r6).
+
+CHANGELOG MODE (r7): `option("mode", "changelog")` adds a `_change_type`
+∈ {insert, delete} column (Iceberg's CDC metadata column). Windows that
+ADD merge-on-read delete sets — the takedown path — emit the rows those
+sets hide as _change_type='delete' rows instead of erroring: one
+delete-scan task per start-snapshot partition filters rows that were
+visible at the start AND are hit by a window-added set, so the stream's
+multiset equals batch `changes()` on append+delete windows. Partition
+rewrites and shrunk delete lists (row resurrection) still fail loud.
 """
 
 from __future__ import annotations
@@ -142,7 +151,8 @@ def _apply_mapping_arrow(tbl: pa.Table, mapping: dict, target: pa.Schema) -> pa.
 
 class _CdcPartition(InputPartition):
     def __init__(self, files, mapping, target_schema, delete_sets, seq=0,
-                 pos_delete_files=(), rel_dir=""):
+                 pos_delete_files=(), rel_dir="", kind="insert",
+                 new_delete_sets=(), new_pos_files=()):
         self.files = files
         self.mapping = mapping
         self.target_schema = target_schema  # serialized (pickled pa.Schema is fine)
@@ -150,6 +160,25 @@ class _CdcPartition(InputPartition):
         self.seq = seq  # partition data-sequence (scope='past' delete scoping)
         self.pos_delete_files = pos_delete_files  # abs paths of (__file,__pos) sets
         self.rel_dir = rel_dir  # table-relative partition dir (position matching)
+        self.kind = kind  # 'insert' | 'delete' (changelog mode)
+        # delete-scan inputs: equality/position sets ADDED in the window —
+        # the rows they hide (under start-snapshot visibility) are the
+        # window's _change_type='delete' rows
+        self.new_delete_sets = new_delete_sets
+        self.new_pos_files = new_pos_files
+
+
+CHANGE_TYPE_COL = "_change_type"
+
+
+def _stamp_change_type(tbl: pa.Table, target: pa.Schema, kind: str) -> pa.Table:
+    """Append the constant _change_type column when the stream schema
+    carries one (changelog mode); no-op in append mode."""
+    if CHANGE_TYPE_COL not in target.names:
+        return tbl
+    stamp = pa.array([kind] * len(tbl), type=pa.string())
+    cols = [tbl.column(f.name) if f.name != CHANGE_TYPE_COL else stamp for f in target]
+    return pa.table(cols, schema=target)
 
 
 class SnapshotCdcStreamReader(DataSourceStreamReader):
@@ -158,6 +187,11 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
         self.arrow_schema = schema
         self.start_sid = int(options.get("from_snapshot", 0))
         self.skip_replace = str(options.get("skip_replace", "false")).lower() == "true"
+        self.mode = str(options.get("mode", "append")).lower()
+        if self.mode not in ("append", "changelog"):
+            raise ValueError(
+                f"snapshot_cdc: mode {self.mode!r} not in ('append', 'changelog')"
+            )
 
     # ---- offsets are snapshot ids ----
     def initialOffset(self) -> dict:
@@ -175,18 +209,42 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
         replaced = sorted(
             k for k in ps if k not in pe or _is_data_change(ps[k], pe[k])
         )
+        changelog = self.mode == "changelog"
         dels_changed = (raw_s.get("delete_files") or []) != (
             raw_e.get("delete_files") or []
         ) or (raw_s.get("position_delete_files") or []) != (
             raw_e.get("position_delete_files") or []
         )
-        if (replaced or dels_changed) and not self.skip_replace:
+        # a SHRUNK delete list (apply_deletes fold, manual surgery) means
+        # rows RE-APPEARED — inexpressible as insert/delete lanes derived
+        # from added sets, so changelog mode fails loud on it too
+        eq_removed = {e["path"] for e in raw_s.get("delete_files") or []} - {
+            e["path"] for e in raw_e.get("delete_files") or []
+        }
+        pos_removed = {
+            e["path"] for e in raw_s.get("position_delete_files") or []
+        } - {e["path"] for e in raw_e.get("position_delete_files") or []}
+        if changelog and (eq_removed or pos_removed) and not self.skip_replace:
+            raise ValueError(
+                f"snapshot_cdc: window {s_sid}→{e_sid} REMOVED merge-on-read "
+                f"delete sets ({sorted(eq_removed | pos_removed)[:5]}) — an "
+                "apply_deletes fold or a resurrection, neither expressible "
+                "as changelog insert/delete lanes. Use SnapshotTable."
+                "changes() for this window or restart the stream from the "
+                "current snapshot."
+            )
+        # changelog mode's whole point is delete windows: a delete-list
+        # change becomes _change_type='delete' rows instead of an error.
+        # Partition REWRITES stay out of scope in both modes (full
+        # before/after multiset semantics live batch-side in changes()).
+        if (replaced or (dels_changed and not changelog)) and not self.skip_replace:
             raise ValueError(
                 f"snapshot_cdc: window {s_sid}→{e_sid} contains replace-style "
                 f"commits (rewritten/removed partitions {replaced[:5]}"
                 f"{'…' if len(replaced) > 5 else ''}, delete-list change="
                 f"{dels_changed}) — the streaming source is APPEND-ONLY. Use "
                 "SnapshotTable.changes() for full before/after semantics, "
+                "option('mode', 'changelog') for delete-list windows, "
                 "restart the stream from the current snapshot, or set "
                 "option('skip_replace', 'true') to stream only new partitions."
             )
@@ -232,16 +290,134 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                     rel_dir=meta["path"],
                 )
             )
+        if changelog:
+            out.extend(
+                self._delete_scan_partitions(raw_s, raw_e, ps, pe, mapping)
+            )
         return out
 
-    def read(self, partition: _CdcPartition):
-        target = partition.target_schema
-        # load pending equality-delete key sets once per task (small by
-        # contract — they are takedown lists). scope='past' sets whose seq
-        # predates this partition's data-seq cannot hide its rows — skip.
-        dels = []
-        for eff, written, path, entry_seq in partition.delete_sets:
-            if entry_seq is not None and partition.seq > entry_seq:
+    def _delete_scan_partitions(self, raw_s, raw_e, ps, pe, mapping):
+        """changelog mode: one delete-scan task per start-snapshot
+        partition when the window ADDED delete sets — the rows those sets
+        hide (under START-snapshot visibility, so an already-hidden row
+        never re-emits) are the window's _change_type='delete' rows.
+        Rows of partitions appended in the same window never appear here
+        (they were not visible at the start; the insert lane nets them by
+        applying the end-pending sets), which keeps the stream's multiset
+        equal to batch changes() on append+delete windows."""
+        old_eq = {e["path"] for e in raw_s.get("delete_files") or []}
+        new_eq = [
+            e for e in raw_e.get("delete_files") or [] if e["path"] not in old_eq
+        ]
+        old_pos = {e["path"] for e in raw_s.get("position_delete_files") or []}
+        new_pos = [
+            e for e in raw_e.get("position_delete_files") or []
+            if e["path"] not in old_pos
+        ]
+        if not new_eq and not new_pos:
+            return []
+        s_delete_sets = [
+            (
+                mapping["renames"].get(e["key_col"], e["key_col"]),
+                e["key_col"],
+                os.path.join(self.table_path, e["path"]),
+                e.get("seq"),
+            )
+            for e in raw_s.get("delete_files") or []
+        ]
+        s_pos_files = tuple(
+            os.path.join(self.table_path, e["path"])
+            for e in raw_s.get("position_delete_files") or []
+        )
+        new_sets = [
+            (
+                mapping["renames"].get(e["key_col"], e["key_col"]),
+                e["key_col"],
+                os.path.join(self.table_path, e["path"]),
+                e.get("seq"),
+            )
+            for e in new_eq
+        ]
+        new_pos_files = tuple(
+            os.path.join(self.table_path, e["path"]) for e in new_pos
+        )
+        # ---- driver-side partition pruning (the 100 TB path): a takedown
+        # window must NOT plan a scan task per table partition. Position
+        # sets name their target files — only the referenced partition dirs
+        # can emit delete rows. Equality sets are broadcast-small takedown
+        # lists by contract — test their keys against per-partition blooms
+        # (build_bloom) and skip partitions that provably contain none.
+        pos_dirs: set = set()
+        for path in new_pos_files:
+            for pf in os.listdir(path):
+                if pf.endswith(".parquet"):
+                    col = pq.read_table(os.path.join(path, pf), columns=["__file"])
+                    pos_dirs.update(
+                        os.path.dirname(fp) for fp in col.column("__file").to_pylist()
+                    )
+        eq_keys = []  # [(eff, written, entry_seq, [values])]
+        for eff, written, path, entry_seq in new_sets:
+            files = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            vals = pa.concat_tables([pq.read_table(f) for f in files])
+            eq_keys.append(
+                (eff, written, entry_seq, vals.column(written).to_pylist())
+            )
+
+        def might_hide(meta) -> bool:
+            if meta["path"] in pos_dirs:
+                return True
+            part_seq = int(meta.get("seq", 0))
+            blooms = meta.get("blooms") or {}
+            for eff, written, entry_seq, vals in eq_keys:
+                if entry_seq is not None and part_seq > entry_seq:
+                    continue  # scope='past': set predates this partition
+                bloom = blooms.get(written) or blooms.get(eff)
+                if bloom is None:
+                    return True  # no index → must scan
+                from ..sources.snapshot import _bloom_might_contain
+
+                if any(_bloom_might_contain(bloom, v) for v in vals):
+                    return True
+            return False
+
+        out = []
+        for key in sorted(ps):
+            if key not in pe or _is_data_change(ps[key], pe[key]):
+                continue  # rewritten: raised in strict mode, skipped otherwise
+            meta = ps[key]
+            if not might_hide(meta):
+                continue  # bloom/position-proof: no delete rows here
+            pdir = os.path.join(self.table_path, meta["path"])
+            files = sorted(
+                os.path.join(pdir, f)
+                for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            out.append(
+                _CdcPartition(
+                    files, mapping, self.arrow_schema, s_delete_sets,
+                    seq=int(meta.get("seq", 0)),
+                    pos_delete_files=s_pos_files,
+                    rel_dir=meta["path"],
+                    kind="delete",
+                    new_delete_sets=new_sets,
+                    new_pos_files=new_pos_files,
+                )
+            )
+        return out
+
+    @staticmethod
+    def _load_eq_sets(sets, part_seq: int):
+        """Load equality delete key sets once per task (small by contract
+        — they are takedown lists). scope='past' sets whose seq predates
+        the partition's data-seq cannot hide its rows — skipped."""
+        out = []
+        for eff, written, path, entry_seq in sets:
+            if entry_seq is not None and part_seq > entry_seq:
                 continue
             files = [
                 os.path.join(path, f)
@@ -249,13 +425,15 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                 if f.endswith(".parquet")
             ]
             keys = pa.concat_tables([pq.read_table(f) for f in files])
-            dels.append((eff, keys.column(written)))
-        # pending POSITION deletes that reference THIS partition's files:
-        # table-relative path → set of deleted row ordinals (ADVICE r6 —
-        # without this, a skip_replace window spanning an append and a
-        # later delete_where_positions commit would stream deleted rows)
+            out.append((eff, keys.column(written).combine_chunks()))
+        return out
+
+    @staticmethod
+    def _load_pos_by_file(paths, rel_dir: str) -> dict:
+        """Position-delete sets referencing files under `rel_dir`:
+        {table-relative file path: set(row ordinals)}."""
         pos_by_file: dict = {}
-        for path in partition.pos_delete_files:
+        for path in paths:
             files = [
                 os.path.join(path, f)
                 for f in os.listdir(path)
@@ -266,8 +444,26 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
                 for fp, pos in zip(
                     t.column("__file").to_pylist(), t.column("__pos").to_pylist()
                 ):
-                    if fp.startswith(partition.rel_dir + "/"):
+                    if fp.startswith(rel_dir + "/"):
                         pos_by_file.setdefault(fp, set()).add(pos)
+        return pos_by_file
+
+    def read(self, partition: _CdcPartition):
+        if partition.kind == "delete":
+            yield from self._read_delete_scan(partition)
+            return
+        target = partition.target_schema
+        data_target = pa.schema(
+            [f for f in target if f.name != CHANGE_TYPE_COL]
+        )
+        dels = self._load_eq_sets(partition.delete_sets, partition.seq)
+        # pending POSITION deletes that reference THIS partition's files
+        # (ADVICE r6 — without this, a skip_replace window spanning an
+        # append and a later delete_where_positions commit would stream
+        # deleted rows)
+        pos_by_file = self._load_pos_by_file(
+            partition.pos_delete_files, partition.rel_dir
+        )
         for f in partition.files:
             tbl = pq.read_table(f)
             rel = os.path.join(partition.rel_dir, os.path.basename(f))
@@ -275,14 +471,59 @@ class SnapshotCdcStreamReader(DataSourceStreamReader):
             if dead:
                 keep = [i for i in range(len(tbl)) if i not in dead]
                 tbl = tbl.take(pa.array(keep, type=pa.int64()))
-            tbl = _apply_mapping_arrow(tbl, partition.mapping, target)
+            tbl = _apply_mapping_arrow(tbl, partition.mapping, data_target)
             if len(tbl) == 0:
                 continue
             for eff, keys in dels:
                 if eff in tbl.column_names and len(keys):
-                    mask = pc.is_in(tbl.column(eff), value_set=keys.combine_chunks())
+                    mask = pc.is_in(tbl.column(eff), value_set=keys)
                     tbl = tbl.filter(pc.invert(pc.fill_null(mask, False)))
-            yield from tbl.to_batches()
+            yield from _stamp_change_type(tbl, target, "insert").to_batches()
+
+    def _read_delete_scan(self, partition: _CdcPartition):
+        """changelog mode: emit _change_type='delete' rows — rows of this
+        START-snapshot partition that (a) were VISIBLE at the start (not
+        hidden by start-pending equality/position sets) and (b) are hidden
+        by a set ADDED in the window."""
+        import numpy as np
+
+        target = partition.target_schema
+        data_target = pa.schema([f for f in target if f.name != CHANGE_TYPE_COL])
+        vis_eq = self._load_eq_sets(partition.delete_sets, partition.seq)
+        vis_pos = self._load_pos_by_file(partition.pos_delete_files, partition.rel_dir)
+        new_eq = self._load_eq_sets(partition.new_delete_sets, partition.seq)
+        new_pos = self._load_pos_by_file(partition.new_pos_files, partition.rel_dir)
+        for f in partition.files:
+            raw = pq.read_table(f)
+            n = len(raw)
+            if n == 0:
+                continue
+            rel = os.path.join(partition.rel_dir, os.path.basename(f))
+            mapped = _apply_mapping_arrow(raw, partition.mapping, data_target)
+
+            def eq_mask(sets):
+                m = np.zeros(n, dtype=bool)
+                for eff, keys in sets:
+                    if eff in mapped.column_names and len(keys):
+                        hit = pc.fill_null(
+                            pc.is_in(mapped.column(eff), value_set=keys), False
+                        )
+                        m |= hit.combine_chunks().to_numpy(zero_copy_only=False)
+                return m
+
+            visible = ~eq_mask(vis_eq)
+            dead_s = vis_pos.get(rel)
+            if dead_s:
+                visible[np.fromiter(dead_s, dtype=np.int64)] = False
+            hit = eq_mask(new_eq)
+            dead_new = new_pos.get(rel)
+            if dead_new:
+                hit[np.fromiter(dead_new, dtype=np.int64)] = True
+            take = np.nonzero(visible & hit)[0]
+            if len(take) == 0:
+                continue
+            out = mapped.take(pa.array(take, type=pa.int64()))
+            yield from _stamp_change_type(out, target, "delete").to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # offsets are snapshot ids; nothing table-side to release
@@ -293,7 +534,11 @@ class SnapshotCdcDataSource(DataSource):
     `spark.readStream.format("snapshot_cdc").option("path", <table dir>)`.
     Options: path (required), from_snapshot (default 0 — the full table as
     the first batch), skip_replace (default false — fail loud on
-    replace-style windows)."""
+    replace-style windows), mode (default 'append'; 'changelog' adds a
+    `_change_type` ∈ {insert, delete} column and turns windows that ADD
+    merge-on-read delete sets into _change_type='delete' rows — the
+    streaming twin of SnapshotTable.changes() on append+delete windows;
+    partition REWRITES remain out of scope in both modes)."""
 
     @classmethod
     def name(cls) -> str:
@@ -329,6 +574,10 @@ class SnapshotCdcDataSource(DataSource):
         for name, default in mapping["defaults"].items():
             if name not in fields and name not in dropped:
                 fields[name] = pa.field(name, pa.scalar(default).type)
+        if str(self.options.get("mode", "append")).lower() == "changelog":
+            # the changelog lane is typed into the schema itself (Iceberg's
+            # `_change_type` metadata column): insert | delete per row
+            fields[CHANGE_TYPE_COL] = pa.field(CHANGE_TYPE_COL, pa.string(), nullable=True)
         self._arrow_schema = pa.schema(list(fields.values()))
         from pyspark.sql.pandas.types import from_arrow_schema
 

@@ -221,3 +221,212 @@ class TestRestartAcrossEvolution:
         langs = {r.doc_id: r.lang for r in got2.collect()}
         assert sorted(langs) == list(range(60))
         assert langs[50] == "fr" and langs[0] is None
+
+
+class TestChangelogMode:
+    """r7 (verdict #3): option('mode','changelog') adds _change_type ∈
+    {insert, delete}; windows that ADD merge-on-read delete sets emit the
+    hidden rows as delete rows, multiset-equal to batch changes()."""
+
+    def test_appends_stamp_insert(self, spark, table, tmp_path):
+        write_batch(spark, table, 0, 40, 0)
+        got = drain(
+            spark, table, str(tmp_path / "ck"), str(tmp_path / "o"),
+            mode="changelog",
+        )
+        rows = got.collect()
+        assert sorted(r.doc_id for r in rows) == list(range(40))
+        assert {r._change_type for r in rows} == {"insert"}
+
+    def test_takedown_emits_delete_rows_and_matches_batch_changes(
+        self, spark, table, tmp_path
+    ):
+        write_batch(spark, table, 0, 40, 0)
+        ckpt, out = str(tmp_path / "ck2"), str(tmp_path / "o2")
+        drain(spark, table, ckpt, out, mode="changelog")
+        sid0 = table.metrics()["snapshot_id"]
+        table.delete_keys(
+            spark, spark.createDataFrame([(7,), (11,)], "doc_id long"), "doc_id"
+        )
+        write_batch(spark, table, 100, 110, 1, tag="v2")
+        sid1 = table.metrics()["snapshot_id"]
+        got = drain(spark, table, ckpt, out, mode="changelog")
+        window = [r for r in got.collect() if r.doc_id >= 100 or r._change_type == "delete"]
+        dels = sorted(r.doc_id for r in window if r._change_type == "delete")
+        ins = sorted(r.doc_id for r in window if r._change_type == "insert")
+        assert dels == [7, 11]
+        assert ins == list(range(100, 110))
+        # delete rows carry the FULL row payload (the hidden row's columns)
+        payload = {r.doc_id: r.val for r in window if r._change_type == "delete"}
+        assert payload == {7: "v1-7", 11: "v1-11"}
+        # batch twin over the same window
+        ch = table.changes(spark, sid0, sid1)
+        assert sorted(r.doc_id for r in ch["deleted"].collect()) == dels
+        assert sorted(r.doc_id for r in ch["appended"].collect()) == ins
+
+    def test_already_hidden_rows_never_reemit(self, spark, table, tmp_path):
+        """A second overlapping takedown emits only NEWLY hidden rows —
+        start-snapshot visibility excludes rows a prior set already hid."""
+        write_batch(spark, table, 0, 40, 0)
+        ckpt, out = str(tmp_path / "ck3"), str(tmp_path / "o3")
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.delete_keys(
+            spark, spark.createDataFrame([(5,)], "doc_id long"), "doc_id"
+        )
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.delete_keys(
+            spark, spark.createDataFrame([(5,), (9,)], "doc_id long"), "doc_id"
+        )
+        got = drain(spark, table, ckpt, out, mode="changelog")
+        dels = sorted(
+            r.doc_id for r in got.collect() if r._change_type == "delete"
+        )
+        assert dels == [5, 9]  # 5 exactly once, across both windows
+
+    def test_append_then_delete_same_window_nets_to_nothing(
+        self, spark, table, tmp_path
+    ):
+        """A doc appended AND taken down inside one window appears on
+        neither lane — matching batch changes() multiset semantics."""
+        write_batch(spark, table, 0, 20, 0)
+        ckpt, out = str(tmp_path / "ck4"), str(tmp_path / "o4")
+        drain(spark, table, ckpt, out, mode="changelog")
+        write_batch(spark, table, 100, 110, 1)
+        table.delete_keys(
+            spark, spark.createDataFrame([(3,), (105,)], "doc_id long"), "doc_id"
+        )
+        got = drain(spark, table, ckpt, out, mode="changelog")
+        window = [
+            r for r in got.collect()
+            if r.doc_id >= 100 or r._change_type == "delete"
+        ]
+        dels = sorted(r.doc_id for r in window if r._change_type == "delete")
+        ins = sorted(r.doc_id for r in window if r._change_type == "insert")
+        assert dels == [3]  # 105 was never visible at the window start
+        assert ins == [i for i in range(100, 110) if i != 105]
+
+    def test_position_delete_takedown_emits_delete_rows(self, spark, table, tmp_path):
+        write_batch(spark, table, 0, 30, 0)
+        ckpt, out = str(tmp_path / "ck5"), str(tmp_path / "o5")
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.delete_where_positions(spark, "doc_id in (4, 22)")
+        got = drain(spark, table, ckpt, out, mode="changelog")
+        dels = sorted(r.doc_id for r in got.collect() if r._change_type == "delete")
+        assert dels == [4, 22]
+
+    def test_bloom_prunes_delete_scan_partitions(self, spark, table, tmp_path):
+        """100 TB path: with per-partition blooms on the key column, a
+        takedown window plans delete-scan tasks ONLY for partitions whose
+        bloom admits a key — not one per table partition."""
+        from erased_cells_spark.streaming.cdc_source import (
+            SnapshotCdcStreamReader,
+        )
+
+        write_batch(spark, table, 0, 400, 0)  # 4 bucket partitions
+        table.build_bloom(spark, "doc_id")
+        sid0 = table.metrics()["snapshot_id"]
+        # doc 8: bucket 0 → exactly one of the 4 partitions can hide it
+        table.delete_keys(
+            spark, spark.createDataFrame([(8,)], "doc_id long"), "doc_id"
+        )
+        sid1 = table.metrics()["snapshot_id"]
+        import pyarrow as pa
+
+        reader = SnapshotCdcStreamReader(
+            table.path,
+            pa.schema([
+                ("doc_id", pa.int64()), ("bucket", pa.int64()),
+                ("val", pa.string()), ("_change_type", pa.string()),
+            ]),
+            {"mode": "changelog"},
+        )
+        parts = reader.partitions(
+            {"snapshot_id": sid0}, {"snapshot_id": sid1}
+        )
+        scans = [p for p in parts if p.kind == "delete"]
+        assert len(scans) == 1  # bloom pruned the other 3
+        rows = [
+            b.to_pandas() for p in scans for b in reader.read(p)
+        ]
+        import pandas as pd
+
+        allrows = pd.concat(rows)
+        assert sorted(allrows.doc_id) == [8]
+        assert set(allrows._change_type) == {"delete"}
+
+    def test_position_takedown_prunes_to_referenced_partitions(
+        self, spark, table, tmp_path
+    ):
+        from erased_cells_spark.streaming.cdc_source import (
+            SnapshotCdcStreamReader,
+        )
+        import pyarrow as pa
+
+        write_batch(spark, table, 0, 400, 0)  # 4 partitions, no blooms
+        sid0 = table.metrics()["snapshot_id"]
+        table.delete_where_positions(spark, "doc_id = 13")  # one bucket
+        sid1 = table.metrics()["snapshot_id"]
+        reader = SnapshotCdcStreamReader(
+            table.path,
+            pa.schema([
+                ("doc_id", pa.int64()), ("bucket", pa.int64()),
+                ("val", pa.string()), ("_change_type", pa.string()),
+            ]),
+            {"mode": "changelog"},
+        )
+        parts = reader.partitions({"snapshot_id": sid0}, {"snapshot_id": sid1})
+        scans = [p for p in parts if p.kind == "delete"]
+        assert len(scans) == 1  # position files name their partition
+
+    def test_restart_exactly_once(self, spark, table, tmp_path):
+        """Delete rows obey the same checkpoint exactly-once story as
+        inserts: re-draining a drained checkpoint emits nothing new."""
+        write_batch(spark, table, 0, 30, 0)
+        ckpt, out = str(tmp_path / "ck6"), str(tmp_path / "o6")
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.delete_keys(
+            spark, spark.createDataFrame([(2,)], "doc_id long"), "doc_id"
+        )
+        got1 = drain(spark, table, ckpt, out, mode="changelog")
+        got2 = drain(spark, table, ckpt, out, mode="changelog")
+        assert got1.count() == got2.count() == 31  # 30 inserts + 1 delete
+
+    def test_shrunk_delete_list_fails_loud(self, spark, table, tmp_path):
+        """apply_deletes folds delete sets into rewritten partitions —
+        inexpressible as changelog lanes, so the window must raise."""
+        write_batch(spark, table, 0, 30, 0)
+        ckpt, out = str(tmp_path / "ck7"), str(tmp_path / "o7")
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.delete_keys(
+            spark, spark.createDataFrame([(2,)], "doc_id long"), "doc_id"
+        )
+        drain(spark, table, ckpt, out, mode="changelog")
+        table.apply_deletes(spark)
+        with pytest.raises(Exception, match="REMOVED|APPEND-ONLY"):
+            drain(spark, table, ckpt, out, mode="changelog")
+
+    def test_scoped_delete_scan_respects_seq(self, spark, table, tmp_path):
+        """scope='past' takedown added in the window: hides (and emits
+        delete rows for) only partitions whose data-seq predates it."""
+        write_batch(spark, table, 0, 20, 0)
+        ckpt, out = str(tmp_path / "ck8"), str(tmp_path / "o8")
+        drain(spark, table, ckpt, out, mode="changelog")
+        write_batch(spark, table, 100, 110, 1)
+        drain(spark, table, ckpt, out, mode="changelog")
+        # scoped delete of an OLD doc and a doc id that matches nothing new
+        table.delete_keys(
+            spark, spark.createDataFrame([(6,), (104,)], "doc_id long"),
+            "doc_id", scope="past",
+        )
+        got = drain(spark, table, ckpt, out, mode="changelog")
+        dels = sorted(r.doc_id for r in got.collect() if r._change_type == "delete")
+        # both 6 and 104 predate the scoped delete → both emitted
+        assert dels == [6, 104]
+        # and a NEW append after the scoped delete is NOT hidden
+        write_batch(spark, table, 104, 105, 2, tag="v3")
+        got2 = drain(spark, table, ckpt, out, mode="changelog")
+        re_ins = [
+            r for r in got2.collect()
+            if r.doc_id == 104 and r._change_type == "insert" and r.val == "v3-104"
+        ]
+        assert len(re_ins) == 1
