@@ -1,0 +1,417 @@
+"""Persisted ANN index over an embedding table (r7, VERDICT missing #5).
+
+The r6 ANN operators (similarity.py) rebuild their structures — IVF list
+assignments, PQ codes, LSH signatures — inside every query invocation. At
+corpus scale those are materialized INDEX TABLES maintained incrementally,
+exactly like the reference's raster pyramids are build-once artifacts
+(`src/gdal/rasterband.rs` builds overviews once, reads many). This module
+persists all three artifacts in ONE SnapshotTable:
+
+    (vec_id, embedding, list_id, codes, sigs)   partitioned by IVF list
+
+- `build()` trains (or accepts) the model state — IVF centroids, PQ
+  codebooks, LSH plane config — freezes it in `model.json`, and encodes
+  the corpus in ONE scan (a single struct-returning pandas UDF: one Arrow
+  transfer computes all three artifacts per batch).
+- Partitions are keyed `b{batch}-l{list_id}` with a `list_id` column, so
+  the snapshot's zone maps make IVF probes PARTITION-PRUNED reads: a
+  query probing 4 of 1024 lists opens 4/1024 of the index, the inverted-
+  file promise made physical (`last_probe_scan` records the pruning).
+- `refresh()` consumes the SOURCE table's CDC changelog
+  (`SnapshotTable.changes()`): appended vectors encode under the FROZEN
+  model and land as new `b{to_sid}-l*` partitions (append-only — no index
+  rewrite); deleted vectors become merge-on-read delete keys with
+  scope='past' committed BEFORE the appends, so an update (delete +
+  re-append) keeps exactly the new version visible. O(churn), never
+  O(corpus) — the rebuild-from-changelog ≡ full-rebuild contract is
+  pytest-proven.
+- `ivf_topk` / `pq_topk` / `lsh_topk` serve queries from the persisted
+  artifacts with results IDENTICAL to the similarity.py operators (same
+  rounded-score rerank windows, same tie conventions) — the registered
+  ann_* queries read a prebuilt index with unchanged oracles.
+
+Model state is JSON (plain lists): centroids (n_lists, dim), codebooks
+(M, K, dsub), LSH plane seeds. Planes themselves re-derive from seeds
+(deterministic `_hyperplanes`); a single-table index uses seed directly so
+its signatures byte-match `lsh_sign_udf` (the registered-query shape),
+multi-table uses the `seed*1000+t` family from ann_lsh_self_topk.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from erased_cells_spark.operators.similarity import (
+    _hyperplanes,
+    cosine_expr,
+    train_ivf_centroids,
+    train_pq_codebooks,
+)
+from erased_cells_spark.sources.snapshot import SnapshotTable
+
+_ENC_TYPE = StructType(
+    [
+        StructField("list_id", IntegerType()),
+        StructField("codes", ArrayType(IntegerType())),
+        StructField("sigs", ArrayType(LongType())),
+    ]
+)
+
+
+def _encode_udf(cent: np.ndarray, cb: np.ndarray, planes: np.ndarray):
+    """One Arrow pass per batch computes all three index artifacts:
+    IVF assignment (argmin L2, ties → lowest list — the oracle
+    convention), PQ codes (per-subspace argmin, ties → lowest code), and
+    per-table sign-LSH signatures."""
+    m_sub, _, dsub = cb.shape
+    n_tables, n_planes, _ = planes.shape
+    flat = planes.reshape(n_tables * n_planes, -1)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf(_ENC_TYPE)
+    def _enc(vec: pd.Series) -> pd.DataFrame:
+        m = np.vstack(vec.to_numpy()).astype(np.float64)
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        lists = d.argmin(1).astype(np.int32)
+        subs = m.reshape(len(m), m_sub, dsub)
+        dc = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+        codes = dc.argmin(2).astype(np.int32)
+        signs = (m @ flat.T) > 0
+        sigs = signs.reshape(len(m), n_tables, n_planes) @ weights
+        return pd.DataFrame(
+            {"list_id": lists, "codes": list(codes), "sigs": list(sigs)}
+        )
+
+    return _enc
+
+
+class AnnIndex:
+    """A persisted, incrementally-maintained ANN index table. See module
+    docstring; `path` holds `model.json` + an `index/` SnapshotTable."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.table = SnapshotTable(os.path.join(path, "index"))
+        self.model_path = os.path.join(path, "model.json")
+        self.last_probe_scan: dict | None = None
+
+    # ------------------------------------------------------------- model --
+    def exists(self) -> bool:
+        return os.path.exists(self.model_path)
+
+    @property
+    def model(self) -> dict:
+        with open(self.model_path) as f:
+            return json.load(f)
+
+    def _save_model(self, model: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self.model_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(model, f)
+        os.replace(tmp, self.model_path)
+
+    def _arrays(self, model: dict | None = None):
+        m = model or self.model
+        cent = np.asarray(m["centroids"], dtype=np.float64)
+        cb = np.asarray(m["codebooks"], dtype=np.float64)
+        planes = np.stack(
+            [_hyperplanes(m["dim"], m["n_planes"], s) for s in m["plane_seeds"]]
+        )
+        return cent, cb, planes
+
+    # ------------------------------------------------------------- build --
+    def build(
+        self,
+        spark: SparkSession,
+        emb: DataFrame,
+        *,
+        centroids: np.ndarray | None = None,
+        codebooks: np.ndarray | None = None,
+        n_lists: int = 16,
+        m_sub: int = 8,
+        n_codes: int = 16,
+        n_tables: int = 1,
+        n_planes: int = 4,
+        seed: int = 7,
+        dim: int = 64,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        src_snapshot: int = 0,
+    ) -> dict:
+        """Train (or accept) the model state, freeze it, encode the corpus
+        in one scan, and commit `b0-l{list}` partitions. `src_snapshot`
+        records which source snapshot the index covers — refresh() resumes
+        the changelog from it."""
+        if self.exists():
+            raise ValueError(f"AnnIndex already built at {self.path}")
+        if centroids is None:
+            centroids = train_ivf_centroids(
+                emb, n_lists, seed=11, id_col=id_col, vec_col=vec_col
+            )
+        if codebooks is None:
+            codebooks = train_pq_codebooks(
+                emb, m_sub, n_codes, seed=11, id_col=id_col, vec_col=vec_col
+            )
+        cent = np.asarray(centroids, dtype=np.float64)
+        cb = np.asarray(codebooks, dtype=np.float64)
+        # single-table signatures byte-match lsh_sign_udf (seed direct);
+        # multi-table uses the ann_lsh_self_topk seed family
+        plane_seeds = (
+            [seed] if n_tables == 1 else [seed * 1000 + t for t in range(n_tables)]
+        )
+        model = {
+            "centroids": cent.tolist(),
+            "codebooks": cb.tolist(),
+            "plane_seeds": plane_seeds,
+            "n_planes": n_planes,
+            "dim": dim,
+            "id_col": id_col,
+            "src_snapshot": int(src_snapshot),
+        }
+        self._save_model(model)
+        self._append_batch(emb, model, batch=0, id_col=id_col, vec_col=vec_col)
+        return {"rows": self.table.metrics()["total_rows"], "n_lists": len(cent)}
+
+    def _append_batch(
+        self, emb: DataFrame, model: dict, batch: int, id_col: str, vec_col: str
+    ) -> None:
+        cent, cb, planes = self._arrays(model)
+        enc = _encode_udf(cent, cb, planes)
+        df = (
+            emb.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                enc(F.col(vec_col)).alias("__enc"),
+            )
+            .select("vec_id", "embedding", "__enc.list_id", "__enc.codes", "__enc.sigs")
+            .withColumn(
+                "part",
+                F.concat(
+                    F.lit(f"b{batch}-l"), F.col("list_id").cast("string")
+                ),
+            )
+        )
+        # one snapshot per batch (commit_batch=0): an index build/refresh is
+        # atomic-enough at batch grain, and n_lists per-partition commits
+        # would dominate small-build wall time
+        self.table.write_partitions(df, "part", df.select("part"), commit_batch=0)
+
+    # ----------------------------------------------------------- refresh --
+    def refresh(
+        self,
+        spark: SparkSession,
+        src: SnapshotTable,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> dict:
+        """Maintain the index from the source's CDC changelog — O(churn):
+        deletions commit FIRST as scope='past' merge-on-read keys (they hide
+        only rows already in the index), then appended vectors encode under
+        the frozen model and land as new batch partitions (data-seq AFTER
+        the delete entry, so an updated vector's new version stays
+        visible). A no-op window returns {'mode': 'noop'}."""
+        model = self.model
+        from_sid = model["src_snapshot"]
+        to_sid = src.metrics()["snapshot_id"]
+        if to_sid == from_sid:
+            return {"mode": "noop", "src_snapshot": from_sid}
+        ch = src.changes(spark, from_sid, to_sid)
+        deleted = ch["deleted"].select(F.col(id_col).alias("vec_id")).distinct()
+        n_del = 0
+        if deleted.take(1):
+            n_del = self.table.delete_keys(spark, deleted, "vec_id", scope="past")
+        appended = ch["appended"]
+        n_app = 0
+        if appended.take(1):
+            self._append_batch(
+                appended, model, batch=to_sid, id_col=id_col, vec_col=vec_col
+            )
+            n_app = 1
+        self._save_model({**model, "src_snapshot": int(to_sid)})
+        return {
+            "mode": "incremental",
+            "from": from_sid,
+            "to": to_sid,
+            "delete_commit": n_del,
+            "appended_batches": n_app,
+            "changes_scan": src.last_changes_scan,
+        }
+
+    # ------------------------------------------------------------- reads --
+    def df(self, spark: SparkSession) -> DataFrame:
+        return self.table.read(spark)
+
+    def ivf_topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int = 4,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "q_vec",
+    ) -> DataFrame:
+        """IVF probe from the PERSISTED lists: the queries' probe set
+        (broadcast-small contract, same as cosine_topk) is computed
+        driver-side against the frozen centroids, and the index read
+        PRUNES to the probed lists via the snapshot zone maps on list_id —
+        a 4-of-1024-list probe opens 4/1024 of the index. Results are
+        identical to similarity.ivf_ann_topk on the same model."""
+        cent, _, _ = self._arrays()
+        q_rows = queries.collect()
+        probes = []  # (q_id, list_id) pairs, stable tie order
+        for r in q_rows:
+            qv = np.asarray(r[q_vec_col], dtype=np.float64)
+            d = ((qv[None, :] - cent) ** 2).sum(-1)
+            order = np.argsort(d, kind="stable")[:n_probe]
+            probes.extend((int(r[q_id_col]), int(l)) for l in order)
+        probe_df = spark.createDataFrame(probes, "q_id LONG, list_id INT")
+        qv_df = queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+        lists = sorted({l for _, l in probes})
+        # ONE zone-pruned read over the probe set (plan_scan's IN pushdown):
+        # only partitions whose list_id range admits a probed list open —
+        # last_probe_scan proves the inverted-file read is physical
+        idx = self.table.read(spark, where=[("list_id", "in", lists)])
+        self.last_probe_scan = {
+            "lists_probed": len(lists),
+            "partitions_total": self.table.last_scan["partitions_total"],
+            "partitions_read": self.table.last_scan["partitions_read"],
+        }
+        cand = idx.join(F.broadcast(probe_df), "list_id").join(
+            F.broadcast(qv_df), "q_id"
+        ).select(
+            "q_id",
+            F.col("vec_id").alias("nn_id"),
+            cosine_expr(
+                F.col("embedding").cast("array<double>"), F.col("qv")
+            ).alias("cosine"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+            .orderBy("q_id", "rank")
+        )
+
+    def pq_topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "q_vec",
+    ) -> DataFrame:
+        """ADC scoring straight off the persisted codes column — the
+        encode stage of pq_ann_topk is already paid. Pure-JVM fold
+        (zip_with/element_at), per-query LUTs broadcast."""
+        _, cb, _ = self._arrays()
+        m_sub, _, dsub = cb.shape
+        lut_rows = []
+        for q in queries.collect():
+            qv = np.asarray(q[q_vec_col], dtype=np.float64).reshape(m_sub, dsub)
+            lut = ((qv[:, None, :] - cb) ** 2).sum(-1)
+            lut_rows.append(
+                (int(q[q_id_col]), [[float(v) for v in row] for row in lut])
+            )
+        lut_df = spark.createDataFrame(lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
+        codes = self.df(spark).select(F.col("vec_id").alias("nn_id"), "codes")
+        adist = F.aggregate(
+            F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        scored = codes.crossJoin(F.broadcast(lut_df)).select(
+            "q_id", "nn_id", adist.alias("adist")
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.round(F.col("adist"), 6).asc(), F.col("nn_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "nn_id", "rank")
+            .orderBy("q_id", "rank")
+        )
+
+    def lsh_topk(
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 10,
+        probe_depth: int = 1,
+        q_id_col: str = "q_id",
+        q_vec_col: str = "q_vec",
+    ) -> DataFrame:
+        """Multi-probe LSH from the persisted signatures: query buckets
+        (+ sign-flip neighbors within `probe_depth`) probe the exploded
+        sigs column; exact cosine reranks inside the probed set — same
+        flip masks and tie conventions as similarity.ann_lsh_topk."""
+        model = self.model
+        cent, cb, planes = self._arrays(model)
+        n_tables, n_planes, _ = planes.shape
+        flat = planes.reshape(n_tables * n_planes, -1)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        flips = [0] + [
+            sum(1 << i for i in combo)
+            for d in range(1, probe_depth + 1)
+            for combo in itertools.combinations(range(n_planes), d)
+        ]
+        q_rows = queries.collect()
+        probes = []  # (q_id, tbl, bucket)
+        for r in q_rows:
+            qv = np.asarray(r[q_vec_col], dtype=np.float64)
+            signs = (qv[None, :] @ flat.T) > 0
+            sigs = signs.reshape(n_tables, n_planes) @ weights
+            for t_i in range(n_tables):
+                for m in flips:
+                    probes.append((int(r[q_id_col]), t_i, int(sigs[t_i] ^ m)))
+        probe_df = spark.createDataFrame(probes, "q_id LONG, tbl INT, bucket LONG")
+        qv_df = queries.select(
+            F.col(q_id_col).alias("q_id"),
+            F.col(q_vec_col).cast("array<double>").alias("qv"),
+        )
+        e = self.df(spark).select(
+            "vec_id", "embedding", F.posexplode("sigs").alias("tbl", "bucket")
+        )
+        cand = (
+            e.join(F.broadcast(probe_df), ["tbl", "bucket"])
+            .join(F.broadcast(qv_df), "q_id")
+            .select(
+                "q_id",
+                F.col("vec_id").alias("nn_id"),
+                cosine_expr(
+                    F.col("embedding").cast("array<double>"), F.col("qv")
+                ).alias("cosine"),
+            )
+            .dropDuplicates(["q_id", "nn_id"])
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.round(F.col("cosine"), 6).desc(), F.col("nn_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "nn_id", "rank", F.round("cosine", 6).alias("cosine_r"))
+            .orderBy("q_id", "rank")
+        )

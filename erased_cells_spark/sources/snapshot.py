@@ -285,7 +285,7 @@ def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
     return df.select(*exprs)
 
 
-_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "=="}
+_PRUNE_OPS = {"<", "<=", ">", ">=", "=", "==", "in"}
 
 
 def _zone_excludes(stats: dict | None, col: str, op: str, val) -> bool:
@@ -296,6 +296,10 @@ def _zone_excludes(stats: dict | None, col: str, op: str, val) -> bool:
         return False
     lo, hi = stats[col]
     try:
+        if op == "in":
+            # prune iff EVERY listed value is provably absent (Iceberg's
+            # IN pushdown); an empty list is rejected upstream
+            return all(v < lo or v > hi for v in val)
         if op == ">":
             return hi <= val
         if op == ">=":
@@ -311,17 +315,23 @@ def _zone_excludes(stats: dict | None, col: str, op: str, val) -> bool:
 
 def _where_sql(where: list[tuple]) -> str:
     parts = []
+    def lit_of(val):
+        if isinstance(val, str):
+            return "'{}'".format(val.replace("'", "''"))
+        if isinstance(val, bool):
+            return "true" if val else "false"
+        return repr(val)
+
     for col, op, val in where:
         if op not in _PRUNE_OPS:
             raise ValueError(f"unsupported predicate op {op!r} (use {_PRUNE_OPS})")
+        if op == "in":
+            if not val:
+                raise ValueError(f"empty IN list for column {col!r}")
+            parts.append(f"(`{col}` IN ({', '.join(lit_of(v) for v in val)}))")
+            continue
         sql_op = "=" if op == "==" else op
-        if isinstance(val, str):
-            lit = "'{}'".format(val.replace("'", "''"))
-        elif isinstance(val, bool):
-            lit = "true" if val else "false"
-        else:
-            lit = repr(val)
-        parts.append(f"(`{col}` {sql_op} {lit})")
+        parts.append(f"(`{col}` {sql_op} {lit_of(val)})")
     return " AND ".join(parts)
 
 
@@ -758,7 +768,9 @@ class SnapshotTable:
         self, where: list[tuple] | None = None, snapshot_id: int | None = None
     ) -> dict:
         """Manifest-level scan plan for a conjunction of simple predicates
-        [(col, op, value), ...], op ∈ <, <=, >, >=, =. TWO pruning levels:
+        [(col, op, value), ...], op ∈ <, <=, >, >=, =, in (value = a list
+        for `in`; prunes iff every listed value is provably absent — the
+        Iceberg IN pushdown). TWO pruning levels:
         a group manifest whose merged zone map excludes the predicate is
         skipped WITHOUT BEING OPENED (reported in `pruned_groups`), then
         per-partition zone maps prune inside the admitting groups. Pure
@@ -787,12 +799,17 @@ class SnapshotTable:
 
         def bloom_excludes(meta, c, op, v):
             # point lookups: a partition bloom proving absence prunes where
-            # zone maps on an unsorted key cannot
-            if op not in ("=", "=="):
+            # zone maps on an unsorted key cannot ("in" = every listed
+            # value provably absent)
+            if op not in ("=", "==", "in"):
                 return False
             blooms = meta.get("blooms") or {}
             for name in [c, *aliases.get(c, ())]:
                 if name in blooms:
+                    if op == "in":
+                        return not any(
+                            _bloom_might_contain(blooms[name], x) for x in v
+                        )
                     return not _bloom_might_contain(blooms[name], v)
             return False
 
@@ -850,7 +867,7 @@ class SnapshotTable:
         keeps reading its original files until expire_snapshots drops them.
 
         PREDICATE PRUNING: `where=[(col, op, value), ...]` (ANDed, op ∈
-        <, <=, >, >=, =) consults the manifests' per-partition zone maps and
+        <, <=, >, >=, =, in) consults the manifests' per-partition zone maps and
         SKIPS every partition whose [min, max] provably excludes the
         predicate — at 100 TB this is the difference between a table scan
         and a file lookup; the predicate is ALSO applied as a real filter on

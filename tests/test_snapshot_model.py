@@ -117,3 +117,44 @@ def test_random_zone_prune_predicates_match_full_filter(spark, tmp_path, seed):
         want = sorted(map(tuple, tbl.read(spark).filter(f"{col} {sql_op} {val}").collect()))
         assert got == want, (col, op, val)
     assert pruned_fired > 0  # the zone maps did real work in the sweep
+
+
+@pytest.mark.parametrize("seed", [5])
+def test_in_predicate_prunes_and_matches_full_filter(spark, tmp_path, seed):
+    """r7: the `in` op (list value) — prune iff EVERY listed value is
+    provably absent; result equals the unpruned read + IN filter; blooms
+    extend the pruning to unsorted keys."""
+    rng = np.random.default_rng(seed)
+    tbl = SnapshotTable(str(tmp_path / "inp"))
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 100).cast("long").alias("bucket"),
+        (F.col("id") * 3 % 17).alias("m"),
+    )
+    tbl.write_partitions(df, "bucket", [0, 1, 2, 3])
+    for _ in range(8):
+        vals = sorted(int(v) for v in rng.integers(0, 420, size=3))
+        got = sorted(map(tuple, tbl.read(spark, where=[("k", "in", vals)]).collect()))
+        scan = tbl.last_scan
+        want = sorted(
+            map(tuple, tbl.read(spark).filter(F.col("k").isin(vals)).collect())
+        )
+        assert got == want, vals
+        # k is partition-aligned: 3 values touch at most 3 partitions
+        assert scan["partitions_read"] <= 3
+    # values all out of range → every partition prunes, read returns empty
+    got = tbl.read(spark, where=[("k", "in", [1000, 2000])]).collect()
+    assert got == [] and tbl.last_scan["partitions_read"] == 0
+    # bloom path: unsorted key m has no zone-prunable alignment; a bloom
+    # on m lets an IN whose values appear nowhere prune everything
+    tbl.build_bloom(spark, "m")
+    tbl.read(spark, where=[("m", "in", [99, 123])])
+    assert tbl.last_scan["partitions_read"] == 0
+    got = sorted(map(tuple, tbl.read(spark, where=[("m", "in", [5, 11])]).collect()))
+    want = sorted(
+        map(tuple, tbl.read(spark).filter(F.col("m").isin([5, 11])).collect())
+    )
+    assert got == want
+    # empty IN list is a caller bug — fail loud
+    with pytest.raises(ValueError, match="empty IN"):
+        tbl.read(spark, where=[("k", "in", [])])
