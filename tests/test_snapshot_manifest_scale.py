@@ -170,7 +170,14 @@ class TestManifestListModel:
                     next_key += 1
             table._commit_state(dict(model))
             got = table.current_manifest()["partitions"]
-            assert got == model, f"divergence at step {step} ({op})"
+            # resolution fidelity MODULO the engine-stamped data sequence
+            # (r7): unchanged metas inherit their seq, changed ones stamp
+            # the committing snapshot — the model tracks neither
+            strip = lambda d: {  # noqa: E731
+                k: {kk: v for kk, v in m.items() if kk != "seq"}
+                for k, m in d.items()
+            }
+            assert strip(got) == model, f"divergence at step {step} ({op})"
             raw = table._raw_manifest()
             assert sum(e["n_partitions"] for e in raw["manifest_list"]) == len(model)
             assert sum(e["rows"] for e in raw["manifest_list"]) == sum(
@@ -180,10 +187,10 @@ class TestManifestListModel:
                 assert os.path.exists(os.path.join(table.path, e["path"]))
         # a COLD handle resolves identically (nothing depended on the cache)
         fresh = SnapshotTable(table.path)
-        assert fresh.current_manifest()["partitions"] == model
+        assert strip(fresh.current_manifest()["partitions"]) == model
         # expire keeps the newest snapshot readable and GCs dead groups
         res = fresh.expire_snapshots(keep_last=1)
-        assert fresh.current_manifest()["partitions"] == model
+        assert strip(fresh.current_manifest()["partitions"]) == model
         assert res["expired_snapshots"]
 
     def test_concurrent_appends_never_lose_partitions(self, tmp_path):
