@@ -71,6 +71,11 @@ ALLOWED_UNREGISTERED = {
     "shingle_set": "pytest oracle twin (string shingles)",
     "cosine_topk_np": "pytest oracle twin",
     "pq_ann_np": "pytest oracle twin (brute-force ADC)",
+    # r7: registered ann_ivf/pq serve from the persisted AnnIndex table;
+    # the from-scratch operators remain the index path's ground truth
+    # (test_ann_index pins index-served == from-scratch on the same model)
+    "ivf_ann_topk": "pytest ground truth for AnnIndex.ivf_topk",
+    "pq_ann_topk": "pytest ground truth for AnnIndex.pq_topk",
     "knn_np": "pytest oracle twin",
     "haversine_km_np": "pytest oracle twin",
     "pip_join_np": "pytest oracle twin",
