@@ -899,6 +899,143 @@ def doc_hash_sample_by_source(spark, sf_dir):
     )
 
 
+# PII scrub (r7): the testdata corpus carries no real PII, so the twin
+# SYNTHESIZES it deterministically from doc_id with the identical
+# derivation on both engines — the cross-checked surface is the regex
+# detection + ordered redaction chain (functions/pii.py), which must
+# produce byte-identical redacted text and zero post-redaction leaks.
+def _pii_oracle() -> str:
+    from erased_cells_spark.functions import pii as P
+
+    synth = (
+        "'Contact user' || doc_id::VARCHAR || '@crawl-' || source || "
+        "'.com or +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' card 4111-2222-3333-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || "
+        "' from 10.' || (doc_id % 256)::VARCHAR || '.0.1 :: ' || "
+        "substr(text, 1, 100) || CASE WHEN doc_id % 3 = 0 "
+        "THEN ' cc admin@ops.example.net' ELSE '' END"
+    )
+    counts = ", ".join(
+        f"CAST(sum({P.sql_pii_count('synth', k)}) AS BIGINT) AS n_{k}"
+        for k in P.PII_KINDS
+    )
+    return f"""
+WITH synthed AS (SELECT source, {synth} AS synth FROM documents),
+red AS (SELECT source, synth, {P.sql_redact_pii('synth')} AS redacted FROM synthed)
+SELECT source, count(*) AS n_docs, {counts},
+       CAST(sum(CASE WHEN {P.sql_pii_any('redacted')} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaks,
+       min(substr(redacted, 1, 80)) AS sample_redacted
+FROM red GROUP BY source ORDER BY source
+"""
+
+
+@twin("pii_redaction", oracle=_pii_oracle())
+def pii_redaction(spark, sf_dir):
+    """PII audit + scrub over the documents table: per-source counts of
+    email/card/phone/IPv4 matches, the redacted text, and the leak check
+    (any pattern still matching after redaction — must be 0). Everything
+    is JVM regexp expressions at scan time: at 100 TB this pipelines with
+    the quality rules in one pass, no Python, no extra shuffle."""
+    from erased_cells_spark.functions import pii as P
+
+    d = t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@crawl-"), F.col("source"), F.lit(".com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" card 4111-2222-3333-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10."), F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit(".0.1 :: "), F.substring("text", 1, 100),
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0,
+               F.lit(" cc admin@ops.example.net")).otherwise(F.lit("")),
+    )
+    counts = P.pii_counts(synth)
+    red = P.redact_pii(synth)
+    return (
+        d.select(
+            "source",
+            *[c.alias(f"c_{k}") for k, c in counts.items()],
+            red.alias("redacted"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            *[F.sum(f"c_{k}").alias(f"n_{k}") for k in P.PII_KINDS],
+            F.sum(P.pii_any(F.col("redacted")).cast("long")).alias("n_leaks"),
+            F.min(F.substring("redacted", 1, 80)).alias("sample_redacted"),
+        )
+        .orderBy("source")
+    )
+
+
+# URL canonicalization (r7): same deterministic-synthesis discipline —
+# three URL spellings per doc_id stratum exercise case folding, default
+# vs explicit ports, www stripping, tracking-param removal, fragment
+# dropping; both engines must emit byte-identical canonical strings.
+def _url_oracle() -> str:
+    from erased_cells_spark.functions import url as U
+
+    raw = (
+        "CASE doc_id % 3 "
+        "WHEN 0 THEN 'HTTPS://WWW.Host' || (doc_id % 7)::VARCHAR || "
+        "'.Example.COM:443/p/' || doc_id::VARCHAR || '?utm_source=a&id=' || "
+        "(doc_id % 13)::VARCHAR || '&utm_campaign=b#sec' "
+        "WHEN 1 THEN 'http://host' || (doc_id % 7)::VARCHAR || "
+        "'.example.com:8080/p/' || doc_id::VARCHAR || '?id=' || "
+        "(doc_id % 13)::VARCHAR "
+        "ELSE 'https://Host' || (doc_id % 7)::VARCHAR || "
+        "'.Example.com/p/' || doc_id::VARCHAR || '/?utm_campaign=x#x' END"
+    )
+    return f"""
+WITH raw AS (SELECT {raw} AS url FROM documents),
+canon AS (SELECT {U.sql_canonical_url('url')} AS curl,
+                 {U.sql_url_host('url')} AS host FROM raw)
+SELECT host, count(*) AS n_urls, count(DISTINCT curl) AS n_canon,
+       min(curl) AS first_canon
+FROM canon GROUP BY host ORDER BY host
+"""
+
+
+@twin("url_canonicalize", oracle=_url_oracle())
+def url_canonicalize(spark, sf_dir):
+    """Canonical-URL dedup prep: scheme/host case folding, default-port and
+    `www.` stripping, tracking-param and fragment removal — then per-host
+    canonical-URL cardinality. Scan-side JVM regexps; the canonical string
+    is the join/dedup key a crawl pipeline hashes, so cross-engine
+    byte-identity (proven by min(curl) + distinct counts) is the contract
+    that matters."""
+    from erased_cells_spark.functions import url as U
+
+    d = t(spark, sf_dir, "documents")
+    k = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(13)).cast("string")
+    did = F.col("doc_id").cast("string")
+    i3 = F.pmod(F.col("doc_id"), F.lit(3))
+    raw = (
+        F.when(i3 == 0, F.concat(
+            F.lit("HTTPS://WWW.Host"), k, F.lit(".Example.COM:443/p/"), did,
+            F.lit("?utm_source=a&id="), m, F.lit("&utm_campaign=b#sec")))
+        .when(i3 == 1, F.concat(
+            F.lit("http://host"), k, F.lit(".example.com:8080/p/"), did,
+            F.lit("?id="), m))
+        .otherwise(F.concat(
+            F.lit("https://Host"), k, F.lit(".Example.com/p/"), did,
+            F.lit("/?utm_campaign=x#x")))
+    )
+    return (
+        d.select(U.canonical_url(raw).alias("curl"), U.url_host(raw).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("curl").alias("n_canon"),
+            F.min("curl").alias("first_canon"),
+        )
+        .orderBy("host")
+    )
+
+
 _BM25_TERMS = ["spark", "vector", "stream", "dup"]
 
 
