@@ -13,10 +13,17 @@ composable, reported as one JSON metrics line:
                    (point-lookup pruning on unsorted keys)
   --expire KEEP    drop all but the newest KEEP snapshots and GC
                    unreferenced data dirs, group manifests, delete files
+  --zorder LON,LAT[:RES[:KEY]]  declare a Z-order sort-order spec on the
+                   table (r7): the NEXT --compact (this run or any later
+                   one) re-clusters un-stamped partitions on the Morton
+                   key and feeds its footer stats to the zone maps
+  --sort-by C1,C2  declare a plain multi-column sort spec instead
+  --clear-sort-order  remove the spec (data stays as last written)
 
 Order matters and is fixed: deletes fold first (so compaction and blooms
-see final rows), then compaction, then blooms (over the compacted files),
-then expiry (reclaiming everything the earlier steps orphaned)."""
+see final rows), then the sort-order spec (so this run's compaction
+already honors it), then compaction, then blooms (over the compacted
+files), then expiry (reclaiming everything the earlier steps orphaned)."""
 
 from __future__ import annotations
 
@@ -37,7 +44,13 @@ def main() -> None:
         "never reach the driver; bit-identical output)",
     )
     ap.add_argument("--expire", type=int, default=None, metavar="KEEP")
+    ap.add_argument("--zorder", default=None, metavar="LON,LAT[:RES[:KEY]]")
+    ap.add_argument("--sort-by", default=None, metavar="C1,C2,...")
+    ap.add_argument("--clear-sort-order", action="store_true")
     args = ap.parse_args()
+    if sum(x is not None and x is not False
+           for x in (args.zorder, args.sort_by, args.clear_sort_order)) > 1:
+        ap.error("--zorder / --sort-by / --clear-sort-order are exclusive")
 
     from pyspark.sql import SparkSession
 
@@ -61,12 +74,35 @@ def main() -> None:
         pending = before["pending_delete_files"]
         sid = table.apply_deletes(spark)
         out["steps"]["apply_deletes"] = {"folded_files": pending, "snapshot": sid}
+    if args.zorder:
+        head, *rest = args.zorder.split(":")
+        cols = head.split(",")
+        spec = {"kind": "zorder", "cols": cols}
+        if rest:
+            spec["res"] = int(rest[0])
+        if len(rest) > 1:
+            spec["key_col"] = rest[1]
+        sid = table.set_sort_order(spec)
+        out["steps"]["sort_order"] = {"spec": table.sort_order(), "snapshot": sid}
+    elif args.sort_by:
+        sid = table.set_sort_order({"kind": "sorted", "cols": args.sort_by.split(",")})
+        out["steps"]["sort_order"] = {"spec": table.sort_order(), "snapshot": sid}
+    elif args.clear_sort_order:
+        sid = table.set_sort_order(None)
+        out["steps"]["sort_order"] = {"spec": None, "snapshot": sid}
     if args.compact is not None:
         sid = table.compact(spark, max_files_per_partition=args.compact)
         man = table.current_manifest()["partitions"]
+        fp = (
+            SnapshotTable._sort_order_fp(table.sort_order())
+            if table.sort_order() else None
+        )
         out["steps"]["compact"] = {
             "snapshot": sid,
             "compacted_partitions": sum(1 for m in man.values() if "compacted_from" in m),
+            "clustered_partitions": sum(
+                1 for m in man.values() if fp and m.get("sorted_by") == fp
+            ),
         }
     if args.bloom:
         sid = table.build_bloom(spark, args.bloom, distributed=args.bloom_distributed)
