@@ -1036,6 +1036,57 @@ def url_canonicalize(spark, sf_dir):
     )
 
 
+# Sequence packing (r7): the concat-and-chunk plan every LLM pretraining
+# pipeline runs — per-shard deterministic order, window cumsum, floor-div
+# sequence spans. The twin replays the identical window in DuckDB.
+_PACK_BUDGET = 512
+
+
+def _pack_oracle() -> str:
+    from erased_cells_spark.functions.text import sql_token_count
+    from erased_cells_spark.operators.packing import sql_pack_spans
+
+    return f"""
+WITH docs2 AS (
+  SELECT source, doc_id, {sql_token_count('text')} AS toks FROM documents
+),
+packed AS ({sql_pack_spans('docs2', 'toks', _PACK_BUDGET, 'source', 'doc_id')})
+SELECT source, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens,
+       CAST(max(seq_last) + 1 AS BIGINT) AS n_seqs,
+       CAST(sum(CASE WHEN seq_last > seq_first THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddling,
+       CAST(sum(seq_last - seq_first) AS BIGINT) AS n_crossings
+FROM packed GROUP BY source ORDER BY source
+"""
+
+
+@twin("doc_pack_sequences", oracle=_pack_oracle())
+def doc_pack_sequences(spark, sf_dir):
+    """Packing audit per source shard: documents concatenated in doc_id
+    order and chunked into 512-token sequences — how many sequences each
+    shard yields and how many documents straddle a boundary. The window is
+    PER SHARD (one shuffle on source, shards pack in parallel) — the scale
+    decision that keeps a 100 TB packing plan from funneling through one
+    global sort."""
+    from erased_cells_spark.functions.text import token_count
+    from erased_cells_spark.operators.packing import pack_spans, shard_pack_stats
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("toks")
+    )
+    packed = pack_spans(d, "toks", _PACK_BUDGET, "source", "doc_id")
+    stats = shard_pack_stats(packed, "source", _PACK_BUDGET)
+    toks = packed.groupBy("source").agg(F.sum("toks").alias("n_tokens"))
+    return (
+        stats.join(toks, "source")
+        .select(
+            "source", "n_docs", "n_tokens", "n_seqs",
+            "n_straddling", F.col("n_boundary_crossings").alias("n_crossings"),
+        )
+        .orderBy("source")
+    )
+
+
 _BM25_TERMS = ["spark", "vector", "stream", "dup"]
 
 
