@@ -2,15 +2,17 @@
 
 The Spark-side plumbing (schema, partition-preserving mapInPandas batching,
 UDF signatures, tile-struct output reusing the erased-cells layout) is real
-and tested. IMAGES decode for real (r6): `decode_image` recognizes PNG byte
-streams and runs the pure-python baseline codec (sources/png.py — zlib +
-all five scanline filters, gray/RGB(A)/palette → BT.601 luma); the image
-fixtures carry actual encoded PNGs, so the dHash near-dup family operates
-on decoded pixels. Non-PNG payloads fall back to `decode_image_stub`, a
-deterministic fake decoder seeded from the payload hash (JPEG/WebP libs
-aren't in the container) — swapping the fallback for Pillow/ffmpeg changes
-ONE function; every schema and batch shape stays. Audio/video remain
-stubbed the same way.
+and tested. ALL THREE LANES decode real bytes now: images since r6
+(`decode_image`: PNG via sources/png.py — zlib + all five scanline
+filters, gray/RGB(A)/palette → BT.601 luma; baseline gray AND color JFIF
+via sources/jpeg.py since r7), audio since r7 (`decode_audio`: RIFF/WAVE
+PCM via sources/wav.py), video since r7 (`decode_video_frame`: MJPEG-AVI
+via sources/avi.py — the container walk plus per-frame baseline-JFIF
+decode through the same jpeg codec). Each dispatcher magic-sniffs the
+payload; formats with no in-env decoder (WebP, MP4/H.264 — Pillow/ffmpeg
+don't exist in this container) fall back to a deterministic stub decoder
+seeded from the payload hash, so swapping in a real library later changes
+ONE function; every schema and batch shape stays.
 """
 
 from __future__ import annotations
@@ -102,12 +104,33 @@ def frame_sample_offsets(duration_ms: int, every_ms: int = 1000) -> np.ndarray:
 
 def decode_video_frame_stub(payload: bytes, offset_ms: int, width: int, height: int) -> np.ndarray:
     """STUB CODEC — deterministic fake frame decode at a time offset: seeds
-    from (payload crc, offset). Replace with ffmpeg seek+decode when the
-    library exists. Raises like a real codec on empty payloads."""
+    from (payload crc, offset). The fallback for containers without an
+    in-env decoder (MP4/H.264 etc. — ffmpeg doesn't exist here); MJPEG-AVI
+    payloads take the REAL path in decode_video_frame. Raises like a real
+    codec on empty payloads."""
     if not payload:
         raise NotImplementedError("empty payload; real codec unavailable in this env")
     rng = np.random.Generator(np.random.PCG64((zlib.crc32(payload) << 32) ^ int(offset_ms)))
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+
+
+def decode_video_frame(payload: bytes, offset_ms: int, width: int, height: int) -> np.ndarray:
+    """Video frame decode dispatcher (r7): MJPEG-AVI byte streams decode
+    for REAL — the RIFF container walk is sources/avi.py, the frame at
+    `offset_ms` (floor at fps, clamped to the last frame) is a standalone
+    baseline JFIF stream decoded by sources/jpeg.py to its luma plane.
+    Dimensions come from the stream, not the metadata hint. A malformed
+    AVI raises AviFormatError (a ValueError → the quarantine lane); any
+    other container falls back to the deterministic stub at the hinted
+    size."""
+    from erased_cells_spark.sources.avi import avi_frame_index_at, avi_parse, is_avi
+    from erased_cells_spark.sources.jpeg import jpeg_decode_luma
+
+    if is_avi(bytes(payload[:12])):
+        meta = avi_parse(payload)
+        off, size = meta["frames"][avi_frame_index_at(meta, int(offset_ms))]
+        return jpeg_decode_luma(bytes(payload[off : off + size]))
+    return decode_video_frame_stub(payload, offset_ms, width, height)
 
 
 # codec exceptions a QUARANTINE lane may absorb: malformed/out-of-scope
@@ -307,7 +330,7 @@ def extract_video_features(
                 try:
                     frames = np.stack(
                         [
-                            decode_video_frame_stub(
+                            decode_video_frame(
                                 r.payload, int(o), VIDEO_FRAME_W, VIDEO_FRAME_H
                             )
                             for o in offs
@@ -487,6 +510,31 @@ def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
 
             samples = decode_audio_stub(payload, dur)
             payload = wav_encode_pcm16(samples, AUDIO_SAMPLE_RATE)
+        elif kind == "video" and (i // 3) % 2 == 0:
+            # REAL video payloads (r7): every other video row is an actual
+            # MJPEG-AVI at 1 fps — one baseline-JFIF frame per sampled
+            # second, frame pixels = the old stub planes for these bytes
+            # (per-frame offset seeding, unchanged rng stream), so the
+            # fixture exercises container walk + per-frame JPEG decode for
+            # real. The other video rows keep raw bytes (the stub-fallback
+            # dispatch path for containers with no in-env codec).
+            from erased_cells_spark.sources.avi import avi_encode_mjpeg
+            from erased_cells_spark.sources.jpeg import jpeg_encode_gray
+
+            n_frames = len(frame_sample_offsets(dur, 1000))
+            frames = [
+                jpeg_encode_gray(
+                    decode_video_frame_stub(
+                        payload, int(k * 1000), VIDEO_FRAME_W, VIDEO_FRAME_H
+                    ),
+                    quality=90,
+                )
+                for k in range(n_frames)
+            ]
+            payload = avi_encode_mjpeg(
+                frames, fps=1, width=VIDEO_FRAME_W, height=VIDEO_FRAME_H
+            )
+            mime = "video/x-msvideo"
         rows.append(
             {
                 "media_id": i,
@@ -562,7 +610,7 @@ def media_features_np(n: int = 64, seed: int = 5, out_size: int = 16, every_ms: 
                 continue
             frames = np.stack(
                 [
-                    decode_video_frame_stub(r["payload"], int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
+                    decode_video_frame(r["payload"], int(o), VIDEO_FRAME_W, VIDEO_FRAME_H)
                     for o in offs
                 ]
             )

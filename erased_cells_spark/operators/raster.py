@@ -236,6 +236,134 @@ def focal_mean(
     )
 
 
+def horn_terrain(
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell",
+    value_col: str = "n",
+    sun_azimuth_deg: float = 315.0,
+    sun_altitude_deg: float = 45.0,
+) -> DataFrame:
+    """Slope / aspect / hillshade over a sparse cell grid via Horn's
+    8-neighbor kernel (the GDAL `gdaldem` operators, public method:
+    Horn 1981, "Hill shading and the reflectance map"):
+
+        gx = (z[+1,-1] + 2·z[+1,0] + z[+1,+1]) − (z[-1,-1] + 2·z[-1,0] + z[-1,+1])
+        gy = (z[-1,+1] + 2·z[0,+1] + z[+1,+1]) − (z[-1,-1] + 2·z[0,-1] + z[+1,-1])
+
+    i.e. per relative offset (dx, dy) the weights are wx = dx·(2−|dy|),
+    wy = dy·(2−|dx|). Values are whatever the caller rasterized (here:
+    integer doc counts → gx/gy are EXACT integer sums, the cross-engine
+    anchor); slope/aspect/hillshade are the standard trig on top with
+    cell size 1 grid unit:
+
+        slope     = atan(sqrt(gx² + gy²) / 8)
+        aspect    = atan2(gy, −gx)                      (trig-angle form)
+        hillshade = max(0, 255·(cos z·cos slope
+                       + sin z·sin slope·cos(az_math − aspect)))
+        with z = radians(90 − altitude), az_math = radians(360 − azimuth + 90)
+
+    Sparse convention, strict Horn window: only cells whose FULL 3×3
+    neighborhood is lit get a gradient (n_window == 9) — matching the
+    masked-cell discipline of zonal_stats; no zero-fill invents terrain at
+    region edges.
+
+    Scale shape: identical to focal_mean — each lit cell explodes its 9
+    weighted neighbor targets (lon wraps, lat clamps), one groupBy folds
+    (gx, gy, n_window); pure JVM halo exchange, shuffle volume 9×(cell,
+    value), no tile state, no Python.
+    """
+    n = 1 << res
+    src = cells.select(F.col(cell_col).alias("c"), F.col(value_col).cast("long").alias("v"))
+    contrib = (
+        src.withColumn("iy", F.expr(f"c div {n}"))
+        .withColumn("ix", F.expr(f"c % {n}"))
+        .withColumn("o", F.expr(
+            "explode(flatten(transform(sequence(-1, 1), dy -> "
+            "transform(sequence(-1, 1), dx -> named_struct('dx', dx, 'dy', dy)))))"
+        ))
+        # source at (target + (dx,dy)) ⇒ target = source − (dx,dy)
+        .withColumn("ty", F.expr("iy - o.dy"))
+        .filter(f"ty >= 0 AND ty < {n}")
+        .select(
+            F.expr(f"ty * {n} + pmod(ix - o.dx, {n})").alias("tgt"),
+            (F.col("v") * F.expr("o.dx * (2 - abs(o.dy))")).alias("cx"),
+            (F.col("v") * F.expr("o.dy * (2 - abs(o.dx))")).alias("cy"),
+        )
+    )
+    agg = contrib.groupBy("tgt").agg(
+        F.sum("cx").alias("gx"),
+        F.sum("cy").alias("gy"),
+        F.count("*").alias("n_window"),
+    )
+    import math
+
+    zen = math.radians(90.0 - sun_altitude_deg)
+    az = math.radians(360.0 - sun_azimuth_deg + 90.0)
+    slope = F.atan(F.sqrt((F.col("gx") * F.col("gx") + F.col("gy") * F.col("gy")).cast("double")) / F.lit(8.0))
+    aspect = F.atan2(F.col("gy").cast("double"), (-F.col("gx")).cast("double"))
+    shade = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope)
+        + F.lit(math.sin(zen)) * F.sin(slope) * F.cos(F.lit(az) - aspect)
+    )
+    return (
+        cells.select(F.col(cell_col).alias("tgt"))
+        .join(agg, "tgt")
+        .filter(F.col("n_window") == 9)
+        .select(
+            F.col("tgt").alias(cell_col),
+            "gx",
+            "gy",
+            slope.alias("slope"),
+            aspect.alias("aspect"),
+            F.greatest(shade, F.lit(0.0)).alias("hillshade"),
+        )
+    )
+
+
+def sql_horn_terrain(
+    cells_cte: str,
+    res: int,
+    sun_azimuth_deg: float = 315.0,
+    sun_altitude_deg: float = 45.0,
+) -> str:
+    """DuckDB twin of horn_terrain: identical offsets, weights, trig.
+    `cells_cte` must expose (cell, n)."""
+    import math
+
+    n = 1 << res
+    zen = math.radians(90.0 - sun_altitude_deg)
+    az = math.radians(360.0 - sun_azimuth_deg + 90.0)
+    return f"""
+offs AS (SELECT dy, dx FROM (SELECT unnest(generate_series(-1, 1)) AS dy),
+                            (SELECT unnest(generate_series(-1, 1)) AS dx)),
+contrib AS (
+  SELECT ((cell // {n}) - dy) * {n}
+           + (((cell % {n}) - dx) + {n}) % {n} AS tgt,
+         CAST(n AS BIGINT) * dx * (2 - abs(dy)) AS cx,
+         CAST(n AS BIGINT) * dy * (2 - abs(dx)) AS cy
+  FROM {cells_cte}, offs
+  WHERE (cell // {n}) - dy >= 0 AND (cell // {n}) - dy < {n}
+),
+grad AS (
+  SELECT tgt, sum(cx) AS gx, sum(cy) AS gy, count(*) AS n_window
+  FROM contrib GROUP BY 1 HAVING count(*) = 9
+),
+terrain AS (
+  SELECT tgt, gx, gy,
+         atan(sqrt((gx * gx + gy * gy)::DOUBLE) / 8.0) AS slope,
+         atan2(gy::DOUBLE, (-gx)::DOUBLE) AS aspect
+  FROM grad
+),
+shaded AS (
+  SELECT tgt, gx, gy, slope, aspect,
+         greatest(255.0 * ({math.cos(zen)!r} * cos(slope)
+           + {math.sin(zen)!r} * sin(slope) * cos({az!r} - aspect)), 0.0)
+           AS hillshade
+  FROM terrain
+)"""
+
+
 def polygonize_regions(
     cells: DataFrame,
     res: int,

@@ -2941,6 +2941,488 @@ def ann_lsh_embeddings(spark, sf_dir):
     )
 
 
+# ============================================== geospatial widening (r7) ====
+# Terrain map algebra (Horn slope/aspect/hillshade — the `gdaldem` family)
+# and geohash interchange encoding. Twins (the registered surface is pinned
+# at the 50-entry driver window); full oracle discipline via
+# tests/test_oracle_twins.py.
+def _hillshade_oracle() -> str:
+    from erased_cells_spark.operators.raster import sql_horn_terrain
+
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 4)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+),
+{sql_horn_terrain('cells', 4)}
+SELECT s.tgt AS cell, c.n AS n_docs, s.gx, s.gy,
+       round(s.slope, 6) AS slope_r, round(s.aspect, 6) AS aspect_r,
+       round(s.hillshade, 4) AS hillshade_r
+FROM shaded s JOIN cells c ON c.cell = s.tgt
+ORDER BY cell
+"""
+
+
+@twin("raster_hillshade", oracle=_hillshade_oracle())
+def raster_hillshade(spark, sf_dir):
+    """Horn slope/aspect/hillshade over the res-4 doc-density surface
+    (res 4 keeps the 500-doc test corpus dense enough for full Horn
+    windows; the operator itself is resolution-generic) —
+    the `gdaldem` terrain family on the engine's sparse grid. gx/gy are
+    EXACT integer Horn sums (the cross-engine anchor); trig rides on top,
+    rounded. Strict full-window convention: only cells with all 9 window
+    cells lit emit terrain — no zero-fill inventing cliffs at region
+    edges. Plan shape = focal_mean's halo exchange: 9-way JVM explode +
+    one groupBy, no Python, no tile state."""
+    from erased_cells_spark.operators.raster import horn_terrain
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 4).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    terr = horn_terrain(cells, res=4)
+    return (
+        terr.join(cells, "cell")
+        .select(
+            "cell",
+            F.col("n").alias("n_docs"),
+            "gx",
+            "gy",
+            F.round("slope", 6).alias("slope_r"),
+            F.round("aspect", 6).alias("aspect_r"),
+            F.round("hillshade", 4).alias("hillshade_r"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _geohash_oracle() -> str:
+    from erased_cells_spark.functions.geohash import sql_geohash
+
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+hashed AS (SELECT {sql_geohash('lon', 'lat', 5)} AS gh, source FROM pts)
+SELECT substr(gh, 1, 3) AS gh3,
+       count(*) AS n_docs,
+       count(DISTINCT gh) AS n_cells,
+       count(DISTINCT source) AS n_sources,
+       min(gh) AS first_gh, max(gh) AS last_gh
+FROM hashed GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("doc_geohash_rollup", oracle=_geohash_oracle())
+def doc_geohash_rollup(spark, sf_dir):
+    """Geohash interchange encoding (standard public base-32 geohash,
+    bit-exact — functions/geohash.py) over the doc points: encode at
+    precision 5, roll up by the 3-char prefix. Prefix truncation IS
+    resolution coarsening (5 bits/char), so this is a multi-resolution
+    rollup with zero re-encoding — the interchange counterpart of the
+    engine's integer cell keys. Pure generated JVM bit arithmetic, one
+    shuffle on the prefix; output is strings + exact counts (no float
+    surface at all)."""
+    from erased_cells_spark.functions.geohash import geohash_expr
+
+    p = _doc_points(spark, sf_dir)
+    hashed = p.select(
+        geohash_expr(F.col("lon"), F.col("lat"), 5).alias("gh"), "source"
+    )
+    return (
+        hashed.groupBy(F.substring("gh", 1, 3).alias("gh3"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("gh").alias("n_cells"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("gh").alias("first_gh"),
+            F.max("gh").alias("last_gh"),
+        )
+        .orderBy("gh3")
+    )
+
+
+def _hex_oracle() -> str:
+    from erased_cells_spark.functions.hexgrid import sql_hex_center, sql_hex_id
+
+    cx, cy = sql_hex_center("hex_id", 5.0)
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+binned AS (SELECT {sql_hex_id('lon', 'lat', 5.0)} AS hex_id, source, n_chars FROM pts)
+SELECT hex_id, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+       round({cx}, 6) AS center_lon_r, round({cy}, 6) AS center_lat_r
+FROM binned GROUP BY hex_id ORDER BY hex_id
+"""
+
+
+@twin("doc_hex_density", oracle=_hex_oracle())
+def doc_hex_density(spark, sf_dir):
+    """Hexagonal density rollup (H3-style axial hexes, functions/hexgrid):
+    doc points binned into 5° pointy-top hexagons via cube rounding —
+    isotropic neighborhoods (6 equidistant neighbors), the standard H3
+    argument, next to the square grid and geohash. Bit-exact cross-engine:
+    floor-based rounding, Python-folded constants; the hex id is one
+    packed long (the shuffle currency), back-projected to its center for
+    the audit columns. One JVM-expression scan + one groupBy — at 100 TB
+    this is the same plan as the square-cell rollups."""
+    from erased_cells_spark.functions.hexgrid import hex_center_exprs, hex_id_expr
+
+    p = _doc_points(spark, sf_dir)
+    binned = p.select(
+        hex_id_expr(F.col("lon"), F.col("lat"), 5.0).alias("hex_id"),
+        "source",
+        "n_chars",
+    )
+    cx, cy = hex_center_exprs(F.col("hex_id"), 5.0)
+    return (
+        binned.groupBy("hex_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+        .select(
+            "hex_id", "n_docs", "n_sources", "n_chars_total",
+            F.round(cx, 6).alias("center_lon_r"),
+            F.round(cy, 6).alias("center_lat_r"),
+        )
+        .orderBy("hex_id")
+    )
+
+
+# ============================================ relational widening III (r7) ==
+# The remaining TPC-H shapes expressible over this schema (no partsupp, no
+# l_shipmode/commitdate/receiptdate, no c_phone — each substitution is named
+# in its docstring). They live in the TWIN registry because the registered
+# surface is pinned at the driver's 50-entry artifact window
+# (test_inventory.py::test_registered_surface_fits_driver_artifact_window);
+# twins get the identical Spark-vs-DuckDB value-hash discipline via
+# tests/test_oracle_twins.py and `tools/check_oracles.py --twins`.
+#
+# Cross-engine float discipline for these six: every sum folds
+# DECIMAL(38,6) (exact, order-independent), every division happens once on
+# the exact sums and is round()-ed, and every avg-threshold comparison is
+# cross-multiplied into pure decimal-integer arithmetic so no engine ever
+# compares against an engine-rounded double.
+
+
+@twin(
+    "q8_market_share",
+    oracle="""
+WITH vol AS (
+  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                      ELSE CAST(0 AS DECIMAL(38,6)) END)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share,
+       count(*) AS n_lines
+FROM vol GROUP BY o_year ORDER BY o_year
+""",
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 (national market share): the 8-table snowflake join — share
+    of PROMO-part volume supplied by NATION_7 into ASIA-region customers,
+    per order year. Every dimension side (part, customer→nation→region,
+    supplier→nation) is broadcast; lineitem is the only shuffled side, so
+    at 100 TB the plan is one pass over the fact table with zero
+    fact-to-fact shuffles. The share division runs once per year row on
+    exact DECIMAL sums."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier")
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_asia = (
+        c.join(F.broadcast(n1), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_asia), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(38,6)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@twin(
+    "q12_late_shipping",
+    oracle="""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus
+""",
+)
+def q12_late_shipping(spark, sf_dir):
+    """TPC-H Q12 shape (priority split over a lateness predicate): lines
+    shipped more than 90 days after their order date, counted per
+    linestatus split into high/low-priority orders. (The schema has no
+    l_shipmode/commitdate/receiptdate; `shipdate > orderdate + 90d` is
+    the lateness predicate and l_linestatus the grouping.) The shipdate
+    range prunes the fact scan; the residual date comparison rides the
+    single orderkey equi-join — conditional aggregation, no second pass."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@twin(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, round(r.total_rev::DOUBLE, 4) AS total_rev_r
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
+    max. The scalar-subquery max is a 1-row broadcast joined back on exact
+    DECIMAL equality (ties all surface, ordered by suppkey) — the
+    revenue aggregate is computed once and reused for both sides, so at
+    scale this is one shuffle on l_suppkey plus a broadcast."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+        .alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", F.round(F.col("total_rev").cast("double"), 4).alias("total_rev_r"))
+        .orderBy("s_suppkey")
+    )
+
+
+@twin(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH agg AS (
+  SELECT l_partkey,
+         sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l.l_extendedprice)::DOUBLE / 7.0, 4) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+           AND p.p_brand = 'Brand#3' AND p.p_size <= 10
+JOIN agg a ON a.l_partkey = l.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(38,6)) * 5 * a.cnt < a.sum_qty
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue): lines of a brand/size
+    slice whose quantity is below 20%% of that part's average. (p_size<=10
+    stands in for the missing p_container.) The correlated scalar avg is
+    decorrelated into one per-partkey aggregate joined back on the fact
+    key — both sides shuffle once on l_partkey and co-locate. The 20%%
+    threshold is cross-multiplied (qty*5*cnt < sum_qty) so the comparison
+    is exact decimal-integer arithmetic on both engines, never a
+    double-rounded avg. sum(extendedprice) is a double fold, rounded to 4
+    after a /7.0 — single-row output, order-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10)
+    )
+    agg = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(agg, F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity").cast("decimal(38,6)") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double") / 7.0, 4)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@twin(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6)))::DOUBLE, 4)
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 (disjunctive predicate revenue): three OR-ed brand/size/
+    quantity slices over the part-lineitem join. (p_size ranges stand in
+    for the missing p_container; the missing l_shipmode/shipinstruct legs
+    are dropped.) The partkey equi-join extracts as the join condition
+    with the disjunction as a residual filter — part is broadcast, so the
+    whole query is one scan of lineitem with no shuffle. The classic
+    planner trap here is a nested-loop join when the OR isn't separated
+    from the equi-key; the DataFrame build keeps them apart by
+    construction."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+                .cast("double"), 4,
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@twin(
+    "q22_sales_opportunity",
+    oracle="""
+WITH pool AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(38,6)) AS bal
+  FROM customer WHERE c_nationkey IN (3, 7, 11, 17, 19, 23, 24)
+),
+thr AS (
+  SELECT sum(bal) AS sum_bal, count(*) AS cnt FROM pool WHERE bal > 0
+)
+SELECT p.c_nationkey AS cntrycode,
+       count(*) AS numcust,
+       round(sum(p.bal)::DOUBLE, 4) AS totacctbal
+FROM pool p, thr
+WHERE p.bal * thr.cnt > thr.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY p.c_nationkey ORDER BY p.c_nationkey
+""",
+)
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity): customers in seven country
+    codes with above-average positive balance and no RECENT orders (none
+    since 2000 — every test customer has some historic order, so the
+    classic no-orders-ever predicate would be vacuous; c_nationkey stands
+    in for the missing c_phone country-code prefix).
+    The scalar avg is cross-multiplied (bal*cnt > sum_bal) into exact
+    decimal arithmetic, the 1-row threshold broadcasts via crossJoin (the
+    repo's 1-row-aggregate contract), and the no-orders probe is a
+    LeftAnti on o_custkey — at 100 TB: one scan of customer, one semi-side
+    shuffle of order keys only."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(3, 7, 11, 17, 19, 23, 24)
+    ).select("c_custkey", "c_nationkey", F.col("c_acctbal").cast("decimal(38,6)").alias("bal"))
+    thr = c.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_bal"), F.count("*").alias("cnt")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("bal") * F.col("cnt") > F.col("sum_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal").cast("double"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
