@@ -457,6 +457,103 @@ def extract_audio_features(
     return media.mapInPandas(run, schema)
 
 
+AUDIO_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("zcr", StringType(), False),               # decimal strings:
+        StructField("spectral_centroid_hz", StringType(), False),  # cross-engine-safe
+        StructField("spectral_rolloff_hz", StringType(), False),
+    ]
+)
+
+
+def audio_spectral_np(
+    x: np.ndarray, sample_rate: int, rolloff: float = 0.85
+) -> tuple[float, float, float]:
+    """Spectral descriptors of one PCM clip — the reference kernel the
+    distributed path and the tests share (standard public definitions:
+    zero-crossing rate; magnitude-weighted mean frequency; the frequency
+    below which `rolloff` of the spectral energy lies). Pure numpy rFFT on
+    the MEAN-REMOVED signal: subtracting the mean kills the DC bin exactly
+    (not just numerically), so silence or a constant offset reads as no
+    tone at all rather than FFT round-off noise."""
+    x = np.asarray(x, np.float64)
+    if len(x) < 2:
+        return 0.0, 0.0, 0.0
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+    mag = np.abs(np.fft.rfft(x - x.mean()))
+    mag[0] = 0.0
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / float(sample_rate))
+    total = mag.sum()
+    if total == 0.0:
+        return zcr, 0.0, 0.0
+    centroid = float((freqs * mag).sum() / total)
+    energy = np.cumsum(mag**2)
+    k = int(np.searchsorted(energy, rolloff * energy[-1]))
+    return zcr, centroid, float(freqs[min(k, len(freqs) - 1)])
+
+
+def extract_audio_spectral(
+    media: DataFrame, sample_rate: int = AUDIO_SAMPLE_RATE, errors: str = "quarantine"
+) -> DataFrame:
+    """Spectral audio features (r7): zero-crossing rate, spectral centroid,
+    and 85% spectral rolloff from the REAL decoded samples — the
+    language/music/noise triage stats a corpus pipeline filters on before
+    any expensive model sees the clip. Per-clip rFFT is inherent numpy
+    work (exactly the Pandas-UDF-appropriate kind); the lane shape is the
+    same partition-preserving mapInPandas + per-record quarantine as every
+    other media path. Frequencies are Hz from the STREAM's sample rate for
+    real WAVs (the hinted rate only feeds the stub fallback)."""
+    if errors not in ("quarantine", "strict"):
+        raise ValueError(f"errors={errors!r} not in ('quarantine', 'strict')")
+    strict = errors == "strict"
+    schema = (
+        AUDIO_SPECTRAL_SCHEMA if strict else _quarantine_schema(AUDIO_SPECTRAL_SCHEMA)
+    )
+    feat_cols = ("n_samples", "zcr", "spectral_centroid_hz", "spectral_rolloff_hz")
+
+    def run(batches):
+        from erased_cells_spark.sources.wav import WAV_MAGIC, wav_decode_mono
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "audio":
+                    continue
+                dur = int(r.duration_ms) if r.duration_ms == r.duration_ms else 0
+                if dur <= 0:
+                    continue
+                try:
+                    if bytes(r.payload[:4]) == WAV_MAGIC:
+                        rate, x = wav_decode_mono(r.payload)
+                    else:
+                        rate = sample_rate
+                        x = decode_audio_stub(r.payload, dur, sample_rate)
+                except _CODEC_ERRORS as e:
+                    if strict:
+                        raise
+                    rows.append(
+                        {"media_id": int(r.media_id), "error": f"{type(e).__name__}: {e}",
+                         **{c: None for c in feat_cols}}
+                    )
+                    continue
+                zcr, cent, roll = audio_spectral_np(x, rate)
+                row = {
+                    "media_id": int(r.media_id),
+                    "n_samples": int(len(x)),
+                    "zcr": f"{zcr:.6f}",
+                    "spectral_centroid_hz": f"{cent:.6f}",
+                    "spectral_rolloff_hz": f"{roll:.6f}",
+                }
+                if not strict:
+                    row["error"] = None
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return media.mapInPandas(run, schema)
+
+
 def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
     """Deterministic media fixture rows: payload bytes from a seeded PCG.
     Shared verbatim by the Spark fixture and the local oracle twin."""

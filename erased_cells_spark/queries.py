@@ -3043,6 +3043,129 @@ def doc_geohash_rollup(spark, sf_dir):
     )
 
 
+# GeoJSON → PIP (r7): the zone set arrives as an actual RFC 7946 document
+# (wrong winding on purpose — the source must normalize it), parsed by
+# sources/geojson.py into the polygon-DataFrame contract and joined by
+# pip_join_df; the oracle replays the same winding sum over the PARSED
+# rings, so the parse+normalize step is inside the checked surface.
+_GEOJSON_ZONES = """{"type": "FeatureCollection", "features": [
+  {"type": "Feature", "id": 1, "properties": {"zone": "boxed-hole"},
+   "geometry": {"type": "Polygon", "coordinates": [
+     [[-60.0, -30.0], [-60.0, 30.0], [20.0, 30.0], [20.0, -30.0], [-60.0, -30.0]],
+     [[-30.0, -10.0], [0.0, -10.0], [0.0, 10.0], [-30.0, 10.0], [-30.0, -10.0]]]}},
+  {"type": "Feature", "id": 2, "properties": {"zone": "twin-isles"},
+   "geometry": {"type": "MultiPolygon", "coordinates": [
+     [[[60.0, -40.0], [110.0, -40.0], [110.0, 0.0], [60.0, 0.0], [60.0, -40.0]]],
+     [[[120.0, 20.0], [170.0, 20.0], [170.0, 60.0], [120.0, 60.0], [120.0, 20.0]]]]}},
+  {"type": "Feature", "id": 3, "properties": {"zone": "wedge"},
+   "geometry": {"type": "Polygon", "coordinates": [
+     [[-170.0, 40.0], [-100.0, 40.0], [-135.0, 80.0], [-170.0, 40.0]]]}}
+]}"""
+
+
+def _geojson_pip_oracle() -> str:
+    from erased_cells_spark.sources.geojson import geojson_polygon_rows
+
+    rows = geojson_polygon_rows(_GEOJSON_ZONES)
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+{_pip_edges_sql(rows)},
+w AS (
+  SELECT e.poly_id, p.doc_id,
+         sum(CASE WHEN e.ey0 <= p.lat AND e.ey1 > p.lat AND {_PIP_CROSS} > 0 THEN 1
+                  WHEN e.ey0 > p.lat AND e.ey1 <= p.lat AND {_PIP_CROSS} < 0 THEN -1
+                  ELSE 0 END) AS wn
+  FROM pts p CROSS JOIN edges e
+  GROUP BY 1, 2
+)
+SELECT poly_id, count(*) AS n_docs, CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM w WHERE wn != 0 GROUP BY poly_id ORDER BY poly_id
+"""
+
+
+@twin("pip_geojson_zone_counts", oracle=_geojson_pip_oracle())
+def pip_geojson_zone_counts(spark, sf_dir):
+    """Zone containment where the zones arrive as REAL GeoJSON — a
+    FeatureCollection with a holed polygon, a MultiPolygon, and
+    deliberately spec-violating winding that sources/geojson.py must
+    normalize (outer CCW, holes CW) before pip_join_df's winding sum can
+    be right. Same 100 TB plan as pip_large_zone_counts: cover-cell
+    equi-join candidates + JVM edge-join winding; the GeoJSON parse adds
+    zero shuffles (driver-side here — the ndjson mapInPandas path covers
+    the million-feature case, tests/test_geojson_source.py)."""
+    from erased_cells_spark.operators.pip import pip_join_df
+    from erased_cells_spark.sources.geojson import geojson_polygons
+
+    pts = _doc_points(spark, sf_dir)
+    polys = geojson_polygons(spark, _GEOJSON_ZONES)
+    hits = pip_join_df(pts, polys.select("poly_id", "ring"), id_col="doc_id")
+    return (
+        hits.groupBy("poly_id")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("poly_id")
+    )
+
+
+def _audio_spectral_oracle() -> str:
+    """Expected rows computed locally through the SAME wav/stub decode and
+    numpy spectral kernel the executors run (the media_features inline-
+    VALUES pattern): checks the distributed lane end-to-end."""
+    from erased_cells_spark.operators.multimodal import (
+        AUDIO_SAMPLE_RATE,
+        audio_spectral_np,
+        decode_audio_stub,
+        synthetic_media_rows,
+    )
+    from erased_cells_spark.sources.wav import WAV_MAGIC, wav_decode_mono
+
+    vals = []
+    for r in synthetic_media_rows(64):
+        if r["kind"] != "audio" or (r["duration_ms"] or 0) <= 0:
+            continue
+        if bytes(r["payload"][:4]) == WAV_MAGIC:
+            rate, x = wav_decode_mono(r["payload"])
+        else:
+            rate = AUDIO_SAMPLE_RATE
+            x = decode_audio_stub(r["payload"], r["duration_ms"], rate)
+        zcr, cent, roll = audio_spectral_np(x, rate)
+        vals.append(
+            f"({r['media_id']}, {len(x)}, '{zcr:.6f}', '{cent:.6f}', '{roll:.6f}')"
+        )
+    return f"""
+SELECT media_id::BIGINT AS media_id, n_samples::BIGINT AS n_samples,
+       zcr, centroid_hz, rolloff_hz
+FROM (VALUES {", ".join(vals)}) t(media_id, n_samples, zcr, centroid_hz, rolloff_hz)
+ORDER BY media_id
+"""
+
+
+@twin("media_audio_spectral", oracle=_audio_spectral_oracle())
+def media_audio_spectral(spark, sf_dir):
+    """Spectral audio triage over the media fixture: zero-crossing rate,
+    spectral centroid, 85% rolloff from the REAL decoded WAV samples
+    (rate from the stream; multimodal.extract_audio_spectral). The
+    corpus-filter stats a pipeline gates clips on before any model runs —
+    distributed as the standard quarantine-capable mapInPandas lane."""
+    from erased_cells_spark.operators.multimodal import (
+        extract_audio_spectral,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 64, seed=5)
+    return (
+        extract_audio_spectral(media)
+        .filter(F.col("error").isNull())
+        .select(
+            "media_id",
+            "n_samples",
+            "zcr",
+            F.col("spectral_centroid_hz").alias("centroid_hz"),
+            F.col("spectral_rolloff_hz").alias("rolloff_hz"),
+        )
+        .orderBy("media_id")
+    )
+
+
 def _hex_oracle() -> str:
     from erased_cells_spark.functions.hexgrid import sql_hex_center, sql_hex_id
 

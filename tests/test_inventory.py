@@ -36,10 +36,17 @@ OPERATOR_MODULES = [
     "erased_cells_spark.operators.cells_expr",
     "erased_cells_spark.functions.text",
     "erased_cells_spark.functions.geocode",
+    "erased_cells_spark.functions.geohash",
+    "erased_cells_spark.functions.hexgrid",
+    "erased_cells_spark.functions.pii",
+    "erased_cells_spark.functions.url",
+    "erased_cells_spark.operators.packing",
     "erased_cells_spark.plans.skew",
     "erased_cells_spark.plans.bucketing",
     "erased_cells_spark.sources.layout",
     "erased_cells_spark.sources.warc",
+    "erased_cells_spark.sources.avi",
+    "erased_cells_spark.sources.geojson",
 ]
 
 # the engine surface an operator must be reachable from (tests NOT included)
@@ -86,6 +93,11 @@ ALLOWED_UNREGISTERED = {
     "connected_components_np": "pytest oracle twin (union-find)",
     "ngram_overlap_np": "pytest oracle twin (decontamination)",
     "media_features_np": "oracle twin (expected rows inlined into SQL)",
+    "hex_id_np": "pytest oracle twin (hex binning third opinion)",
+    "hex_center_np": "pytest oracle twin (hex center back-projection)",
+    "geohash_np": "pytest oracle twin (geohash third opinion)",
+    "avi_frame_jpeg": "container API for callers wanting raw frame bytes; "
+    "round-trip pinned in test_avi_codec, decode path uses the offset list",
     "extract_text_bytes": "local byte-identity twin of extract_text",
     "synthetic_media_rows": "fixture rows shared by operator and oracle",
     # inspection / catalog utilities, not operators

@@ -172,3 +172,73 @@ class TestImageDhash:
         # planted copies share their source's hash exactly
         hashes = dict(got)
         assert hashes[1000] == hashes[0] == hashes[2000]
+
+
+class TestAudioSpectral:
+    def test_sine_wave_physics(self):
+        """A pure 1 kHz tone at 8 kHz: centroid ≈ 1000 Hz, rolloff at/above
+        the centroid, zcr ≈ 2·f/rate — the descriptors mean what they say."""
+        from erased_cells_spark.operators.multimodal import audio_spectral_np
+
+        rate, f, n = 8000, 1000.0, 8000
+        t = np.arange(n) / rate
+        x = (20000 * np.sin(2 * np.pi * f * t)).astype(np.int16)
+        zcr, cent, roll = audio_spectral_np(x, rate)
+        assert abs(cent - f) < 25.0
+        assert roll >= cent - 1.0
+        assert abs(zcr - 2 * f / rate) < 0.01
+
+    def test_dc_offset_not_a_zero_hz_tone(self):
+        from erased_cells_spark.operators.multimodal import audio_spectral_np
+
+        rate = 8000
+        x = np.full(4000, 5000, dtype=np.int16)  # pure DC
+        zcr, cent, roll = audio_spectral_np(x, rate)
+        assert zcr == 0.0 and cent == 0.0 and roll == 0.0
+
+    def test_spark_matches_local_reference(self, spark):
+        from erased_cells_spark.operators.multimodal import (
+            audio_spectral_np,
+            extract_audio_spectral,
+            synthetic_media,
+            synthetic_media_rows,
+        )
+        from erased_cells_spark.sources.wav import WAV_MAGIC, wav_decode_mono
+
+        media = synthetic_media(spark, 36)
+        got = {
+            r.media_id: (r.n_samples, r.zcr, r.spectral_centroid_hz, r.spectral_rolloff_hz)
+            for r in extract_audio_spectral(media, errors="strict").collect()
+        }
+        want = {}
+        for r in synthetic_media_rows(36):
+            if r["kind"] != "audio" or (r["duration_ms"] or 0) <= 0:
+                continue
+            assert bytes(r["payload"][:4]) == WAV_MAGIC  # fixtures are real WAVs
+            rate, x = wav_decode_mono(r["payload"])
+            zcr, cent, roll = audio_spectral_np(x, rate)
+            want[r["media_id"]] = (
+                len(x), f"{zcr:.6f}", f"{cent:.6f}", f"{roll:.6f}"
+            )
+        assert got == want and got
+
+    def test_corrupt_wav_quarantines(self, spark):
+        from erased_cells_spark.operators.multimodal import (
+            extract_audio_spectral,
+            media_quarantine,
+            synthetic_media,
+            synthetic_media_rows,
+        )
+
+        rows = synthetic_media_rows(36)
+        victim = next(r for r in rows if r["kind"] == "audio")
+        victim["payload"] = victim["payload"][:20]  # truncated RIFF
+        df = spark.createDataFrame(
+            [{**r, "payload": bytearray(r["payload"])} for r in rows],
+            synthetic_media(spark, 1).schema,
+        )
+        out = extract_audio_spectral(df)
+        q = {r.media_id: r.error for r in media_quarantine(out).collect()}
+        assert set(q) == {victim["media_id"]} and "WavFormatError" in q[victim["media_id"]]
+        clean = out.filter(out.error.isNull()).count()
+        assert clean > 0
