@@ -287,3 +287,158 @@ def pip_join_np(lon: np.ndarray, lat: np.ndarray, polygons: list[dict]) -> list[
         hit = points_in_ring(lon, lat, p["ring"])
         out.extend((int(i), int(p["poly_id"])) for i in np.nonzero(hit)[0])
     return out
+
+
+def simplify_polygons_df(
+    polygons: DataFrame, tolerance: float, ring_col: str = "ring"
+) -> DataFrame:
+    """Distributed Douglas–Peucker pre-simplification for the edge-join PIP
+    path: rewrites `ring_col` in place (all other columns pass through),
+    one partition-preserving mapInPandas — Python touches each POLYGON once
+    (the same cost contract as pip_join_df's cover UDF), candidates never.
+
+    This is the named remedy in pip_join_df's docstring: its edge join
+    expands |edges/polygon| per candidate row, so a 10^4-vertex coastline
+    must shed vertices BEFORE the join. Every dropped vertex lies within
+    `tolerance` of the kept chain (spatial/geom.simplify_ring), so
+    containment flips are confined to a `tolerance`-band around the
+    boundary — the standard cartographic trade, made explicit."""
+    from erased_cells_spark.spatial.geom import simplify_ring
+
+    cols = polygons.columns
+    if ring_col not in cols:
+        raise ValueError(f"simplify_polygons_df: no column {ring_col!r} in {cols}")
+
+    def run(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            out[ring_col] = [
+                [
+                    [float(x), float(y)]
+                    for x, y in simplify_ring(
+                        np.asarray([np.asarray(v, np.float64) for v in r]), tolerance
+                    )
+                ]
+                for r in out[ring_col]
+            ]
+            yield out
+
+    return polygons.mapInPandas(run, polygons.schema)
+
+
+def polygon_overlap_join(
+    polys_a: DataFrame,
+    polys_b: DataFrame,
+    res: int = DEFAULT_COVER_RES,
+    id_a: str = "a_id",
+    id_b: str = "b_id",
+) -> DataFrame:
+    """Polygon×polygon OVERLAP join (vector overlay detection): which pairs
+    of SINGLE-RING polygons intersect. Both sides are DataFrames
+    (poly_id, ring) in pip_join_df's ring contract (closed, CCW).
+
+    Decision rule for simple polygons — exact, no tolerance:
+      overlap ⇔ some edge of A properly crosses an edge of B
+                (strict orientation tests — the _segments_intersect
+                 convention: collinear touching does not count)
+              ∨ A's first vertex is inside B   (A ⊆ B containment:
+                 no crossings ⇒ ALL of A's vertices are inside, so ONE
+                 suffices — winding with the engine-wide half-open rule)
+              ∨ B's first vertex is inside A.
+
+    Plan shape (the scale story — NO quadratic pair space):
+      each side → cover cells at `res` (Arrow-batched cover UDF, Python
+      touches each POLYGON once) → cell equi-join → DISTINCT candidate
+      pairs. A truly-overlapping pair shares a covered cell by
+      construction (their intersection lies in cells covered by both), so
+      the candidate set is a superset and the exact tests decide. Then
+      two JVM-only joins per candidate pair: |Ea|·|Eb| edge-pair rows for
+      the crossing test and |edges| rows per first-vertex winding — the
+      same expansion budget as pip_join_df, with the same remedy for
+      dense rings (simplify_polygons_df first).
+
+    Returns DISTINCT (id_a, id_b) overlap pairs (all candidate orderings
+    the caller supplies — self-join callers filter id_a < id_b)."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_udf(rings: pd.Series) -> pd.Series:
+        out = []
+        for r in rings:
+            ring = np.asarray([np.asarray(v, np.float64) for v in r])
+            if len(ring) < 4 or (ring[0] != ring[-1]).any():
+                raise ValueError(
+                    "polygon_overlap_join: rings must be CLOSED with >= 3 "
+                    f"distinct vertices; got {len(ring)} rows"
+                )
+            out.append(polygon_cover_keys(ring, res).tolist())
+        return pd.Series(out)
+
+    def side(df: DataFrame, tag: str):
+        df = df.select(
+            F.col("poly_id").alias(f"{tag}id"), F.col("ring").alias(f"{tag}ring")
+        )
+        cells = df.select(
+            f"{tag}id", F.explode(cover_udf(F.col(f"{tag}ring"))).alias("cell")
+        ).dropDuplicates([f"{tag}id", "cell"])
+        r = f"{tag}ring"
+        edges = df.select(
+            f"{tag}id",
+            F.expr(
+                f"explode(transform(sequence(0, size({r}) - 2), i -> named_struct("
+                f"'x0', {r}[i][0], 'y0', {r}[i][1], "
+                f"'x1', {r}[i + 1][0], 'y1', {r}[i + 1][1])))"
+            ).alias(f"{tag}e"),
+        )
+        first = df.select(
+            f"{tag}id",
+            F.expr(f"{r}[0][0]").alias(f"{tag}vx"),
+            F.expr(f"{r}[0][1]").alias(f"{tag}vy"),
+        )
+        return cells, edges, first
+
+    ca, ea, fa = side(polys_a, "a_")
+    cb, eb, fb = side(polys_b, "b_")
+    cand = ca.join(cb, "cell").select("a_id", "b_id").dropDuplicates()
+
+    # strict edge-crossing test over candidate pairs (pure JVM)
+    pair_edges = cand.join(ea, "a_id").join(eb, "b_id")
+    d1 = F.expr("(b_e.x1 - b_e.x0) * (a_e.y0 - b_e.y0) - (a_e.x0 - b_e.x0) * (b_e.y1 - b_e.y0)")
+    d2 = F.expr("(b_e.x1 - b_e.x0) * (a_e.y1 - b_e.y0) - (a_e.x1 - b_e.x0) * (b_e.y1 - b_e.y0)")
+    d3 = F.expr("(a_e.x1 - a_e.x0) * (b_e.y0 - a_e.y0) - (b_e.x0 - a_e.x0) * (a_e.y1 - a_e.y0)")
+    d4 = F.expr("(a_e.x1 - a_e.x0) * (b_e.y1 - a_e.y0) - (b_e.x1 - a_e.x0) * (a_e.y1 - a_e.y0)")
+    crossing = (
+        pair_edges.withColumn(
+            "hit",
+            (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))).cast("int"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.max("hit").alias("edge_cross"))
+    )
+
+    # first-vertex winding: v of one side against the other side's edges
+    def winding(cand_pairs, firsts, edges, v_tag, e_tag, out_col):
+        vx, vy = f"{v_tag}vx", f"{v_tag}vy"
+        e = f"{e_tag}e"
+        cr = F.expr(
+            f"({e}.x1 - {e}.x0) * ({vy} - {e}.y0) - ({vx} - {e}.x0) * ({e}.y1 - {e}.y0)"
+        )
+        up = (F.expr(f"{e}.y0") <= F.col(vy)) & (F.expr(f"{e}.y1") > F.col(vy)) & (cr > 0)
+        down = (F.expr(f"{e}.y0") > F.col(vy)) & (F.expr(f"{e}.y1") <= F.col(vy)) & (cr < 0)
+        return (
+            cand_pairs.join(firsts, f"{v_tag}id")
+            .join(edges, f"{e_tag}id")
+            .withColumn("w", up.cast("long") - down.cast("long"))
+            .groupBy("a_id", "b_id")
+            .agg((F.sum("w") != 0).cast("int").alias(out_col))
+        )
+
+    a_in_b = winding(cand, fa, eb, "a_", "b_", "a_inside")
+    b_in_a = winding(cand, fb, ea, "b_", "a_", "b_inside")
+
+    return (
+        crossing.join(a_in_b, ["a_id", "b_id"])
+        .join(b_in_a, ["a_id", "b_id"])
+        .filter((F.col("edge_cross") + F.col("a_inside") + F.col("b_inside")) > 0)
+        .select(F.col("a_id").alias(id_a), F.col("b_id").alias(id_b))
+    )

@@ -3059,7 +3059,9 @@ _GEOJSON_ZONES = """{"type": "FeatureCollection", "features": [
      [[[120.0, 20.0], [170.0, 20.0], [170.0, 60.0], [120.0, 60.0], [120.0, 20.0]]]]}},
   {"type": "Feature", "id": 3, "properties": {"zone": "wedge"},
    "geometry": {"type": "Polygon", "coordinates": [
-     [[-170.0, 40.0], [-100.0, 40.0], [-135.0, 80.0], [-170.0, 40.0]]]}}
+     [[-170.0, 40.0], [-152.5, 40.0], [-135.0, 40.0], [-117.5, 40.0],
+      [-100.0, 40.0], [-117.5, 60.0], [-135.0, 80.0], [-152.5, 60.0],
+      [-170.0, 40.0]]]}}
 ]}"""
 
 
@@ -3092,13 +3094,24 @@ def pip_geojson_zone_counts(spark, sf_dir):
     be right. Same 100 TB plan as pip_large_zone_counts: cover-cell
     equi-join candidates + JVM edge-join winding; the GeoJSON parse adds
     zero shuffles (driver-side here — the ndjson mapInPandas path covers
-    the million-feature case, tests/test_geojson_source.py)."""
-    from erased_cells_spark.operators.pip import pip_join_df
+    the million-feature case, tests/test_geojson_source.py).
+
+    The wedge feature is DELIBERATELY densified with collinear vertices
+    (how digitized boundaries actually arrive) and the polygon side runs
+    through Douglas–Peucker pre-simplification (simplify_polygons_df, the
+    remedy pip_join_df's docstring names for dense rings) before the edge
+    join. Dropping exactly-collinear vertices provably cannot change a
+    winding sum, so the oracle — which replays the UNSIMPLIFIED parsed
+    rings — stays an exact-equality check: the simplification is inside
+    the verified surface, with zero tolerance slack hidden behind it."""
+    from erased_cells_spark.operators.pip import pip_join_df, simplify_polygons_df
     from erased_cells_spark.sources.geojson import geojson_polygons
 
     pts = _doc_points(spark, sf_dir)
-    polys = geojson_polygons(spark, _GEOJSON_ZONES)
-    hits = pip_join_df(pts, polys.select("poly_id", "ring"), id_col="doc_id")
+    polys = simplify_polygons_df(
+        geojson_polygons(spark, _GEOJSON_ZONES).select("poly_id", "ring"), 1e-9
+    )
+    hits = pip_join_df(pts, polys, id_col="doc_id")
     return (
         hits.groupBy("poly_id")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
@@ -3163,6 +3176,120 @@ def media_audio_spectral(spark, sf_dir):
             F.col("spectral_rolloff_hz").alias("rolloff_hz"),
         )
         .orderBy("media_id")
+    )
+
+
+# Polygon×polygon overlap (r7): overlay detection over an in-plan diamond
+# cadastre — which zone pairs intersect. The oracle derives the identical
+# diamonds (same md5 geocode, same w/h arithmetic) and replays the same
+# strict edge-crossing + first-vertex-winding decision rule.
+_N_OVERLAP_POLYS = 2000
+
+
+def _overlap_diamonds(spark):
+    key = F.concat(F.lit("poly-"), F.col("id").cast("string"))
+    return spark.range(_N_OVERLAP_POLYS).select(
+        F.col("id").cast("int").alias("poly_id"),
+        geocode_lon(key).alias("cx"),
+        geocode_lat(key).alias("cy"),
+        (F.lit(0.2) + (F.col("id") % 7).cast("double") * 0.1).alias("w"),
+        (F.lit(0.15) + (F.col("id") % 5).cast("double") * 0.1).alias("h"),
+    ).select(
+        "poly_id",
+        F.expr(
+            "array(array(cx + w, cy), array(cx, cy + h), array(cx - w, cy), "
+            "array(cx, cy - h), array(cx + w, cy))"
+        ).alias("ring"),
+    )
+
+
+def _overlap_oracle() -> str:
+    key_sql = "'poly-' || id::VARCHAR"
+    cross = (
+        "((bx1 - bx0) * ({py} - by0) - ({px} - bx0) * (by1 - by0))"
+    )
+    d1 = cross.format(px="ea.x0", py="ea.y0")
+    d2 = cross.format(px="ea.x1", py="ea.y1")
+    d3 = "((ea.x1 - ea.x0) * (eb.y0 - ea.y0) - (eb.x0 - ea.x0) * (ea.y1 - ea.y0))"
+    d4 = "((ea.x1 - ea.x0) * (eb.y1 - ea.y0) - (eb.x1 - ea.x0) * (ea.y1 - ea.y0))"
+    wind = (
+        "(e.x1 - e.x0) * (f.vy - e.y0) - (f.vx - e.x0) * (e.y1 - e.y0)"
+    )
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {_N_OVERLAP_POLYS - 1})) AS id),
+geo AS (
+  SELECT id, {sql_lon(key_sql)} AS cx, {sql_lat(key_sql)} AS cy,
+         0.2 + (id % 7)::DOUBLE * 0.1 AS w,
+         0.15 + (id % 5)::DOUBLE * 0.1 AS h
+  FROM ids
+),
+edges AS (
+  SELECT id, cx + w AS x0, cy AS y0, cx AS x1, cy + h AS y1 FROM geo
+  UNION ALL SELECT id, cx, cy + h, cx - w, cy FROM geo
+  UNION ALL SELECT id, cx - w, cy, cx, cy - h FROM geo
+  UNION ALL SELECT id, cx, cy - h, cx + w, cy FROM geo
+),
+firsts AS (SELECT id, cx + w AS vx, cy AS vy FROM geo),
+cand AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM geo a JOIN geo b
+    ON a.id < b.id
+   AND abs(a.cx - b.cx) <= a.w + b.w AND abs(a.cy - b.cy) <= a.h + b.h
+),
+crossings AS (
+  SELECT c.a_id, c.b_id,
+         max(CASE WHEN (({d1.replace('bx0','eb.x0').replace('bx1','eb.x1').replace('by0','eb.y0').replace('by1','eb.y1')}) > 0)
+                    <> (({d2.replace('bx0','eb.x0').replace('bx1','eb.x1').replace('by0','eb.y0').replace('by1','eb.y1')}) > 0)
+                   AND (({d3}) > 0) <> (({d4}) > 0)
+                  THEN 1 ELSE 0 END) AS hit
+  FROM cand c
+  JOIN edges ea ON ea.id = c.a_id
+  JOIN edges eb ON eb.id = c.b_id
+  GROUP BY 1, 2
+),
+wind_a AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN sum(CASE WHEN e.y0 <= f.vy AND e.y1 > f.vy AND ({wind}) > 0 THEN 1
+                            WHEN e.y0 > f.vy AND e.y1 <= f.vy AND ({wind}) < 0 THEN -1
+                            ELSE 0 END) <> 0 THEN 1 ELSE 0 END AS a_in
+  FROM cand c JOIN firsts f ON f.id = c.a_id JOIN edges e ON e.id = c.b_id
+  GROUP BY 1, 2
+),
+wind_b AS (
+  SELECT c.a_id, c.b_id,
+         CASE WHEN sum(CASE WHEN e.y0 <= f.vy AND e.y1 > f.vy AND ({wind}) > 0 THEN 1
+                            WHEN e.y0 > f.vy AND e.y1 <= f.vy AND ({wind}) < 0 THEN -1
+                            ELSE 0 END) <> 0 THEN 1 ELSE 0 END AS b_in
+  FROM cand c JOIN firsts f ON f.id = c.b_id JOIN edges e ON e.id = c.a_id
+  GROUP BY 1, 2
+)
+SELECT cr.a_id, cr.b_id
+FROM crossings cr
+JOIN wind_a wa ON wa.a_id = cr.a_id AND wa.b_id = cr.b_id
+JOIN wind_b wb ON wb.a_id = cr.a_id AND wb.b_id = cr.b_id
+WHERE cr.hit + wa.a_in + wb.b_in > 0
+ORDER BY cr.a_id, cr.b_id
+"""
+
+
+@twin("zone_overlap_pairs", oracle=_overlap_oracle())
+def zone_overlap_pairs(spark, sf_dir):
+    """Vector OVERLAY detection: which pairs of a 2000-diamond in-plan
+    cadastre intersect (operators/pip.polygon_overlap_join). The decision
+    rule is exact — strict edge crossing ∨ first-vertex containment either
+    way — and the scale shape avoids the quadratic pair space: cover-cell
+    equi-join candidates, then JVM-only edge-pair and winding tests on
+    candidates alone. The oracle derives the identical diamonds and
+    replays the identical arithmetic with bbox candidates (both candidate
+    sets are supersets; the exact tests decide)."""
+    from erased_cells_spark.operators.pip import polygon_overlap_join
+
+    d = _overlap_diamonds(spark)
+    pairs = polygon_overlap_join(d, d, res=8)
+    return (
+        pairs.filter(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").cast("int"), F.col("b_id").cast("int"))
+        .orderBy("a_id", "b_id")
     )
 
 

@@ -87,3 +87,81 @@ def make_polygon_fixtures(n: int = 64, seed: int = 42) -> list[dict]:
         ring[:, 0] = np.clip(ring[:, 0], -179.9, 179.9)
         polys.append(dict(poly_id=pid, name=f"zone{pid}", ring=ring, cx=cx, cy=cy, radius=radius))
     return polys
+
+
+def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker ring simplification (the public algorithm, 1973):
+    drop vertices whose perpendicular deviation from the simplified chain
+    is <= tolerance. CLOSED-ring aware: the ring is split at its two
+    mutually-farthest vertices (a closed curve has no natural endpoints, so
+    anchoring the recursion on the diameter keeps both halves stable and
+    orientation-preserving), each open chain simplifies independently, and
+    the result is re-closed. Guarantees: first==last, >= 3 distinct
+    vertices (falls back to the anchor triangle rather than collapsing),
+    winding orientation preserved, every dropped vertex within `tolerance`
+    of the kept chain (asserted by the property test).
+
+    Iterative stack (no recursion-depth limit at coastline sizes); output
+    keeps original vertex objects — no coordinates are invented, so PIP
+    results on the simplified ring differ only within `tolerance` of the
+    boundary. The named consumer: pip_join_df's edge join is
+    |edges/polygon| per candidate; a 10^4-vertex coastline pre-simplified
+    to ~10^2 makes the edge-join expansion tractable (operators/pip.py
+    docstring)."""
+    v = np.asarray(ring, dtype=np.float64)
+    if len(v) and (v[0] == v[-1]).all():
+        v = v[:-1]
+    n = len(v)
+    if n < 4:
+        return np.vstack([v, v[:1]])
+    if tolerance < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+
+    # anchor pair: 2-pass farthest-point (O(n), deterministic) — the
+    # standard diameter approximation; exactness is irrelevant here, the
+    # anchors only need to be far apart so both half-chains are stable
+    best_i = int(np.argmax(((v - v[0]) ** 2).sum(-1)))
+    best_j = int(np.argmax(((v - v[best_i]) ** 2).sum(-1)))
+    a, b = sorted((best_i, best_j))
+
+    def dp_open(idx: np.ndarray) -> list[int]:
+        """Indices kept by DP over the open chain v[idx]."""
+        keep = np.zeros(len(idx), dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, len(idx) - 1)]
+        while stack:
+            lo, hi = stack.pop()
+            if hi - lo < 2:
+                continue
+            p0, p1 = v[idx[lo]], v[idx[hi]]
+            seg = p1 - p0
+            pts = v[idx[lo + 1 : hi]] - p0
+            L2 = float(seg @ seg)
+            if L2 == 0.0:
+                d = np.sqrt((pts**2).sum(-1))
+            else:
+                t = np.clip((pts @ seg) / L2, 0.0, 1.0)
+                d = np.sqrt(((pts - t[:, None] * seg) ** 2).sum(-1))
+            k = int(np.argmax(d))
+            if d[k] > tolerance:
+                mid = lo + 1 + k
+                keep[mid] = True
+                stack.append((lo, mid))
+                stack.append((mid, hi))
+        return [int(idx[i]) for i in np.nonzero(keep)[0]]
+
+    half1 = dp_open(np.arange(a, b + 1))
+    half2 = dp_open(np.concatenate([np.arange(b, n), np.arange(0, a + 1)]))
+    kept = half1 + half2[1:-1]  # drop duplicated anchors
+    kept_sorted = sorted(set(kept), key=lambda i: (i < a, i))  # ring order from a
+    out = v[np.array(kept_sorted)]
+    if len(out) < 3:
+        # degenerate tolerance: keep the anchor triangle (diameter + the
+        # farthest remaining vertex) so the ring stays a polygon
+        rest = [i for i in range(n) if i not in (a, b)]
+        far = max(
+            rest,
+            key=lambda i: float(((v[i] - v[a]) ** 2).sum() + ((v[i] - v[b]) ** 2).sum()),
+        )
+        out = v[np.array(sorted({a, b, far}))]
+    return np.vstack([out, out[:1]])
