@@ -27,7 +27,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -498,6 +498,74 @@ def hamming_block_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    )
+
+
+# ------------------------------------------------------ chunk-level dedup --
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    words_per_chunk: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level duplicate-SPAN removal: CCNet paragraph dedup / C4's
+    repeated-span rule re-expressed over fixed W-word chunks (crawl text
+    arrives newline-free after extraction, so the word chunk is the
+    deterministic stand-in for the paragraph boundary).
+
+    Keeps exactly ONE copy of every distinct chunk corpus-wide — the
+    occurrence with the smallest (doc_id, chunk_no) — and reassembles each
+    doc from its surviving chunks in order. Returns one row per input doc:
+    (doc_id, n_chunks, n_kept, kept_md5), kept_md5 = md5 of the reassembled
+    text (md5('') when every chunk of the doc was claimed elsewhere), so
+    the full reassembly — not just counts — is inside the checked surface.
+
+    Plan (two shuffles, both key-skinny):
+      1. chunking is pure JVM array work on the scan (split → transform/
+         slice/array_join → posexplode) — no Python, no shuffle;
+      2. global keep-one is ONE row_number window partitioned by md5(chunk)
+         ordered by (doc_id, chunk_no) — the shuffle key is the 32-char
+         digest, and each partition group is the duplicate set of one
+         span (tiny unless the corpus repeats one boilerplate span
+         pathologically — the same hot profile as an LSH bucket, same
+         salting remedy);
+      3. reassembly is one groupBy(doc_id) whose collect_list holds only
+         that doc's own kept chunks (bounded by doc length, not corpus).
+    """
+    if words_per_chunk < 1:
+        raise ValueError(f"words_per_chunk must be >= 1, got {words_per_chunk}")
+    W = words_per_chunk
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(float(W))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(words, i * F.lit(W) + 1, W), " "),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_no", "chunk")
+    )
+    win = Window.partitionBy(F.md5(F.col("chunk"))).orderBy("doc_id", "chunk_no")
+    ranked = exploded.withColumn("rn", F.row_number().over(win))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("chunk_no"), F.col("chunk"))
+    )  # else NULL — collect_list drops nulls
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.getField("chunk"),
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -400,3 +400,70 @@ def polygonize_regions(
         .select(F.col("region").alias("region_id"), "n_cells", "n_docs")
         .orderBy("region_id")
     )
+
+
+def idw_surface(
+    points: DataFrame,
+    radius_km: float,
+    res: int,
+    *,
+    value_col: str = "value",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    power: float = 2.0,
+    min_dist_km: float = 1.0,
+) -> DataFrame:
+    """Vector → raster INTERPOLATION (inverse-distance weighting): every
+    grid-cell center at ``res`` (the 2^res x 2^res equirect grid of
+    cells_expr) within ``radius_km`` of at least one point gets
+    sum(v / d^p) / sum(1 / d^p) over the in-radius points, d clamped below
+    by ``min_dist_km`` (the standard IDW spike guard at the sample point).
+
+    The weighted surface complements rasterize_points (pure density burn):
+    same grid, same cell keys, but a continuous field interpolated from
+    sparse samples. Candidates come from operators/radius.radius_join
+    against a GENERATED centers DataFrame (spark.range — never a driver
+    list, never a cross join), so the plan is one exactly-once band/bucket
+    equi-join + one groupBy(cell): both sides data-scaled, 100 TB-shaped.
+
+    Returns (ix, iy, n_pts, idw) sorted by (ix, iy).
+    """
+    from erased_cells_spark.operators.radius import radius_join
+
+    n = 1 << res
+    spark = points.sparkSession
+    centers = spark.range(n * n).select(
+        F.col("id").alias("cid"),
+        ((F.col("id") % n).cast("double") + 0.5) / n * 360.0 - 180.0,
+        ((F.col("id") / n).cast("long").cast("double") + 0.5) / n * 180.0 - 90.0,
+    ).toDF("cid", "clon", "clat")
+    # radius_join carries (left id, right id, dist); the point's VALUE rides
+    # as its id — the aggregation needs nothing else from the point row
+    pairs = radius_join(
+        points.select(
+            F.col(value_col).cast("double").alias("v"), lon_col, lat_col
+        ),
+        centers,
+        radius_km,
+        left_id="v",
+        right_id="cid",
+        left_lon=lon_col,
+        left_lat=lat_col,
+        right_lon="clon",
+        right_lat="clat",
+    )
+    w = F.lit(1.0) / F.pow(F.greatest(F.col("dist_km"), F.lit(min_dist_km)), F.lit(power))
+    return (
+        pairs.groupBy(F.col("id_b").alias("cid"))
+        .agg(
+            F.count("*").alias("n_pts"),
+            (F.sum(F.col("id_a") * w) / F.sum(w)).alias("idw"),
+        )
+        .select(
+            (F.col("cid") % n).cast("int").alias("ix"),
+            (F.col("cid") / n).cast("long").cast("int").alias("iy"),
+            "n_pts",
+            "idw",
+        )
+        .orderBy("ix", "iy")
+    )

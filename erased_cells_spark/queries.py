@@ -3673,6 +3673,183 @@ def q22_sales_opportunity(spark, sf_dir):
     )
 
 
+# ==================================== geospatial + corpus widening (r7b) ===
+_RADIUS_PAIRS_KM = 800.0
+
+
+def _radius_pairs_oracle() -> str:
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+d AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(b.lat) - radians(a.lat)) / 2.0) * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin((radians(b.lon) - radians(a.lon)) / 2.0) * sin((radians(b.lon) - radians(a.lon)) / 2.0)
+         )) AS dist
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, round(dist, 4) AS dist_r
+FROM d WHERE dist <= {_RADIUS_PAIRS_KM!r} ORDER BY id_a, id_b
+"""
+
+
+@twin("geo_radius_pairs", oracle=_radius_pairs_oracle())
+def geo_radius_pairs(spark, sf_dir):
+    """Radius SELF-join: every unordered doc pair within 800 great-circle
+    km — the data-scaled sibling of radius_join_docs (whose query side is
+    broadcast-small). operators/radius.py generates candidates EXACTLY
+    ONCE via a lat-band × wrap-aware lon-bucket equi-join (≤9 skinny emits
+    per left row, proof in the module docstring), then applies the exact
+    haversine predicate; the oracle is the full O(n²) cross join. At
+    100 TB: one equi-join shuffle on two int keys — no cross join, no
+    driver state, hot-disk skew confined per key (same remedy surface as
+    LSH buckets)."""
+    from erased_cells_spark.operators.radius import radius_pairs
+
+    p = _doc_points(spark, sf_dir)
+    return (
+        radius_pairs(p, _RADIUS_PAIRS_KM, id_col="doc_id")
+        .select("id_a", "id_b", F.round("dist_km", 4).alias("dist_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _quadkey_oracle() -> str:
+    from erased_cells_spark.functions.webmercator import sql_quadkey
+
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+tiled AS (SELECT {sql_quadkey('lon', 'lat', 6)} AS qk, source, n_chars FROM pts)
+SELECT substr(qk, 1, 3) AS qk3,
+       count(*) AS n_docs, count(DISTINCT qk) AS n_tiles,
+       count(DISTINCT source) AS n_sources,
+       min(qk) AS first_qk, max(qk) AS last_qk
+FROM tiled GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("doc_quadkey_rollup", oracle=_quadkey_oracle())
+def doc_quadkey_rollup(spark, sf_dir):
+    """Web-Mercator slippy-map tile assignment (functions/webmercator):
+    XYZ tile + Bing-style base-4 quadkey at zoom 6, rolled up by the
+    3-char quadkey prefix — prefix truncation IS the parent tile at
+    zoom 3, so the multi-zoom rollup costs zero re-encoding (the
+    interchange counterpart of the Morton-cell parent rollup, third
+    encoding after geohash and hex). Pure generated JVM expressions; one
+    shuffle on the prefix; counts + string extrema only (the tan/ln tile
+    formula never surfaces a float column — boundary parity argument in
+    the module docstring)."""
+    from erased_cells_spark.functions.webmercator import quadkey_expr
+
+    p = _doc_points(spark, sf_dir)
+    tiled = p.select(
+        quadkey_expr(F.col("lon"), F.col("lat"), 6).alias("qk"), "source"
+    )
+    return (
+        tiled.groupBy(F.substring("qk", 1, 3).alias("qk3"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("qk").alias("n_tiles"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("qk").alias("first_qk"),
+            F.max("qk").alias("last_qk"),
+        )
+        .orderBy("qk3")
+    )
+
+
+def _chunk_dedup_oracle() -> str:
+    return """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+numbered AS (
+  SELECT doc_id, parts,
+         unnest(range(0, CAST(ceil(len(parts) / 16.0) AS BIGINT))) AS chunk_no
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, chunk_no,
+         array_to_string(parts[chunk_no*16+1 : chunk_no*16+16], ' ') AS chunk
+  FROM numbered
+),
+ranked AS (
+  SELECT doc_id, chunk_no, chunk,
+         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_no) AS rn
+  FROM chunks
+)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       coalesce(md5(string_agg(chunk, ' ' ORDER BY chunk_no) FILTER (WHERE rn = 1)),
+                md5('')) AS kept_md5
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@twin("doc_chunk_dedup", oracle=_chunk_dedup_oracle())
+def doc_chunk_dedup(spark, sf_dir):
+    """Corpus-level duplicate-SPAN removal (operators/dedup.chunk_dedup):
+    CCNet paragraph dedup / C4 repeated-span rule over fixed 16-word
+    chunks — keep exactly one copy of every distinct chunk corpus-wide
+    (smallest (doc_id, chunk_no) wins), reassemble each doc from its
+    survivors. kept_md5 fingerprints the REASSEMBLED text on both engines,
+    so ordering and chunk-boundary semantics are inside the checked
+    surface, not just counts. Two shuffles (digest window + doc_id
+    regroup), chunking itself is scan-side JVM array work."""
+    from erased_cells_spark.operators.dedup import chunk_dedup
+
+    return chunk_dedup(t(spark, sf_dir, "documents"), words_per_chunk=16)
+
+
+_IDW_RES, _IDW_RADIUS_KM = 5, 600.0
+
+
+def _idw_oracle() -> str:
+    n = 1 << _IDW_RES
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+centers AS (
+  SELECT i % {n} AS ix, i // {n} AS iy,
+         ((i % {n}) + 0.5) / {n}.0 * 360.0 - 180.0 AS clon,
+         ((i // {n}) + 0.5) / {n}.0 * 180.0 - 90.0 AS clat
+  FROM (SELECT unnest(range(0, {n * n})) AS i)
+),
+d AS (
+  SELECT c.ix, c.iy, p.n_chars,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(c.clat) - radians(p.lat)) / 2.0) * sin((radians(c.clat) - radians(p.lat)) / 2.0)
+           + cos(radians(p.lat)) * cos(radians(c.clat))
+             * sin((radians(c.clon) - radians(p.lon)) / 2.0) * sin((radians(c.clon) - radians(p.lon)) / 2.0)
+         )) AS dist
+  FROM pts p, centers c
+)
+SELECT CAST(ix AS INTEGER) AS ix, CAST(iy AS INTEGER) AS iy, count(*) AS n_pts,
+       round(sum(n_chars / pow(greatest(dist, 1.0), 2.0))
+             / sum(1.0 / pow(greatest(dist, 1.0), 2.0)), 6) AS idw_r
+FROM d WHERE dist <= {_IDW_RADIUS_KM!r} GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@twin("geo_idw_surface", oracle=_idw_oracle())
+def geo_idw_surface(spark, sf_dir):
+    """Vector → raster INTERPOLATION (operators/raster.idw_surface):
+    inverse-distance-weighted n_chars field on the res-5 grid, samples
+    within 600 km of each cell center, d clamped at 1 km (IDW spike
+    guard). Candidates via the generalized two-table radius_join against a
+    spark.range-GENERATED centers table — the oracle is the full points ×
+    centers cross product. Float discipline: the weight sums are
+    order-dependent doubles, so only the round(,6) ratio is compared
+    (same stance as the zonal averages)."""
+    from erased_cells_spark.operators.raster import idw_surface
+
+    p = _doc_points(spark, sf_dir)
+    out = idw_surface(
+        p, _IDW_RADIUS_KM, _IDW_RES, value_col="n_chars", power=2.0, min_dist_km=1.0
+    )
+    return out.select(
+        "ix", "iy", "n_pts", F.round("idw", 6).alias("idw_r")
+    ).orderBy("ix", "iy")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

@@ -41,6 +41,8 @@ OPERATOR_MODULES = [
     "erased_cells_spark.functions.pii",
     "erased_cells_spark.functions.url",
     "erased_cells_spark.operators.packing",
+    "erased_cells_spark.operators.radius",
+    "erased_cells_spark.functions.webmercator",
     "erased_cells_spark.plans.skew",
     "erased_cells_spark.plans.bucketing",
     "erased_cells_spark.sources.layout",
@@ -57,6 +59,7 @@ SURFACE_MODULES = [
     "erased_cells_spark.streaming.pages",
     "erased_cells_spark.streaming.dedup",
     "erased_cells_spark.streaming.cdc_source",
+    "erased_cells_spark.streaming.geofence",
 ]
 SURFACE_FILES = [
     "bench.py",
@@ -96,6 +99,9 @@ ALLOWED_UNREGISTERED = {
     "hex_id_np": "pytest oracle twin (hex binning third opinion)",
     "hex_center_np": "pytest oracle twin (hex center back-projection)",
     "geohash_np": "pytest oracle twin (geohash third opinion)",
+    "radius_pairs_np": "pytest oracle twin (brute-force all-pairs)",
+    "quadkey_np": "pytest oracle twin (web-mercator third opinion)",
+    "quadkey_to_xyz": "decode utility; round-trip pinned in tests",
     "avi_frame_jpeg": "container API for callers wanting raw frame bytes; "
     "round-trip pinned in test_avi_codec, decode path uses the offset list",
     "extract_text_bytes": "local byte-identity twin of extract_text",
