@@ -191,3 +191,34 @@ class TestPlanShapes:
         p = plan_of(df)
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
+
+    def test_radius_pairs_is_equi_join_no_python(self, spark):
+        """The data-scaled radius SELF-join must plan as an equi-join on the
+        (band, bucket) int keys — never a cartesian/NLJ pair space — with
+        zero Python stages (candidates + haversine are all JVM)."""
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        df = TWIN_QUERIES["geo_radius_pairs"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "Python" not in p  # no Arrow stage either: pure JVM
+
+    def test_idw_surface_is_equi_join_no_python(self, spark):
+        """IDW rides the same radius_join: generated centers table, equi-join
+        keys, JVM haversine + weight arithmetic — no Python anywhere."""
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        df = TWIN_QUERIES["geo_idw_surface"](spark, SF_DIR)
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "Python" not in p
+
+    def test_chunk_dedup_and_quadkey_are_pure_builtin(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        for name in ("doc_chunk_dedup", "doc_quadkey_rollup"):
+            p = plan_of(TWIN_QUERIES[name](spark, SF_DIR))
+            assert "Python" not in p, name
+            assert "CartesianProduct" not in p, name
