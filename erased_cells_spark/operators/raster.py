@@ -467,3 +467,73 @@ def idw_surface(
         )
         .orderBy("ix", "iy")
     )
+
+
+HIST_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("poly_id", IntegerType(), False),
+        StructField("cell_value", LongType(), False),
+        StructField("n_cells", LongType(), False),
+    ]
+)
+
+
+def zonal_histogram(
+    tiles: DataFrame,
+    polygons: list[dict],
+    res: int = 10,
+    tile_shift: int = 4,
+) -> DataFrame:
+    """Zonal HISTOGRAM of a tiled integer raster: per zone, the frequency of
+    each distinct cell value (gdal_rasterize → `gdalinfo -hist` shape, and
+    the zonal companion of zonal_stats' scalar summaries — a distribution
+    instead of min/max/mean). Zone membership shares zonal_stats'
+    center-in-polygon convention; values come from the erased-cells tile
+    kernels (mask AND between tile NODATA and zone), so only data cells
+    count.
+
+    Plan shape (identical to zonal_stats): broadcast (poly_id, tile_key)
+    cover join, one mapInPandas computing per-(tile, zone) np.unique
+    partials — each partial is at most |distinct values in tile| rows, so
+    the shuffle carries histograms, never cells — then one groupBy
+    (poly_id, value) final sum. Returns (poly_id, cell_value, n_cells)
+    ordered by (poly_id, cell_value)."""
+    spark = tiles.sparkSession
+    rows = []
+    for p in polygons:
+        fine = polygon_cover_keys(p["ring"], res)
+        n = np.int64(1) << np.int64(res)
+        tn = np.int64(1) << np.int64(res - tile_shift)
+        iy, ix = np.divmod(fine, n)
+        tkeys = np.unique((iy >> tile_shift) * tn + (ix >> tile_shift))
+        rows.extend((int(p["poly_id"]), int(t)) for t in tkeys.tolist())
+    ztiles = spark.createDataFrame(rows, "poly_id INT, tile_key BIGINT")
+    cand = tiles.join(F.broadcast(ztiles), "tile_key")
+
+    rings = {int(p["poly_id"]): np.asarray(p["ring"], np.float64) for p in polygons}
+
+    def partials(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            ring = rings[int(r.poly_id)]
+            buf = CellBuffer.from_bytes(r.data, CellType.parse(r.cell_type))
+            tile_mask = Mask.from_bytes(r.mask)
+            gx, gy = _tile_cell_centers(int(r.tile_key), res, tile_shift)
+            zone = points_in_ring(gx.ravel(), gy.ravel(), ring)
+            m = Mask(tile_mask.data & zone)  # mask AND, reference convention
+            vals = buf.data[m.data]
+            if vals.size == 0:
+                continue
+            uniq, cnt = np.unique(vals, return_counts=True)
+            out.extend(
+                {"poly_id": int(r.poly_id), "cell_value": int(v), "n_cells": int(c)}
+                for v, c in zip(uniq.tolist(), cnt.tolist())
+            )
+        return pd.DataFrame(out, columns=["poly_id", "cell_value", "n_cells"])
+
+    part = cand.mapInPandas(lambda it: (partials(pdf) for pdf in it), HIST_PARTIAL_SCHEMA)
+    return (
+        part.groupBy("poly_id", "cell_value")
+        .agg(F.sum("n_cells").alias("n_cells"))
+        .orderBy("poly_id", "cell_value")
+    )

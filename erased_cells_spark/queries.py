@@ -3850,6 +3850,117 @@ def geo_idw_surface(spark, sf_dir):
     ).orderBy("ix", "iy")
 
 
+def _zonal_hist_oracle() -> str:
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_ix('lon', 8)} AS ix, {CE.sql_iy('lat', 8)} AS iy, count(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+centers AS (
+  SELECT c,
+         (ix + 0.5) / 256.0 * 360.0 - 180.0 AS cx,
+         (iy + 0.5) / 256.0 * 180.0 - 90.0  AS cy
+  FROM cells
+), {_BOXES_SQL}
+SELECT z.zone_id AS poly_id, CAST(c AS BIGINT) AS cell_value,
+       count(*) AS n_cells
+FROM centers JOIN zones z
+  ON cx >= z.x0 AND cx < z.x1 AND cy >= z.y0 AND cy < z.y1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@twin("zonal_cell_histogram", oracle=_zonal_hist_oracle())
+def zonal_cell_histogram(spark, sf_dir):
+    """Zonal HISTOGRAM (operators/raster.zonal_histogram): per box zone,
+    the frequency of each distinct density value in the res-8 doc raster —
+    the `gdalinfo -hist` shape next to zonal_stats' scalar summaries.
+    Same tile machinery as zonal_raster_box_stats (cover-join candidates,
+    erased-cells mask AND, per-tile np.unique partials), exact integers
+    end to end — no float surface at all."""
+    from erased_cells_spark.operators.raster import zonal_histogram
+
+    p = _doc_points(spark, sf_dir)
+    tiles = rasterize_points(p, res=8, tile_shift=4)
+    polys = [
+        {"poly_id": z, "name": f"box{z}", "ring": _box_ring(x0, y0, x1, y1)}
+        for z, x0, y0, x1, y1 in _BOXES
+    ]
+    return zonal_histogram(tiles, polys, res=8, tile_shift=4)
+
+
+_TRAVEL_KEY_SQL = "'ev-' || user_id::VARCHAR || '-' || event_id::VARCHAR"
+
+
+def _travel_oracle() -> str:
+    return f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         {sql_lon(_TRAVEL_KEY_SQL)} AS lon,
+         {sql_lat(_TRAVEL_KEY_SQL)} AS lat
+  FROM events
+),
+seg AS (
+  SELECT user_id,
+         lag(lon) OVER w AS plon, lag(lat) OVER w AS plat, lon, lat
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+d AS (
+  SELECT user_id,
+         2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(lat) - radians(plat)) / 2.0) * sin((radians(lat) - radians(plat)) / 2.0)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin((radians(lon) - radians(plon)) / 2.0) * sin((radians(lon) - radians(plon)) / 2.0)
+         )) AS hav
+  FROM seg WHERE plon IS NOT NULL
+)
+SELECT user_id, count(*) AS n_segments,
+       round(sum(hav), 4) AS total_km_r, round(max(hav), 4) AS max_km_r
+FROM d GROUP BY user_id ORDER BY user_id
+"""
+
+
+@twin("user_travel_stats", oracle=_travel_oracle())
+def user_travel_stats(spark, sf_dir):
+    """Trajectory aggregation: per-user great-circle path length over the
+    time-ordered event sequence (positions deterministically geocoded per
+    event, the repo's md5 convention) — the movement-analytics window shape
+    (lag over (user ORDER BY ts, event_id) → haversine segment → per-user
+    rollup). Pure JVM: one window shuffle on user_id, which the groupBy
+    then reuses (same key). Float stance: segment sums are doubles under
+    round(,4) with values ~10^3 km — same envelope as every haversine
+    surface here; the tie-break on event_id makes the lag order total."""
+    from erased_cells_spark.operators.knn import haversine_km_expr
+
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    pts = e.select(
+        "user_id", "ts", "event_id",
+        geocode_lon(key).alias("lon"), geocode_lat(key).alias("lat"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = pts.select(
+        "user_id",
+        F.lag("lon").over(w).alias("plon"), F.lag("lat").over(w).alias("plat"),
+        "lon", "lat",
+    ).filter(F.col("plon").isNotNull())
+    hav = haversine_km_expr(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+    return (
+        seg.select("user_id", hav.alias("hav"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.round(F.sum("hav"), 4).alias("total_km_r"),
+            F.round(F.max("hav"), 4).alias("max_km_r"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
