@@ -1,0 +1,136 @@
+"""Graph analytics over a link-edge table: PageRank (iterative rank flow)
+and triangle counting (higher-order structure) — the host/link-graph
+operators a web-corpus engine needs next to connected components
+(operators/components.py: who is duplicated) — PageRank answers "who is
+authoritative", triangles "how clustered is a neighborhood".
+
+Edge tables are ordinary DataFrames (src, dst). The engine's test graph is
+deterministic arithmetic over doc_ids (doc_link_edges / DOC_EDGES_SQL:
+three affine families (m*u + c) mod N, dedup'd, self-loops dropped), so the
+DuckDB oracle can generate the identical graph — no fixture files.
+
+PageRank (standard damping form, NO dangling-mass redistribution — both
+engines compute the same functional, stated so the oracle is exact):
+
+    rank_0(v)   = 1 / N
+    rank_i+1(v) = (1 - d) / N + d * sum_{(u,v) in E} rank_i(u) / outdeg(u)
+
+Scale shape: each iteration is one equi-join (edges ⋈ ranks on src, edges
+are the big side, ranks the small-but-data-scaled side) + one groupBy(dst)
+with map-side partial sums, then a left join back to nodes so zero-in-degree
+vertices keep their (1-d)/N floor. Lineage is cut with an eager
+localCheckpoint per iteration (the components.py convention) — at a real
+deployment scale this becomes a reliable checkpoint dir; rank state is one
+(id, rank) row per vertex, never driver-side.
+
+Triangles: degree-oblivious orientation a < b on the undirected edge set,
+then the canonical 3-way self-join (a<b<c counts each triangle once).
+Skew note: the self-join fan-out is bounded by max degree^2; for power-law
+web graphs orient by (degree, id) instead — the test graph is near-regular
+(out-degree <= 3), so plain id orientation is the right grain here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the affine edge families: (1,1)/(1,2) are the ring successors — they make
+# (u, u+1, u+2) a triangle for EVERY u, so the triangle surface is
+# non-vacuous by construction — and the coprime multipliers add long-range
+# permutation edges (gcd(m, N) = 1 for every testdata N), guaranteeing
+# in-degree >= 1 everywhere (each family alone covers all vertices)
+EDGE_FAMILIES = ((1, 1), (1, 2), (31, 7), (17, 3))
+
+
+def doc_link_edges(docs: DataFrame, n_nodes: int, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic link graph: dst = (m * src + c) mod N for
+    each family, DISTINCT, self-loops dropped — identical arithmetic to
+    DOC_EDGES_SQL so both engines see the same graph."""
+    fams = F.array(
+        *[
+            F.pmod(F.col("src") * F.lit(m) + F.lit(c), F.lit(n_nodes))
+            for m, c in EDGE_FAMILIES
+        ]
+    )
+    return (
+        docs.select(F.col(id_col).alias("src"))
+        .select("src", F.explode(fams).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def doc_edges_sql(n_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    """The identical edge generator in ANSI SQL for the DuckDB oracle."""
+    fams = ", ".join(f"({m}, {c})" for m, c in EDGE_FAMILIES)
+    return f"""
+SELECT DISTINCT src, dst FROM (
+  SELECT d.doc_id AS src, (d.doc_id * k.m + k.c) % {n_expr} AS dst
+  FROM documents d, (VALUES {fams}) AS k(m, c)
+) WHERE src != dst
+"""
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    id_col: str = "id",
+) -> DataFrame:
+    """PageRank after exactly ``n_iter`` synchronous iterations.
+
+    ``nodes`` must contain every vertex (isolated ones included — they hold
+    the (1-d)/N floor); ``edges`` columns (src, dst). Returns (id, rank).
+    """
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty node set")
+    base = 1.0 / n
+    floor = (1.0 - damping) / n
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select(F.col(id_col).alias("id"), F.lit(base).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["id"])
+            .join(outdeg, "src")
+            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(contrib, F.col("id") == F.col("dst"), "left")
+            .select(
+                "id",
+                (
+                    F.lit(floor)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)  # bound lineage per iteration
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """All triangles of the UNDIRECTED simple graph underlying ``edges``,
+    each counted once via the a < b < c orientation. Returns one row per
+    triangle (a, b, c) — aggregate downstream (global count, per-bucket
+    rollups, per-vertex participation)."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    return (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )

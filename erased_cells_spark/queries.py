@@ -3961,6 +3961,100 @@ def user_travel_stats(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------- graph analytics --
+def _pagerank_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    # (1.0 - 0.85) is written as the SUBTRACTION in both engines (the
+    # literal 0.15 parses to a DIFFERENT double than the IEEE result of
+    # 1.0 - 0.85, and after 10 iterations that diverges past round(,8))
+    return f"""
+WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+edges AS ({doc_edges_sql()}),
+outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr(iter, id, rank) AS (
+  SELECT 0, id, 1.0 / (SELECT count(*) FROM nodes) FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.dst,
+         (1.0 - 0.85) / (SELECT count(*) FROM nodes)
+         + 0.85 * sum(p.rank / o.deg)
+  FROM pr p JOIN edges e ON e.src = p.id JOIN outdeg o ON o.src = e.src
+  WHERE p.iter < 10
+  GROUP BY p.iter + 1, e.dst
+)
+SELECT id, round(rank, 8) AS rank_r FROM pr WHERE iter = 10
+ORDER BY rank_r DESC, id LIMIT 25
+"""
+
+
+@twin("graph_pagerank_top", oracle=_pagerank_oracle())
+def graph_pagerank_top(spark, sf_dir):
+    """PageRank over the deterministic doc link graph, 10 synchronous
+    iterations (operators/graph.pagerank) — top 25 by ROUNDED rank (the
+    repo's ranking convention), id tiebreak. The recursive-CTE oracle drops
+    zero-in-degree vertices from later iterations, so the twin ASSERTS the
+    generated graph's full in-coverage premise (every EDGE_FAMILIES member
+    with gcd(m, N)=1 is a permutation — holds for every testdata N) instead
+    of silently relying on it."""
+    from erased_cells_spark.operators.graph import doc_link_edges, pagerank
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n)
+    covered = edges.select("dst").distinct().count()
+    assert covered == n, (
+        f"pagerank oracle premise violated: {n - covered} vertices have no "
+        "in-edges (the recursive-CTE oracle would drop their rank floor)"
+    )
+    ranks = pagerank(docs, edges, n_iter=10, damping=0.85, id_col="doc_id")
+    return (
+        ranks.select("id", F.round("rank", 8).alias("rank_r"))
+        .orderBy(F.desc("rank_r"), "id")
+        .limit(25)
+    )
+
+
+def _triangle_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH edges AS ({doc_edges_sql()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT a % 10 AS bucket, count(*) AS n_triangles,
+       CAST(min(a) AS BIGINT) AS first_a, CAST(max(c) AS BIGINT) AS last_c
+FROM tri GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("graph_triangle_buckets", oracle=_triangle_oracle())
+def graph_triangle_buckets(spark, sf_dir):
+    """Triangle enumeration (operators/graph.triangle_count: a<b<c oriented
+    3-way self-join, each triangle once) over the same generated graph —
+    the ring-successor families make the surface non-vacuous by
+    construction (550 triangles at 500 docs). Exact integers end to end;
+    rolled up by residue bucket so the row count stays bounded while every
+    triangle contributes to the hash."""
+    from erased_cells_spark.operators.graph import doc_link_edges, triangle_count
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    tri = triangle_count(doc_link_edges(docs, n))
+    return (
+        tri.groupBy(F.pmod(F.col("a"), F.lit(10)).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_triangles"),
+            F.min("a").alias("first_a"),
+            F.max("c").alias("last_c"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

@@ -42,6 +42,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.functions.url",
     "erased_cells_spark.operators.packing",
     "erased_cells_spark.operators.radius",
+    "erased_cells_spark.operators.graph",
     "erased_cells_spark.functions.webmercator",
     "erased_cells_spark.plans.skew",
     "erased_cells_spark.plans.bucketing",
