@@ -537,3 +537,145 @@ def zonal_histogram(
         .agg(F.sum("n_cells").alias("n_cells"))
         .orderBy("poly_id", "cell_value")
     )
+
+
+QUARTER_SCHEMA = StructType(
+    [
+        StructField("tile_key", LongType(), False),  # PARENT tile key
+        StructField("qx", IntegerType(), False),
+        StructField("qy", IntegerType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("mask", BinaryType(), False),
+    ]
+)
+
+CELLS_SCHEMA = StructType(
+    [
+        StructField("ix", LongType(), False),
+        StructField("iy", LongType(), False),
+        StructField("value", DoubleType(), False),
+    ]
+)
+
+
+def downsample_tiles(tiles: DataFrame, res: int, tile_shift: int) -> DataFrame:
+    """One overview level: every 2x2 block of DATA cells at ``res`` becomes
+    one Float64 parent cell at ``res - 1`` holding the mask-aware block
+    MEAN (NODATA children are skipped; all-NODATA blocks stay NODATA) —
+    GDAL 'average' overview semantics on the erased-cells tile layout.
+
+    2x2 blocks never straddle tiles (tile sides are even), so each child
+    tile downsamples to one exact (ts/2)^2 quarter independently — no
+    partial-sum merge — and a parent tile is assembled from <= 4 quarters
+    by one groupBy(parent_key). Both stages are partition-local pandas
+    kernels; the only shuffle carries quarter tiles (4x smaller than the
+    input)."""
+    if tile_shift < 1:
+        raise ValueError("downsample needs tile_shift >= 1 (even tile sides)")
+    if res <= tile_shift:
+        raise ValueError(f"cannot downsample below one tile (res={res}, ts={tile_shift})")
+    ts = 1 << tile_shift
+    half = ts >> 1
+    tn_child = 1 << (res - tile_shift)
+    tn_par = tn_child >> 1
+
+    def quarters(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            buf = CellBuffer.from_bytes(r.data, CellType.parse(r.cell_type))
+            d = buf.data.astype(np.float64).reshape(ts, ts)
+            m = Mask.from_bytes(r.mask).data.reshape(ts, ts)
+            db = d.reshape(half, 2, half, 2)
+            mb = m.reshape(half, 2, half, 2)
+            cnt = mb.sum(axis=(1, 3))
+            s = (db * mb).sum(axis=(1, 3))
+            qv = np.zeros((half, half), dtype=np.float64)
+            np.divide(s, cnt, out=qv, where=cnt > 0)
+            qm = cnt > 0
+            if not qm.any():
+                continue
+            tiy, tix = divmod(int(r.tile_key), tn_child)
+            pkey = (tiy >> 1) * tn_par + (tix >> 1)
+            out.append(
+                {
+                    "tile_key": pkey, "qx": tix & 1, "qy": tiy & 1,
+                    "data": qv.tobytes(), "mask": qm.astype(np.uint8).tobytes(),
+                }
+            )
+        return pd.DataFrame(out, columns=["tile_key", "qx", "qy", "data", "mask"])
+
+    q = tiles.mapInPandas(lambda it: (quarters(pdf) for pdf in it), QUARTER_SCHEMA)
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = np.zeros((ts, ts), dtype=np.float64)
+        mask = np.zeros((ts, ts), dtype=bool)
+        for r in pdf.itertuples(index=False):
+            y0, x0 = int(r.qy) * half, int(r.qx) * half
+            grid[y0 : y0 + half, x0 : x0 + half] = np.frombuffer(
+                r.data, np.float64
+            ).reshape(half, half)
+            mask[y0 : y0 + half, x0 : x0 + half] = (
+                np.frombuffer(r.mask, np.uint8).reshape(half, half).astype(bool)
+            )
+        return pd.DataFrame(
+            [
+                {
+                    "tile_key": int(key[0]), "cell_type": "Float64",
+                    "cols": ts, "rows": ts,
+                    "data": grid.tobytes(), "mask": mask.astype(np.uint8).tobytes(),
+                }
+            ]
+        )
+
+    return q.groupBy("tile_key").applyInPandas(assemble, TILE_OUT_SCHEMA)
+
+
+def build_overviews(
+    tiles: DataFrame, res: int, tile_shift: int, n_levels: int
+) -> list[tuple[int, DataFrame]]:
+    """Overview pyramid: [(res-1, tiles), (res-2, tiles), ...] — RECURSIVE
+    averaging (level k averages level k-1, the GDAL default), each level 4x
+    smaller than the last. Level plans chain lazily; callers materialize
+    the levels they use."""
+    out: list[tuple[int, DataFrame]] = []
+    cur, r = tiles, res
+    for _ in range(n_levels):
+        cur = downsample_tiles(cur, r, tile_shift)
+        r -= 1
+        out.append((r, cur))
+    return out
+
+
+def tiles_to_cells(tiles: DataFrame, res: int, tile_shift: int) -> DataFrame:
+    """Sparse (ix, iy, value) rows for every DATA cell of a tiled raster —
+    the audit/export path back from tiles to the cell grid (values as
+    Float64; mask rules which cells emit)."""
+    ts = 1 << tile_shift
+    tn = 1 << (res - tile_shift)
+
+    def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for r in pdf.itertuples(index=False):
+            buf = CellBuffer.from_bytes(r.data, CellType.parse(r.cell_type))
+            m = Mask.from_bytes(r.mask).data.reshape(ts, ts)
+            d = buf.data.astype(np.float64).reshape(ts, ts)
+            ly, lx = np.nonzero(m)
+            if ly.size == 0:
+                continue
+            tiy, tix = divmod(int(r.tile_key), tn)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "ix": (tix * ts + lx).astype(np.int64),
+                        "iy": (tiy * ts + ly).astype(np.int64),
+                        "value": d[ly, lx],
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame({"ix": [], "iy": [], "value": []}).astype(
+                {"ix": np.int64, "iy": np.int64, "value": np.float64}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    return tiles.mapInPandas(lambda it: (emit(pdf) for pdf in it), CELLS_SCHEMA)

@@ -3961,6 +3961,49 @@ def user_travel_stats(spark, sf_dir):
     )
 
 
+def _overview_oracle() -> str:
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_ix('lon', 8)} AS ix, {CE.sql_iy('lat', 8)} AS iy,
+         count(*)::DOUBLE AS v
+  FROM pts GROUP BY 1, 2
+),
+l1 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, avg(v) AS v FROM cells GROUP BY 1, 2),
+l2 AS (SELECT ix // 2 AS ix, iy // 2 AS iy, avg(v) AS v FROM l1 GROUP BY 1, 2)
+SELECT * FROM (
+  SELECT 7 AS level, ix, iy, round(v, 6) AS v_r FROM l1
+  UNION ALL
+  SELECT 6 AS level, ix, iy, round(v, 6) AS v_r FROM l2
+) ORDER BY level, ix, iy
+"""
+
+
+@twin("raster_overview_pyramid", oracle=_overview_oracle())
+def raster_overview_pyramid(spark, sf_dir):
+    """Overview pyramid (operators/raster.build_overviews): the res-8 doc
+    density raster downsampled twice by RECURSIVE mask-aware 2x2 block
+    means (GDAL 'average' overviews: NODATA children skipped, level k
+    averages level k-1) on the erased-cells tile layout, exported back to
+    sparse cells for the audit. The oracle replays the identical recursion
+    as grouped AVGs over present cells — absent cell == NODATA, so
+    DuckDB's avg-over-group IS the mask-aware mean. Per level: one
+    partition-local quarter kernel + one groupBy on parent tile keys
+    (shuffle payload shrinks 4x per level)."""
+    from erased_cells_spark.operators.raster import build_overviews, tiles_to_cells
+
+    p = _doc_points(spark, sf_dir)
+    tiles = rasterize_points(p, res=8, tile_shift=4)
+    levels = build_overviews(tiles, res=8, tile_shift=4, n_levels=2)
+    out = None
+    for r, lv in levels:
+        cells = tiles_to_cells(lv, res=r, tile_shift=4).select(
+            F.lit(r).alias("level"), "ix", "iy", F.round("value", 6).alias("v_r")
+        )
+        out = cells if out is None else out.unionByName(cells)
+    return out.orderBy("level", "ix", "iy")
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
