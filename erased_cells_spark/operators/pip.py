@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BooleanType
@@ -441,4 +441,70 @@ def polygon_overlap_join(
         .join(b_in_a, ["a_id", "b_id"])
         .filter((F.col("edge_cross") + F.col("a_inside") + F.col("b_inside")) > 0)
         .select(F.col("a_id").alias(id_a), F.col("b_id").alias(id_b))
+    )
+
+
+def polygon_edges_df(spark: SparkSession, polygons: list[dict]) -> DataFrame:
+    """Broadcast-small (poly_id, ex0, ey0, ex1, ey1) edge table from the
+    polygon-dict fixtures (closed rings -> consecutive vertex pairs)."""
+    rows = []
+    for p in polygons:
+        v = np.asarray(p["ring"], np.float64)
+        for (x0, y0), (x1, y1) in zip(v[:-1], v[1:]):
+            rows.append((int(p["poly_id"]), float(x0), float(y0), float(x1), float(y1)))
+    return spark.createDataFrame(
+        rows, "poly_id INT, ex0 DOUBLE, ey0 DOUBLE, ex1 DOUBLE, ey1 DOUBLE"
+    )
+
+
+def nearest_boundary_join(
+    points: DataFrame,
+    polygons: list[dict],
+    id_col: str = "doc_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Nearest polygon BOUNDARY per point — the ST_Distance + argmin shape:
+    distance is the min over the zone's edges of the planar point-to-segment
+    distance in lon/lat DEGREES (a proximity RANKING metric, stated plainly
+    — it is not great-circle km; points inside a zone still measure to the
+    boundary). Argmin follows the repo's ranking convention: order by the
+    ROUNDED distance then poly_id, so an engine-ulp tie can never flip the
+    winner. Returns (id, nearest_zone, zd_r) — one row per point.
+
+    Plan: the polygon set is broadcast-small (the geofence/zone contract —
+    large cadastres belong to the cover-join candidates path), so the big
+    side is touched by exactly one broadcast nested-loop over |edges| rows
+    of pure JVM arithmetic, then a (id, poly_id) partial min and one window.
+    """
+    spark = points.sparkSession
+    edges = polygon_edges_df(spark, polygons)
+    p = points.select(
+        F.col(id_col).alias("id"), F.col(lon_col).alias("px"), F.col(lat_col).alias("py")
+    )
+    dx = F.col("ex1") - F.col("ex0")
+    dy = F.col("ey1") - F.col("ey0")
+    l2 = dx * dx + dy * dy
+    t = F.greatest(
+        F.least(((F.col("px") - F.col("ex0")) * dx + (F.col("py") - F.col("ey0")) * dy) / l2,
+                F.lit(1.0)),
+        F.lit(0.0),
+    )
+    cx = F.col("ex0") + t * dx
+    cy = F.col("ey0") + t * dy
+    d = F.sqrt(
+        (F.col("px") - cx) * (F.col("px") - cx) + (F.col("py") - cy) * (F.col("py") - cy)
+    )
+    zd = (
+        p.crossJoin(F.broadcast(edges))
+        .select("id", "poly_id", d.alias("d"))
+        .groupBy("id", "poly_id")
+        .agg(F.round(F.min("d"), 6).alias("zd_r"))
+    )
+    w = Window.partitionBy("id").orderBy("zd_r", "poly_id")
+    return (
+        zd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id"), F.col("poly_id").alias("nearest_zone"), "zd_r")
+        .orderBy("id")
     )

@@ -4004,6 +4004,54 @@ def raster_overview_pyramid(spark, sf_dir):
     return out.orderBy("level", "ix", "iy")
 
 
+def _nearest_zone_oracle() -> str:
+    polys = [
+        {"poly_id": z, "ring": _box_ring(x0, y0, x1, y1)}
+        for z, x0, y0, x1, y1 in _BOXES
+    ]
+    seg = """
+      sqrt( (p.lon - (e.ex0 + t.t * (e.ex1 - e.ex0))) * (p.lon - (e.ex0 + t.t * (e.ex1 - e.ex0)))
+          + (p.lat - (e.ey0 + t.t * (e.ey1 - e.ey0))) * (p.lat - (e.ey0 + t.t * (e.ey1 - e.ey0))) )
+    """
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+{_pip_edges_sql(polys)},
+d AS (
+  SELECT p.doc_id AS id, e.poly_id, {seg} AS d
+  FROM pts p CROSS JOIN edges e,
+  LATERAL (SELECT greatest(least(
+      ((p.lon - e.ex0) * (e.ex1 - e.ex0) + (p.lat - e.ey0) * (e.ey1 - e.ey0))
+      / ((e.ex1 - e.ex0) * (e.ex1 - e.ex0) + (e.ey1 - e.ey0) * (e.ey1 - e.ey0)),
+      1.0), 0.0) AS t) AS t
+),
+zd AS (SELECT id, poly_id, round(min(d), 6) AS zd_r FROM d GROUP BY 1, 2),
+r AS (
+  SELECT id, poly_id, zd_r,
+         row_number() OVER (PARTITION BY id ORDER BY zd_r, poly_id) AS rn
+  FROM zd
+)
+SELECT id, poly_id AS nearest_zone, zd_r FROM r WHERE rn = 1 ORDER BY id
+"""
+
+
+@twin("nearest_zone_docs", oracle=_nearest_zone_oracle())
+def nearest_zone_docs(spark, sf_dir):
+    """Nearest-feature join (operators/pip.nearest_boundary_join): each doc
+    point gets its closest box-zone BOUNDARY (planar-degree point-to-segment
+    min over edges — a proximity ranking, stated as such) with the repo's
+    rounded-score argmin so an engine-ulp tie can never flip the winner.
+    One broadcast of 16 edge rows over the big side, pure JVM arithmetic,
+    then a (id, zone) partial min + one window."""
+    from erased_cells_spark.operators.pip import nearest_boundary_join
+
+    p = _doc_points(spark, sf_dir)
+    polys = [
+        {"poly_id": z, "name": f"box{z}", "ring": _box_ring(x0, y0, x1, y1)}
+        for z, x0, y0, x1, y1 in _BOXES
+    ]
+    return nearest_boundary_join(p, polys).orderBy("id")
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
