@@ -508,3 +508,40 @@ def nearest_boundary_join(
         .select(F.col("id"), F.col("poly_id").alias("nearest_zone"), "zd_r")
         .orderBy("id")
     )
+
+
+def geodesic_area_df(
+    polygons: DataFrame, id_col: str = "poly_id", ring_col: str = "ring"
+) -> DataFrame:
+    """GEODESIC (spherical-excess) area per polygon, km^2 — the distributed
+    face of spatial/geom.spherical_area_km2 over the polygon-DataFrame
+    contract (ring: array<array<double>>, closed). Same cost contract as
+    simplify_polygons_df: one partition-preserving mapInPandas, Python
+    touches each polygon once, no shuffle. Planar shoelace stays the
+    cartesian-audit column (polygon_stats_df); this is the metric one."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from erased_cells_spark.spatial.geom import spherical_area_km2
+
+    schema = StructType(
+        [
+            StructField("poly_id", LongType(), False),
+            StructField("area_km2", DoubleType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf[id_col].astype("int64"),
+                    "area_km2": [
+                        spherical_area_km2(
+                            np.asarray([np.asarray(v, np.float64) for v in r])
+                        )
+                        for r in pdf[ring_col]
+                    ],
+                }
+            )
+
+    return polygons.select(id_col, ring_col).mapInPandas(run, schema)

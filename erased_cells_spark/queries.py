@@ -4052,6 +4052,66 @@ def nearest_zone_docs(spark, sf_dir):
     return nearest_boundary_join(p, polys).orderBy("id")
 
 
+def _geodesic_area_oracle() -> str:
+    # radians() applied PER VERTEX (not to the difference) to mirror the
+    # numpy kernel's op order; everything else is the same per-edge
+    # spherical-excess formula
+    ei = """
+      2 * atan2( tan((radians(x2) - radians(x1)) / 2)
+                 * (tan(radians(y1) / 2) + tan(radians(y2) / 2)),
+                 1 + tan(radians(y1) / 2) * tan(radians(y2) / 2) )
+    """
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+geom AS (SELECT doc_id, lon, lat, 0.5 + (doc_id % 7) * 0.25 AS w FROM pts),
+edges AS (
+  SELECT doc_id,
+    CASE e.i WHEN 0 THEN lon - w WHEN 1 THEN lon WHEN 2 THEN lon + w ELSE lon END AS x1,
+    CASE e.i WHEN 0 THEN lat WHEN 1 THEN lat - w / 2 WHEN 2 THEN lat ELSE lat + w / 2 END AS y1,
+    CASE e.i WHEN 0 THEN lon WHEN 1 THEN lon + w WHEN 2 THEN lon ELSE lon - w END AS x2,
+    CASE e.i WHEN 0 THEN lat - w / 2 WHEN 1 THEN lat WHEN 2 THEN lat + w / 2 ELSE lat END AS y2
+  FROM geom, (VALUES (0), (1), (2), (3)) AS e(i)
+)
+SELECT doc_id, round(abs(sum({ei})) * 6371.0088 * 6371.0088, 4) AS area_r
+FROM edges GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@twin("zone_geodesic_areas", oracle=_geodesic_area_oracle())
+def zone_geodesic_areas(spark, sf_dir):
+    """GEODESIC polygon area (operators/pip.geodesic_area_df over
+    spatial/geom.spherical_area_km2): a data-scaled diamond cadastre (one
+    per doc, size from doc_id) measured by per-edge spherical excess —
+    exact great-circle areas, not the planar shoelace (which is the
+    cartesian audit in polygon_stats_df). The ring DataFrame is generated
+    with JVM array expressions; Python touches each POLYGON once
+    (mapInPandas, zero shuffle); the oracle replays the identical
+    per-edge formula in SQL. round(4) on km^2 absorbs tan/atan2
+    ulp drift between engines."""
+    from erased_cells_spark.operators.pip import geodesic_area_df
+
+    p = _doc_points(spark, sf_dir)
+    w = F.lit(0.5) + (F.col("doc_id") % 7).cast("double") * F.lit(0.25)
+    h = w / 2
+    lon, lat = F.col("lon"), F.col("lat")
+    ring = F.array(
+        F.array(lon - w, lat),
+        F.array(lon, lat - h),
+        F.array(lon + w, lat),
+        F.array(lon, lat + h),
+        F.array(lon - w, lat),
+    )
+    polys = p.select(F.col("doc_id").alias("poly_id"), ring.alias("ring"))
+    return (
+        geodesic_area_df(polys)
+        .select(
+            F.col("poly_id").alias("doc_id"),
+            F.round("area_km2", 4).alias("area_r"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql

@@ -165,3 +165,31 @@ def simplify_ring(ring: np.ndarray, tolerance: float) -> np.ndarray:
         )
         out = v[np.array(sorted({a, b, far}))]
     return np.vstack([out, out[:1]])
+
+
+EARTH_R_KM = 6371.0088  # shared with operators/knn.py
+
+
+def spherical_area_km2(ring: np.ndarray, radius_km: float = EARTH_R_KM) -> float:
+    """GEODESIC polygon area (km^2) on the sphere — the honest-metric
+    companion of the planar shoelace (operators/pip.polygon_stats_df):
+    Chamberlain & Duquette's per-edge signed spherical excess,
+
+        E_i = 2 atan2( tan(dlam/2) (tan(phi1/2) + tan(phi2/2)),
+                       1 + tan(phi1/2) tan(phi2/2) )
+        area = |sum E_i| * R^2
+
+    exact for great-circle edges (the lune octant reproduces pi R^2 / 2 to
+    the ulp — tests/test_geodesic_area.py), orientation-independent via the
+    abs. dlam is wrapped to (-pi, pi], so antimeridian-crossing edges
+    measure the short way; polygons LARGER than a hemisphere are outside
+    the contract (the formula returns the complement)."""
+    v = np.asarray(ring, np.float64)
+    lon = np.radians(v[:, 0])
+    lat = np.radians(v[:, 1])
+    dl = lon[1:] - lon[:-1]
+    dl = (dl + np.pi) % (2.0 * np.pi) - np.pi
+    t1 = np.tan(lat[:-1] / 2.0)
+    t2 = np.tan(lat[1:] / 2.0)
+    e = 2.0 * np.arctan2(np.tan(dl / 2.0) * (t1 + t2), 1.0 + t1 * t2)
+    return float(abs(e.sum()) * radius_km * radius_km)
