@@ -61,6 +61,7 @@ SURFACE_MODULES = [
     "erased_cells_spark.streaming.dedup",
     "erased_cells_spark.streaming.cdc_source",
     "erased_cells_spark.streaming.geofence",
+    "erased_cells_spark.streaming.proximity",
 ]
 SURFACE_FILES = [
     "bench.py",
