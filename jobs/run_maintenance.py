@@ -19,6 +19,11 @@ composable, reported as one JSON metrics line:
                    key and feeds its footer stats to the zone maps
   --sort-by C1,C2  declare a plain multi-column sort spec instead
   --clear-sort-order  remove the spec (data stays as last written)
+  --pyramid DIR [--pyramid-res R --pyramid-levels N]  build (first run) or
+                   incrementally refresh (later runs, O(churn) via the
+                   table's CDC changelog) the persisted tile pyramid at
+                   DIR over this table's lon/lat columns
+                   (sources/pyramid.TilePyramid)
 
 Order matters and is fixed: deletes fold first (so compaction and blooms
 see final rows), then the sort-order spec (so this run's compaction
@@ -45,6 +50,9 @@ def main() -> None:
     )
     ap.add_argument("--expire", type=int, default=None, metavar="KEEP")
     ap.add_argument("--zorder", default=None, metavar="LON,LAT[:RES[:KEY]]")
+    ap.add_argument("--pyramid", default=None, metavar="DIR")
+    ap.add_argument("--pyramid-res", type=int, default=8)
+    ap.add_argument("--pyramid-levels", type=int, default=2)
     ap.add_argument("--sort-by", default=None, metavar="C1,C2,...")
     ap.add_argument("--clear-sort-order", action="store_true")
     args = ap.parse_args()
@@ -107,6 +115,17 @@ def main() -> None:
     if args.bloom:
         sid = table.build_bloom(spark, args.bloom, distributed=args.bloom_distributed)
         out["steps"]["bloom"] = {"column": args.bloom, "snapshot": sid}
+    if args.pyramid:
+        from erased_cells_spark.sources.pyramid import TilePyramid
+
+        pyr = TilePyramid(args.pyramid)
+        if pyr.exists():
+            out["steps"]["pyramid"] = pyr.refresh(spark, table)
+        else:
+            rows = pyr.build(
+                spark, table, res=args.pyramid_res, n_levels=args.pyramid_levels
+            )
+            out["steps"]["pyramid"] = {"mode": "build", "rows_per_level": rows}
     if args.expire is not None:
         res = table.expire_snapshots(keep_last=args.expire)
         out["steps"]["expire"] = {
