@@ -247,3 +247,41 @@ def doc_fingerprint(text: Column) -> Column:
 
 def sql_doc_fingerprint(text_expr: str) -> str:
     return f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"
+
+
+# ------------------------------------------------------- unigram LM score --
+def unigram_logprob_df(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-unigram language-model score per document — the CCNet
+    perplexity-filter shape with the KenLM n-gram model replaced by the
+    corpus's OWN unigram distribution (the honest in-env stand-in: no
+    external LM, same plan skeleton — score every doc against a model
+    table, rank, filter the tail):
+
+        logp(doc) = mean over its words of ln(count(word) / total_words)
+
+    Boilerplate-heavy and ultra-common-word docs score HIGH (typical),
+    rare-garble docs score LOW — CCNet keeps the middle. Returns
+    (doc_id, n_words, avg_logp).
+
+    Plan: one groupBy(word) builds the model (map-side combined), one
+    equi-join scores tokens against it (the model table is
+    vocabulary-sized — broadcastable for natural language), one
+    groupBy(doc) averages. At 100 TB the model is built once and REUSED
+    across scoring runs — persist it as a SnapshotTable and skip stage 1;
+    the scoring join is the only data-proportional stage."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    freq = w.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("t"))
+    scored = (
+        w.join(freq, "word")
+        .crossJoin(F.broadcast(total))  # 1-row aggregate: the repo contract
+        .select("doc_id", F.log(F.col("c") / F.col("t")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"), F.avg("lp").alias("avg_logp"))
+        .orderBy("doc_id")
+    )

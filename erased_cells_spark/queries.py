@@ -4112,6 +4112,34 @@ def zone_geodesic_areas(spark, sf_dir):
     )
 
 
+_UNIGRAM_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+freq AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM freq)
+SELECT doc_id, count(*) AS n_words,
+       round(avg(ln(f.c / tot.t)), 6) AS avg_logp_r
+FROM w JOIN freq f USING (word), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@twin("doc_unigram_logprob", oracle=_UNIGRAM_SQL)
+def doc_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality score per doc (functions/text.
+    unigram_logprob_df) — the CCNet perplexity-filter plan shape with the
+    corpus's own unigram distribution standing in for KenLM (no external
+    model in env; same skeleton: build model table once, score every doc
+    against it, rank). One word groupBy + one vocabulary-sized scoring
+    join + one doc groupBy; ln under round(,6) — transcendental drift well
+    inside the boundary."""
+    from erased_cells_spark.functions.text import unigram_logprob_df
+
+    out = unigram_logprob_df(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_words", F.round("avg_logp", 6).alias("avg_logp_r")
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
