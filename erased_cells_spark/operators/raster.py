@@ -679,3 +679,44 @@ def tiles_to_cells(tiles: DataFrame, res: int, tile_shift: int) -> DataFrame:
         return pd.concat(out, ignore_index=True)
 
     return tiles.mapInPandas(lambda it: (emit(pdf) for pdf in it), CELLS_SCHEMA)
+
+
+def marching_cases(
+    cells: DataFrame, iso: float, ix_col: str = "ix", iy_col: str = "iy",
+    v_col: str = "value",
+) -> DataFrame:
+    """Marching-squares CASE extraction over a sparse cell grid — the
+    contour half of the raster→vector family (polygonize_regions traces
+    region membership; this classifies every 2x2 corner block against an
+    iso threshold into the canonical 16-case table, from which contour
+    segments follow mechanically: cases 0/15 none, the 5/10 saddles two,
+    every other case one).
+
+    Sparse-exact: only cells with value >= iso can set a corner bit, so
+    each such cell EMITS its four (block, bit) memberships (c00 of
+    (ix,iy), c10 of (ix-1,iy), c01 of (ix,iy-1), c11 of (ix-1,iy-1)) and
+    one groupBy(block) sums the bits into the case index — absent and
+    below-iso cells contribute bit 0 by construction, blocks with case 0
+    never materialize. Pure JVM integer logic end to end; one shuffle on
+    the block key (4x the >=iso cell count, skinny rows).
+
+    Returns (bx, by, case_idx, n_segments) per non-empty block."""
+    hot = cells.filter(F.col(v_col) >= F.lit(iso)).select(
+        F.col(ix_col).alias("ix"), F.col(iy_col).alias("iy")
+    )
+    member = F.array(
+        F.struct(F.col("ix").alias("bx"), F.col("iy").alias("by"), F.lit(1).alias("bit")),
+        F.struct((F.col("ix") - 1).alias("bx"), F.col("iy").alias("by"), F.lit(2).alias("bit")),
+        F.struct(F.col("ix").alias("bx"), (F.col("iy") - 1).alias("by"), F.lit(8).alias("bit")),
+        F.struct((F.col("ix") - 1).alias("bx"), (F.col("iy") - 1).alias("by"), F.lit(4).alias("bit")),
+    )
+    blocks = hot.select(F.explode(member).alias("m")).select("m.bx", "m.by", "m.bit")
+    case = (
+        blocks.groupBy("bx", "by").agg(F.sum("bit").alias("case_idx"))
+    )
+    segs = (
+        F.when(F.col("case_idx").isin(5, 10), F.lit(2))
+        .when(F.col("case_idx").isin(0, 15), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return case.withColumn("n_segments", segs).orderBy("bx", "by")

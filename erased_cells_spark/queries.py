@@ -4140,6 +4140,62 @@ def doc_unigram_logprob(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _contour_iso_sql(iso: int) -> str:
+    return f"""
+SELECT {iso} AS iso, case_idx, count(*) AS n_blocks,
+       CAST(sum(CASE WHEN case_idx IN (5, 10) THEN 2
+                     WHEN case_idx IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_segments
+FROM (
+  SELECT bx, by, sum(bit) AS case_idx FROM (
+    SELECT ix + d.dx AS bx, iy + d.dy AS by, d.bit
+    FROM (SELECT ix, iy FROM cells WHERE c >= {iso}) hot,
+         (VALUES (0, 0, 1), (-1, 0, 2), (0, -1, 8), (-1, -1, 4)) AS d(dx, dy, bit)
+  ) GROUP BY 1, 2
+) GROUP BY case_idx
+"""
+
+
+def _contour_oracle() -> str:
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_ix('lon', 7)} AS ix, {CE.sql_iy('lat', 7)} AS iy, count(*) AS c
+  FROM pts GROUP BY 1, 2
+)
+SELECT * FROM ({_contour_iso_sql(1)} UNION ALL {_contour_iso_sql(2)})
+ORDER BY iso, case_idx
+"""
+
+
+@twin("raster_contour_cases", oracle=_contour_oracle())
+def raster_contour_cases(spark, sf_dir):
+    """Marching-squares contour classification (operators/raster.
+    marching_cases) of the res-7 doc density raster at iso levels 1 and 2
+    — the contour half of raster→vector (polygonize traces regions; this
+    yields the canonical 16-case table whose segment counts are the
+    contour's length in grid units). Sparse-exact pure-int logic: only
+    >= iso cells emit their four corner-block memberships, one groupBy
+    per level; no float surface at all."""
+    from erased_cells_spark.operators.raster import marching_cases
+
+    p = _doc_points(spark, sf_dir)
+    cells = p.select(
+        CE.ix_expr(F.col("lon"), 7).alias("ix"),
+        CE.iy_expr(F.col("lat"), 7).alias("iy"),
+    ).groupBy("ix", "iy").agg(F.count("*").alias("c"))
+    out = None
+    for iso in (1, 2):
+        mc = (
+            marching_cases(cells, float(iso), v_col="c")
+            .groupBy("case_idx")
+            .agg(F.count("*").alias("n_blocks"), F.sum("n_segments").alias("n_segments"))
+            .select(F.lit(iso).alias("iso"), "case_idx", "n_blocks", "n_segments")
+        )
+        out = mc if out is None else out.unionByName(mc)
+    return out.orderBy("iso", "case_idx")
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
