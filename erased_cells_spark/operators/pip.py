@@ -545,3 +545,49 @@ def geodesic_area_df(
             )
 
     return polygons.select(id_col, ring_col).mapInPandas(run, schema)
+
+
+def polygon_validity_df(
+    polygons: DataFrame, id_col: str = "poly_id", ring_col: str = "ring"
+) -> DataFrame:
+    """Geometry-validity audit for a polygon table — the ingest gate a
+    vector pipeline runs BEFORE winding-based operators (a self-crossing
+    ring makes containment ill-defined): per polygon, the count of proper
+    non-adjacent edge crossings (spatial/geom.ring_self_intersections) and
+    the is_simple verdict. Same cost contract as geodesic_area_df: one
+    partition-preserving mapInPandas, Python touches each polygon once."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from erased_cells_spark.spatial.geom import ring_self_intersections
+
+    schema = StructType(
+        [
+            StructField("poly_id", LongType(), False),
+            StructField("n_crossings", IntegerType(), False),
+            StructField("is_simple", BooleanType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            ns = [
+                ring_self_intersections(
+                    np.asarray([np.asarray(v, np.float64) for v in r])
+                )
+                for r in pdf[ring_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "poly_id": pdf[id_col].astype("int64"),
+                    "n_crossings": np.asarray(ns, np.int32),
+                    "is_simple": np.asarray(ns, np.int64) == 0,
+                }
+            )
+
+    return polygons.select(id_col, ring_col).mapInPandas(run, schema)

@@ -4196,6 +4196,88 @@ def raster_contour_cases(spark, sf_dir):
     return out.orderBy("iso", "case_idx")
 
 
+def _validity_oracle() -> str:
+    # strict proper-crossing predicate: identical sign tests to
+    # geom.ring_self_intersections (products of doubles — deterministic
+    # IEEE, so the integer outputs are EXACTLY cross-engine, no rounding)
+    cross = (
+        "((p1x - p0x) * ({qy} - p0y) - (p1y - p0y) * ({qx} - p0x))"
+    )
+    d1 = cross.format(qx="q0x", qy="q0y")
+    d2 = cross.format(qx="q1x", qy="q1y")
+    cross2 = "((q1x - q0x) * ({py} - q0y) - (q1y - q0y) * ({px} - q0x))"
+    d3 = cross2.format(px="p0x", py="p0y")
+    d4 = cross2.format(px="p1x", py="p1y")
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+geom AS (
+  SELECT doc_id, lon, lat, 0.5 + (doc_id % 7) * 0.25 AS w,
+         (0.5 + (doc_id % 7) * 0.25) / 2 AS h,
+         doc_id % 3 = 0 AS bow
+  FROM pts
+),
+verts AS (
+  SELECT doc_id, k.k,
+    CASE k.k WHEN 0 THEN lon - w
+             WHEN 1 THEN CASE WHEN bow THEN lon + w ELSE lon END
+             WHEN 2 THEN CASE WHEN bow THEN lon ELSE lon + w END
+             WHEN 3 THEN lon ELSE lon - w END AS x,
+    CASE k.k WHEN 0 THEN lat
+             WHEN 1 THEN CASE WHEN bow THEN lat ELSE lat - h END
+             WHEN 2 THEN CASE WHEN bow THEN lat - h ELSE lat END
+             WHEN 3 THEN lat + h ELSE lat END AS y
+  FROM geom, (VALUES (0), (1), (2), (3), (4)) AS k(k)
+),
+edges AS (
+  SELECT a.doc_id, a.k AS i, a.x AS p0x, a.y AS p0y, b.x AS p1x, b.y AS p1y
+  FROM verts a JOIN verts b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+),
+pairs AS (
+  SELECT e1.doc_id,
+         e1.p0x, e1.p0y, e1.p1x, e1.p1y,
+         e2.p0x AS q0x, e2.p0y AS q0y, e2.p1x AS q1x, e2.p1y AS q1y
+  FROM edges e1 JOIN edges e2
+    ON e2.doc_id = e1.doc_id AND e2.i >= e1.i + 2
+   AND NOT (e1.i = 0 AND e2.i = 3)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN ({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0
+                THEN 1 ELSE 0 END) AS INTEGER) AS n_crossings,
+       sum(CASE WHEN ({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0
+           THEN 1 ELSE 0 END) = 0 AS is_simple
+FROM pairs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@twin("polygon_validity_audit", oracle=_validity_oracle())
+def polygon_validity_audit(spark, sf_dir):
+    """Geometry-validity INGEST GATE (operators/pip.polygon_validity_df):
+    every third generated polygon is deliberately a BOWTIE (two vertices
+    swapped — exactly how digitized parcels actually break), the rest are
+    simple diamonds; the audit counts proper non-adjacent edge crossings
+    per polygon. Strict sign arithmetic → integer outputs, EXACT
+    cross-engine (no rounding anywhere). Python touches each polygon once
+    (mapInPandas); corpus scales by polygon count."""
+    from erased_cells_spark.operators.pip import polygon_validity_df
+
+    p = _doc_points(spark, sf_dir)
+    w = F.lit(0.5) + (F.col("doc_id") % 7).cast("double") * F.lit(0.25)
+    h = w / 2
+    bow = (F.col("doc_id") % 3) == 0
+    lon, lat = F.col("lon"), F.col("lat")
+    v1 = F.when(bow, F.array(lon + w, lat)).otherwise(F.array(lon, lat - h))
+    v2 = F.when(bow, F.array(lon, lat - h)).otherwise(F.array(lon + w, lat))
+    ring = F.array(
+        F.array(lon - w, lat), v1, v2, F.array(lon, lat + h), F.array(lon - w, lat)
+    )
+    polys = p.select(F.col("doc_id").alias("poly_id"), ring.alias("ring"))
+    return (
+        polygon_validity_df(polys)
+        .select(F.col("poly_id").alias("doc_id"), "n_crossings", "is_simple")
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql

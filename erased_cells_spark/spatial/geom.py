@@ -193,3 +193,40 @@ def spherical_area_km2(ring: np.ndarray, radius_km: float = EARTH_R_KM) -> float
     t2 = np.tan(lat[1:] / 2.0)
     e = 2.0 * np.arctan2(np.tan(dl / 2.0) * (t1 + t2), 1.0 + t1 * t2)
     return float(abs(e.sum()) * radius_km * radius_km)
+
+
+def ring_self_intersections(ring: np.ndarray) -> int:
+    """Number of PROPER crossings between non-adjacent edges of a closed
+    ring — the geometry-validity audit of a vector ingest (a "simple"
+    polygon has zero; a bowtie has one). Strict sign tests only: edges that
+    merely TOUCH (shared vertex, collinear overlap, T-joints) do not count
+    — the same strict predicate pip.py's cover refinement uses, so
+    "invalid here" means "winding results are genuinely ill-defined".
+
+    Vectorized O(E^2) over edge pairs (rings are polygon-sized, not
+    corpus-sized; the corpus scales by polygon COUNT through
+    polygon_validity_df)."""
+    v = np.asarray(ring, np.float64)
+    a0 = v[:-1]
+    a1 = v[1:]
+    n = len(a0)
+    if n < 4:
+        return 0
+    i, j = np.triu_indices(n, k=2)
+    # adjacent via ring closure: first edge vs last edge share a vertex
+    keep = ~((i == 0) & (j == n - 1))
+    i, j = i[keep], j[keep]
+
+    def _cross(p0, p1, q):
+        return (p1[:, 0] - p0[:, 0]) * (q[:, 1] - p0[:, 1]) - (
+            p1[:, 1] - p0[:, 1]
+        ) * (q[:, 0] - p0[:, 0])
+
+    d1 = _cross(a0[i], a1[i], a0[j])
+    d2 = _cross(a0[i], a1[i], a1[j])
+    d3 = _cross(a0[j], a1[j], a0[i])
+    d4 = _cross(a0[j], a1[j], a1[i])
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+    # strictness: a zero cross product is a touch, never a crossing
+    proper &= (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+    return int(proper.sum())
