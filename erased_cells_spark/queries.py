@@ -4278,6 +4278,98 @@ def polygon_validity_audit(spark, sf_dir):
     )
 
 
+def _dwell_oracle() -> str:
+    zone_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lon >= {x0!r} AND lon < {x1!r} AND lat >= {y0!r} AND lat < {y1!r} "
+            f"THEN {z}"
+            for z, x0, y0, x1, y1 in _BOXES
+        )
+        + " ELSE -1 END"
+    )
+    return f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         {sql_lon(_TRAVEL_KEY_SQL)} AS lon, {sql_lat(_TRAVEL_KEY_SQL)} AS lat
+  FROM events
+),
+zoned AS (
+  SELECT user_id, ts, event_id, {zone_case} AS zone FROM pos
+),
+flagged AS (
+  SELECT user_id, ts, event_id, zone,
+         CASE WHEN zone = lag(zone, 1, zone) OVER w THEN 0 ELSE 1 END AS chg
+  FROM zoned WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, ts, zone,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seg_no
+  FROM flagged
+)
+SELECT user_id, CAST(seg_no AS BIGINT) AS seg_no, zone,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+FROM seg GROUP BY 1, 2, 3 ORDER BY user_id, seg_no
+"""
+
+
+@twin("user_zone_dwell", oracle=_dwell_oracle())
+def user_zone_dwell(spark, sf_dir):
+    """Zone DWELL segmentation: each user's time-ordered track (positions
+    geocoded per event) split into maximal constant-zone runs — the
+    analytics product downstream of the streaming geofence (its ENTER/EXIT
+    rows are exactly these segments' boundaries): per (user, segment) the
+    zone, event count, and dwell MICROSECONDS (the events carry sub-second
+    timestamps, so seconds would round differently per engine — micros are
+    exact longs on both). Box-zone containment is a pure JVM CASE;
+    segmentation is the classic gaps-and-islands double window (lag-change
+    flag, running sum) on ONE shuffle key (user_id) that the final groupBy
+    reuses. Exact ints end to end."""
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    pos = e.select(
+        "user_id", "ts", "event_id",
+        geocode_lon(key).alias("lon"), geocode_lat(key).alias("lat"),
+    )
+    zone = F.lit(-1)
+    for z, x0, y0, x1, y1 in reversed(_BOXES):
+        zone = F.when(
+            (F.col("lon") >= x0) & (F.col("lon") < x1)
+            & (F.col("lat") >= y0) & (F.col("lat") < y1),
+            F.lit(z),
+        ).otherwise(zone)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    zoned = pos.select("user_id", "ts", "event_id", zone.alias("zone"))
+    flagged = zoned.withColumn(
+        "chg",
+        F.when(F.col("zone") == F.lag("zone", 1).over(w), 0)
+        .when(F.lag("zone", 1).over(w).isNull(), 0)
+        .otherwise(1),
+    )
+    seg = flagged.withColumn(
+        "seg_no", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        seg.groupBy("user_id", "seg_no", "zone")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("t0"),
+            F.max("ts").alias("t1"),
+        )
+        # timestampdiff is tz-free datetime arithmetic (the parquet ts is
+        # NTZ; unix_micros would inject the session zone into each endpoint)
+        .select(
+            "user_id", "seg_no", "zone", "n_events",
+            F.expr("timestampdiff(MICROSECOND, t0, t1)").alias("dwell_us"),
+        )
+        .orderBy("user_id", "seg_no")
+    )
+
+
 # ------------------------------------------------------- graph analytics --
 def _pagerank_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
