@@ -3673,6 +3673,255 @@ def q22_sales_opportunity(spark, sf_dir):
     )
 
 
+@twin(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH cost AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS supply_cost
+  FROM lineitem l GROUP BY l.l_partkey, l.l_suppkey
+), euro AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+), ec AS (
+  SELECT c.l_partkey, c.l_suppkey, c.supply_cost, e.s_name, e.s_acctbal, e.n_name
+  FROM cost c JOIN euro e ON e.s_suppkey = c.l_suppkey
+), mn AS (
+  SELECT l_partkey, min(supply_cost) AS min_cost FROM ec GROUP BY l_partkey
+)
+SELECT p.p_partkey, ec.l_suppkey AS s_suppkey, ec.s_name, ec.n_name,
+       round(ec.s_acctbal::DOUBLE, 2) AS acctbal_r,
+       round(ec.supply_cost::DOUBLE, 4) AS cost_r
+FROM ec JOIN mn ON mn.l_partkey = ec.l_partkey AND ec.supply_cost = mn.min_cost
+JOIN part p ON p.p_partkey = ec.l_partkey AND p.p_type = 'LARGE' AND p.p_size <= 10
+ORDER BY p.p_partkey, s_suppkey
+""",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier): for every LARGE small-size part,
+    the EUROPE supplier(s) achieving that part's minimum supply cost.
+    (The schema has no partsupp: supply cost is derived from the fact
+    table as min(l_extendedprice) per (part, supplier) — exact DECIMAL,
+    no division.) The correlated min is decorrelated into a per-part
+    aggregate joined back on exact decimal equality, so ties all surface
+    (ordered by suppkey). Supplier→nation→region is broadcast; the two
+    aggregates and the min-join all shuffle on l_partkey once and
+    co-locate — at 100 TB this is one pass over lineitem plus a
+    partkey-local self-join, no fact-to-fact shuffle on a second key."""
+    li = t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(38,6)")).alias("supply_cost")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ec = cost.join(F.broadcast(euro), F.col("s_suppkey") == F.col("l_suppkey"))
+    mn = ec.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    return (
+        ec.join(
+            mn,
+            (F.col("m_partkey") == F.col("l_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .select(
+            "p_partkey",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("acctbal_r"),
+            F.round(F.col("supply_cost").cast("double"), 4).alias("cost_r"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+@twin(
+    "q11_important_stock",
+    oracle="""
+WITH val AS (
+  SELECT l.l_partkey,
+         sum(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+  GROUP BY l.l_partkey
+), tot AS (
+  SELECT sum(part_value) AS total_value, count(*) AS n_parts FROM val
+)
+SELECT v.l_partkey AS p_partkey, round(v.part_value::DOUBLE, 4) AS value_r
+FROM val v, tot t
+WHERE v.part_value * t.n_parts * 2 > t.total_value * 3
+ORDER BY p_partkey
+""",
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 (important stock identification): parts whose ASIA-supplied
+    value exceeds 1.5x the average per-part value. (No partsupp: value is
+    sum(l_extendedprice) of ASIA-supplied lines per part; TPC-H's fixed
+    0.0001/SF fraction is replaced by the scale-invariant 1.5x-average
+    threshold so the predicate stays selective-but-nonempty at every SF.)
+    The scalar threshold is cross-multiplied — value*n_parts*2 >
+    total*3 — exact DECIMAL x integer on both engines, never a
+    double-rounded avg; the 1-row total broadcasts via crossJoin. One
+    shuffle on l_partkey; supplier-side dims broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(asia), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("part_value"))
+    )
+    tot = val.agg(
+        F.sum("part_value").alias("total_value"), F.count("*").alias("n_parts")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") * F.col("n_parts") * 2 > F.col("total_value") * 3)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_value").cast("double"), 4).alias("value_r"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@twin(
+    "q16_supplier_part_counts",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ok AS (
+  SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT pr.l_suppkey) AS supplier_cnt
+FROM pairs pr
+JOIN ok o ON o.s_suppkey = pr.l_suppkey
+JOIN part p ON p.p_partkey = pr.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'ECONOMY' AND p.p_size IN (1,4,9,16,25,36)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 (parts/supplier relationship): distinct supplier counts
+    per (brand, type, size) slice, excluding one brand/type and a
+    "complaints" supplier set. (No partsupp: the part-supplier relation is
+    SELECT DISTINCT (l_partkey, l_suppkey) from the fact table; the
+    missing p_comment complaints predicate becomes the deterministic
+    s_acctbal < 1000 exclusion.) The distinct-pair reduction happens
+    BEFORE the dimension joins — at 100 TB that collapses the fact table
+    to at most |part|x|supplier| rows in one shuffle, and everything
+    after is broadcast. count(DISTINCT) is exact on both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    ok = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 1000).select("s_suppkey")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36)
+    )
+    return (
+        pairs.join(F.broadcast(ok), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@twin(
+    "q20_potential_promotion",
+    oracle="""
+WITH cold AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'cold%'
+), shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         sum(CAST(l.l_quantity AS DECIMAL(38,6))) AS ps_qty
+  FROM lineitem l
+  JOIN cold c ON c.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l.l_partkey, l.l_suppkey
+), ptot AS (
+  SELECT l_partkey, sum(ps_qty) AS total_qty FROM shipped GROUP BY l_partkey
+), dominant AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM shipped s JOIN ptot t ON t.l_partkey = s.l_partkey
+  WHERE s.ps_qty * 2 > t.total_qty
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN dominant d ON d.l_suppkey = s.s_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'AMERICA'
+ORDER BY s.s_suppkey
+""",
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion): AMERICA suppliers who were
+    the DOMINANT 1997 shipper (more than half the year's quantity) of
+    some 'cold' part. (No partsupp: TPC-H's availqty > 0.5*shipped
+    becomes per-(part,supplier) shipped qty*2 > per-part total — the same
+    correlated-half-aggregate shape, exact decimal cross-multiplication.)
+    The cold-part filter broadcasts and prunes the fact scan before the
+    grouping; the two aggregates share one l_partkey shuffle; the
+    dominant-supplier set is distinct supplier ids only — broadcast-small
+    into the supplier dimension."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("cold%")).select("p_partkey")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("ps_qty"))
+    )
+    ptot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("ps_qty").alias("total_qty")
+    )
+    dominant = (
+        shipped.join(ptot, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("ps_qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    return (
+        s.join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 # ==================================== geospatial + corpus widening (r7b) ===
 _RADIUS_PAIRS_KM = 800.0
 
