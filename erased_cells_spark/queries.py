@@ -4713,6 +4713,48 @@ def graph_triangle_buckets(spark, sf_dir):
     )
 
 
+# =================================== corpus mixing + trajectories (r7c) ====
+
+
+@twin(
+    "doc_lang_temperature_sample",
+    oracle="""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+), mn AS (
+  SELECT min(n_docs) AS n_min FROM counts
+), thr AS (
+  SELECT c.lang,
+         CAST(floor(1000000 * sqrt(m.n_min::DOUBLE / c.n_docs)) AS BIGINT)
+           AS threshold
+  FROM counts c, mn m
+)
+SELECT d.doc_id, d.lang,
+       ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS bucket,
+       t.threshold
+FROM documents d JOIN thr t ON t.lang = d.lang
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 < t.threshold
+ORDER BY d.doc_id
+""",
+)
+def doc_lang_temperature_sample(spark, sf_dir):
+    """Temperature-based language-mixture resampling (mT5/XLM-R alpha=0.5):
+    head languages are deterministically downsampled so effective counts
+    follow sqrt(n_l), the rarest language kept in full. The per-language
+    keep probability sqrt(n_min/n_l) is IEEE-exact on both engines
+    (correctly-rounded divide + sqrt, then floor to an integer
+    threshold), and membership is an md5 bucket of the stable doc id —
+    no RNG, so the kept SET is bit-identical across engines and cluster
+    sizes. At 100 TB: one tiny groupBy(lang), a broadcast threshold
+    join, and a scan-side JVM filter — zero data shuffles.
+    Operator: operators/mixture.py temperature_sample."""
+    from erased_cells_spark.operators.mixture import temperature_sample
+
+    d = t(spark, sf_dir, "documents")
+    kept = temperature_sample(d, group_col="lang", id_col="doc_id", alpha=0.5)
+    return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
