@@ -4755,6 +4755,73 @@ def doc_lang_temperature_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
 
 
+def _crossings_oracle() -> str:
+    return """
+WITH n AS (SELECT count(*) AS cnt FROM events),
+segs AS (
+  SELECT e.event_id AS seg_id,
+         ('0x'||substr(md5('sx-'||e.event_id::VARCHAR),1,8))::BIGINT % 16000 AS ax,
+         ('0x'||substr(md5('sy-'||e.event_id::VARCHAR),1,8))::BIGINT % 16000 AS ay,
+         ('0x'||substr(md5('sx-'||e.event_id::VARCHAR),1,8))::BIGINT % 16000
+           + (('0x'||substr(md5('dx-'||e.event_id::VARCHAR),1,8))::BIGINT % 769 - 384) AS bx,
+         ('0x'||substr(md5('sy-'||e.event_id::VARCHAR),1,8))::BIGINT % 16000
+           + (('0x'||substr(md5('dy-'||e.event_id::VARCHAR),1,8))::BIGINT % 769 - 384) AS by
+  FROM events e, n
+  WHERE ('0x'||substr(md5('keep-'||e.event_id::VARCHAR),1,8))::BIGINT % 1000000
+        < 1500000000 // n.cnt
+)
+SELECT s1.seg_id AS a_id, s2.seg_id AS b_id
+FROM segs s1 JOIN segs s2 ON s1.seg_id < s2.seg_id
+WHERE ((s1.bx-s1.ax)*(s2.ay-s1.ay)-(s1.by-s1.ay)*(s2.ax-s1.ax))
+    * ((s1.bx-s1.ax)*(s2.by-s1.ay)-(s1.by-s1.ay)*(s2.bx-s1.ax)) < 0
+  AND ((s2.bx-s2.ax)*(s1.ay-s2.ay)-(s2.by-s2.ay)*(s1.ax-s2.ax))
+    * ((s2.bx-s2.ax)*(s1.by-s2.ay)-(s2.by-s2.ay)*(s1.bx-s2.ax)) < 0
+ORDER BY a_id, b_id
+"""
+
+
+@twin("geo_segment_crossings", oracle=_crossings_oracle())
+def geo_segment_crossings(spark, sf_dir):
+    """Trajectory segment-crossing join (operators/crossings.py): all
+    pairs of movement segments that PROPERLY cross, detected by the
+    strict-sign orientation predicate in pure BIGINT arithmetic — no
+    floats anywhere, so Spark and DuckDB agree bit-for-bit on every pair
+    incl. touch/collinear exclusions. Segments are md5-derived integer
+    chords (scale-invariant ~1500-segment deterministic sample so the
+    O(n^2) oracle stays tractable; the OPERATOR is the grid plan: bbox
+    cell explode -> (cx,cy) equi-join -> exactly-once first-shared-cell
+    filter -> residual predicate — one shuffle, no distinct, no NLJ; see
+    the module docstring for the exactly-once proof)."""
+    from erased_cells_spark.operators.crossings import segment_crossing_pairs
+
+    e = t(spark, sf_dir, "events")
+    cnt = e.agg(F.count("*").alias("cnt"))
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    ax = mh("sx-") % 16000
+    ay = mh("sy-") % 16000
+    segs = (
+        e.crossJoin(F.broadcast(cnt))
+        .filter((mh("keep-") % 1000000) < F.expr("1500000000 div cnt"))
+        .select(
+            F.col("event_id").alias("seg_id"),
+            ax.alias("ax"),
+            ay.alias("ay"),
+            (ax + (mh("dx-") % 769 - 384)).alias("bx"),
+            (ay + (mh("dy-") % 769 - 384)).alias("by"),
+        )
+    )
+    return segment_crossing_pairs(segs, grid=512).orderBy("a_id", "b_id")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
