@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 
@@ -76,6 +77,22 @@ class CommitConflictError(RuntimeError):
 
 ZONE_STR_MAX = 64  # string zone-map bounds are truncated to this many chars
 MANIFEST_GROUP_TARGET = 64  # partitions per group manifest (new groups)
+
+# manifest filenames: snapshot-NNNNNN.json (main chain) or
+# snapshot-<ref>-NNNNNN.json (a branch's own ladder). Ref names start
+# with a letter so an all-digit sid can never be misread as a ref.
+_MANIFEST_NAME_RE = re.compile(
+    r"snapshot-(?:(?P<ref>[A-Za-z][A-Za-z0-9_.-]*)-)?(?P<sid>\d{6})\.json\Z"
+)
+
+
+def _parse_manifest_name(name: str) -> tuple:
+    """(ref, sid) of a manifest filename — ref None for the main chain;
+    (None, None) for non-manifest files."""
+    m = _MANIFEST_NAME_RE.fullmatch(name)
+    if not m:
+        return (None, None)
+    return (m.group("ref"), int(m.group("sid")))
 
 
 def _truncate_lo(s: str) -> str:
@@ -252,6 +269,17 @@ def _bloom_might_contain(bloom: dict, v) -> bool:
 _EMPTY_MAPPING: dict = {"renames": {}, "dropped": [], "retired": [], "defaults": {}}
 
 
+def _normalize_mapping(raw_mapping: dict | None) -> dict:
+    """Deep-copied column mapping with every field present (pre-field
+    manifests normalize to the empty mapping)."""
+    import copy
+
+    m = copy.deepcopy(raw_mapping or _EMPTY_MAPPING)
+    for k, v in _EMPTY_MAPPING.items():
+        m.setdefault(k, copy.deepcopy(v))
+    return m
+
+
 def _apply_column_mapping(df: DataFrame, m: dict) -> DataFrame:
     """Project physical (written) column names to the table's CURRENT
     logical names: renamed columns surface under their new name (coalesced
@@ -379,9 +407,12 @@ class SnapshotTable:
         valid commit and is the TRUE parent; adopt it. Returns the (possibly
         repaired) current id."""
         ids = [
-            int(name[len("snapshot-"): -len(".json")])
+            sid
             for name in os.listdir(self.path)
-            if name.startswith("snapshot-") and name.endswith(".json")
+            for ref, sid in [_parse_manifest_name(name)]
+            if sid is not None and ref is None  # MAIN chain only: branch
+            # manifests (snapshot-<ref>-NNNNNN.json) have their own head
+            # file under refs/ and must never be adopted as CURRENT
         ]
         top = max(ids, default=0)
         if top > self._current_id():
@@ -437,11 +468,13 @@ class SnapshotTable:
         return self.manifest()
 
     def snapshots(self) -> list[dict]:
-        """All live snapshots, oldest first: (snapshot_id, committed_at,
-        n_partitions, total_rows, operation)."""
+        """All live MAIN-chain snapshots, oldest first: (snapshot_id,
+        committed_at, n_partitions, total_rows, operation). Branch
+        manifests live on their own ladders — list them via refs()."""
         out = []
         for name in sorted(os.listdir(self.path)):
-            if name.startswith("snapshot-") and name.endswith(".json"):
+            ref, _sid = _parse_manifest_name(name)
+            if ref is None and _sid is not None:
                 with open(os.path.join(self.path, name)) as f:
                     m = json.load(f)
                 if "partitions" in m:  # pre-split inline manifest
@@ -659,6 +692,7 @@ class SnapshotTable:
         lineage_values: list | DataFrame,
         overwrite: bool = False,
         commit_batch: int = 1,
+        branch: str | None = None,
     ) -> dict:
         """Write ALL pending lineage partitions in ONE partitioned Spark job
         (a single scan of the input plan — never one filtered rescan per
@@ -703,10 +737,27 @@ class SnapshotTable:
             lineage_values = sorted(
                 r[0] for r in lineage_values.select(vcol).distinct().collect()
             )
-        if overwrite:
-            self._require_no_pending_deletes("write_partitions(overwrite=True)")
-        done = set() if overwrite else self.committed_lineage()
-        manifest_parts = self.current_manifest()["partitions"]
+        if branch is not None:
+            # BRANCH writes (write-audit-publish staging): append-only onto
+            # the branch's own ladder — resume-skip consults the BRANCH
+            # head, commits route to _commit_branch, main never moves.
+            bref = self._load_ref(branch)
+            if bref["type"] != "branch":
+                raise ValueError(f"ref {branch!r} is a {bref['type']}, not a branch")
+            if overwrite:
+                raise ValueError(
+                    "write_partitions: branch writes are append-only — "
+                    "publish via fast_forward, then overwrite on main"
+                )
+            manifest_parts = self._branch_manifest(branch, self._repair_ref(branch))[
+                "partitions"
+            ]
+            done = set(manifest_parts)
+        else:
+            if overwrite:
+                self._require_no_pending_deletes("write_partitions(overwrite=True)")
+            done = set() if overwrite else self.committed_lineage()
+            manifest_parts = self.current_manifest()["partitions"]
         stats: dict = {}
         pending = []
         for lv in lineage_values:
@@ -789,10 +840,10 @@ class SnapshotTable:
             batch[key] = meta
             stats[key] = meta
             if commit_batch > 0 and len(batch) >= commit_batch:
-                self._commit(batch)
+                self._commit(batch) if branch is None else self._commit_branch(branch, batch)
                 batch = {}
         if batch:
-            self._commit(batch)
+            self._commit(batch) if branch is None else self._commit_branch(branch, batch)
         shutil.rmtree(stage, ignore_errors=True)
         return stats
 
@@ -892,9 +943,11 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         where: list[tuple] | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read exactly the committed files of a snapshot (CURRENT by
-        default; pass snapshot_id for TIME TRAVEL to any live snapshot) —
+        default; pass snapshot_id for TIME TRAVEL to any live snapshot;
+        pass ref=<name> to read a TAG's pinned snapshot or a BRANCH head) —
         uncommitted/garbage files in data/ are invisible (snapshot
         isolation), and compaction never rewrites history: an old snapshot
         keeps reading its original files until expire_snapshots drops them.
@@ -913,6 +966,13 @@ class SnapshotTable:
         schemas across the snapshot's partitions, the same add-column
         semantics Iceberg provides (drops/renames are not supported; a
         rename would silently fork into two nullable columns)."""
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("read: pass ref OR snapshot_id, not both")
+            r = self._load_ref(ref)
+            if r["type"] == "branch":
+                return self._read_branch(spark, ref, where)
+            snapshot_id = r["snapshot_id"]  # tag: pinned main time travel
         plan = self.plan_scan(where, snapshot_id)
         if plan["partitions_total"] == 0:
             raise ValueError(f"empty snapshot table at {self.path}")
@@ -1520,13 +1580,19 @@ class SnapshotTable:
         )
 
     def _attach_seq(
-        self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        snapshot_id: int | None = None,
+        man_parts: dict | None = None,
     ) -> DataFrame:
         """Join each row's partition data-sequence as `__seq`, derived from
         the hidden __file path (first two segments = the partition dir) via
         a broadcast of the manifest's (dir, seq) map — metadata-scale, one
-        row per partition, never data-proportional."""
-        man_parts = self.manifest(snapshot_id)["partitions"]
+        row per partition, never data-proportional. Pass `man_parts` to
+        source the map from an already-resolved manifest (branch reads)."""
+        if man_parts is None:
+            man_parts = self.manifest(snapshot_id)["partitions"]
         dim = spark.createDataFrame(
             [(m["path"], int(m.get("seq", 0))) for m in man_parts.values()],
             "__dir string, __seq long",
@@ -1536,22 +1602,37 @@ class SnapshotTable:
         return df.withColumn("__seq", F_coalesce(F_col("__seq"), F_lit(0)))
 
     def _apply_delete_files(
-        self, spark: SparkSession, df: DataFrame, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        snapshot_id: int | None = None,
+        man: dict | None = None,
     ) -> DataFrame:
         """Anti-join the snapshot's pending delete sets (post
         column-mapping, so a delete file written before a rename keys on
         the written name and resolves through the mapping). scope='past'
         entries additionally compare the row's partition data-seq against
-        the entry's seq — data appended after the delete stays visible."""
-        dels = self.delete_files(snapshot_id)
-        renames = self.column_mapping(snapshot_id)["renames"]
+        the entry's seq — data appended after the delete stays visible.
+        Pass `man` (a resolved manifest dict carrying delete_files /
+        position_delete_files / column_mapping / partitions) to apply a
+        BRANCH head's delete state instead of a main snapshot's."""
+        if man is None:
+            dels = self.delete_files(snapshot_id)
+            renames = self.column_mapping(snapshot_id)["renames"]
+            pos = self.position_delete_files(snapshot_id)
+            man_parts = None
+        else:
+            dels = list(man.get("delete_files") or [])
+            renames = _normalize_mapping(man.get("column_mapping"))["renames"]
+            pos = list(man.get("position_delete_files") or [])
+            man_parts = man["partitions"]
         if any(e.get("seq") is not None for e in dels):
             if "__file" not in df.columns:
                 raise RuntimeError(
                     "internal: scope='past' deletes pending but the read did "
                     "not attach __file before projection"
                 )
-            df = self._attach_seq(spark, df, snapshot_id)
+            df = self._attach_seq(spark, df, snapshot_id, man_parts=man_parts)
         for entry in dels:
             eff = renames.get(entry["key_col"], entry["key_col"])
             keys = (
@@ -1570,7 +1651,6 @@ class SnapshotTable:
                 df = df.join(F_broadcast(keys), eff, "left_anti")
         if "__seq" in df.columns:
             df = df.drop("__seq")
-        pos = self.position_delete_files(snapshot_id)
         if pos:
             if "__file" not in df.columns:
                 raise RuntimeError(
@@ -1645,10 +1725,7 @@ class SnapshotTable:
         import copy
 
         raw = self._raw_manifest(snapshot_id)
-        m = copy.deepcopy(raw.get("column_mapping") or _EMPTY_MAPPING)
-        for k, v in _EMPTY_MAPPING.items():  # normalize pre-field manifests
-            m.setdefault(k, copy.deepcopy(v))
-        return m
+        return _normalize_mapping(raw.get("column_mapping"))
 
     def _reserved_names(self, m: dict | None = None) -> set:
         m = m if m is not None else self.column_mapping()
@@ -1807,6 +1884,287 @@ class SnapshotTable:
         return self._commit_state(
             dict(target["partitions"]), operation="rollback", rollback_of=snapshot_id
         )
+
+    # ----- refs: tags + branches (Iceberg-style named references) ------------
+    # A TAG is an immutable named pointer to a MAIN snapshot id (release
+    # pinning: read(ref="v1") forever reads the audited state; tagged
+    # snapshots survive expire_snapshots). A BRANCH is a mutable fork: its
+    # own manifest ladder snapshot-<name>-NNNNNN.json (inline partitions,
+    # table metadata copied at fork, so a branch manifest is fully
+    # self-contained), append-only writes via write_partitions(branch=...),
+    # and fast_forward() to publish back to main when main hasn't moved —
+    # the staging-table / WAP (write-audit-publish) workflow. Branch scope
+    # is deliberately narrow: schema evolution, deletes, merges, and
+    # compaction stay main-only and fail loud on a branch.
+
+    _REF_NAME_RE = re.compile(r"[A-Za-z][A-Za-z0-9_.-]*\Z")
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "refs")
+
+    def _ref_path(self, name: str) -> str:
+        if not self._REF_NAME_RE.fullmatch(name):
+            raise ValueError(
+                f"ref name {name!r} must start with a letter and use only "
+                "letters, digits, '_', '.', '-'"
+            )
+        return os.path.join(self._refs_dir(), f"{name}.json")
+
+    def refs(self) -> dict:
+        """All named refs: {name: {type, snapshot_id, ...}}. Branch entries
+        carry fork_sid (the main snapshot the branch forked from)."""
+        d = self._refs_dir()
+        out = {}
+        if os.path.isdir(d):
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(d, fn)) as f:
+                        r = json.load(f)
+                    out[r["name"]] = r
+        return out
+
+    def _load_ref(self, name: str) -> dict:
+        p = self._ref_path(name)
+        if not os.path.exists(p):
+            raise ValueError(f"no ref {name!r} at {self.path} (see refs())")
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_ref(self, payload: dict, replace: bool) -> None:
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        target = self._ref_path(payload["name"])
+        tmp = target + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        if replace:
+            os.rename(tmp, target)
+            return
+        try:
+            # link-if-absent: two concurrent creators of the same name
+            # cannot both win (same discipline as the snapshot ladder)
+            os.link(tmp, target)
+        except FileExistsError:
+            raise ValueError(f"ref {payload['name']!r} already exists") from None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Pin a MAIN snapshot under an immutable name. The tagged snapshot
+        is exempt from expire_snapshots until the tag is dropped."""
+        sid = self._current_id() if snapshot_id is None else snapshot_id
+        self._raw_manifest(sid)  # raises if the snapshot doesn't exist
+        if sid == 0:
+            raise ValueError("cannot tag the empty snapshot 0")
+        payload = {
+            "name": name, "type": "tag", "snapshot_id": sid,
+            "created_at": time.time(),
+        }
+        self._write_ref(payload, replace=False)
+        return payload
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a tag or branch pointer. A dropped branch's manifests and
+        exclusive data dirs become unreferenced — the next
+        expire_snapshots() sweeps them."""
+        p = self._ref_path(name)
+        if not os.path.exists(p):
+            raise ValueError(f"no ref {name!r} at {self.path}")
+        os.remove(p)
+
+    def _branch_manifest_path(self, name: str, bsid: int) -> str:
+        return os.path.join(self.path, f"snapshot-{name}-{bsid:06d}.json")
+
+    def _branch_manifest(self, name: str, bsid: int) -> dict:
+        p = self._branch_manifest_path(name, bsid)
+        if not os.path.exists(p):
+            raise ValueError(f"no snapshot {bsid} on branch {name!r} at {self.path}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _link_manifest(self, path: str, manifest: dict) -> bool:
+        """fsync-then-link-if-absent; False when another committer owns it."""
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Fork a branch from a MAIN snapshot (CURRENT by default). The fork
+        manifest (branch sid 1) copies the main snapshot's partition map
+        and table metadata, so every later branch read is self-contained.
+        O(partitions) manifest size — branches are staging workspaces, not
+        a second 10^5-partition production chain (main keeps the
+        manifest-list O(touched groups) commit shape)."""
+        sid = self._current_id() if snapshot_id is None else snapshot_id
+        if sid == 0:
+            raise ValueError("cannot branch from the empty snapshot 0")
+        man = self.manifest(sid)
+        raw = self._raw_manifest(sid)
+        self._ref_path(name)  # validate the name before writing anything
+        fork = {
+            "snapshot_id": 1,
+            "parent": None,
+            "ref": name,
+            "forked_from": sid,
+            "committed_at": time.time(),
+            "operation": "branch_fork",
+            "partitions": dict(man["partitions"]),
+            **{
+                k: raw[k]
+                for k in (
+                    "column_mapping", "delete_files",
+                    "position_delete_files", "sort_order",
+                )
+                if k in raw
+            },
+        }
+        if not self._link_manifest(self._branch_manifest_path(name, 1), fork):
+            raise ValueError(
+                f"branch {name!r} already exists (or a crashed creation left "
+                "its fork manifest — drop_ref + expire_snapshots to clean)"
+            )
+        payload = {
+            "name": name, "type": "branch", "snapshot_id": 1,
+            "fork_sid": sid, "created_at": time.time(),
+        }
+        self._write_ref(payload, replace=False)
+        return payload
+
+    def _repair_ref(self, name: str) -> int:
+        """Roll a branch head forward to its highest linked manifest — the
+        branch-ladder twin of _repair_current (a committer that crashed
+        between linking snapshot-<name>-NNNNNN and updating refs/<name>
+        left a complete, valid head). Returns the (repaired) head sid."""
+        ref = self._load_ref(name)
+        tops = [
+            sid
+            for fn in os.listdir(self.path)
+            for r, sid in [_parse_manifest_name(fn)]
+            if r == name
+        ]
+        top = max(tops, default=0)
+        if top > ref["snapshot_id"]:
+            self._write_ref({**ref, "snapshot_id": top}, replace=True)
+            return top
+        return ref["snapshot_id"]
+
+    def _commit_branch(self, name: str, new_partitions: dict, max_retries: int = 20) -> int:
+        """APPEND commit on a branch ladder. Same optimistic concurrency as
+        main: the next branch sid is claimed with link-if-absent, losers
+        re-read the (repaired) head and retry. New metas are data-sequence
+        stamped ABOVE the fork point (fork_sid + branch sid) so scope='past'
+        equality deletes carried from the fork never hide branch-appended
+        rows; fast_forward strips these so main re-stamps on publish."""
+        import random
+
+        ref = self._load_ref(name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a {ref['type']}, not a branch")
+        for attempt in range(max_retries):
+            head = self._repair_ref(name)
+            parent = self._branch_manifest(name, head)
+            bsid = head + 1
+            seq = ref["fork_sid"] + bsid
+            merged = {**parent["partitions"], **new_partitions}
+            merged = {
+                k: (m if "seq" in m else {**m, "seq": seq})
+                for k, m in merged.items()
+            }
+            man = {
+                "snapshot_id": bsid,
+                "parent": head,
+                "ref": name,
+                "forked_from": ref["fork_sid"],
+                "committed_at": time.time(),
+                "operation": "append",
+                "partitions": merged,
+                **{
+                    k: parent[k]
+                    for k in (
+                        "column_mapping", "delete_files",
+                        "position_delete_files", "sort_order",
+                    )
+                    if k in parent
+                },
+            }
+            if self._link_manifest(self._branch_manifest_path(name, bsid), man):
+                self._write_ref({**ref, "snapshot_id": bsid}, replace=True)
+                return bsid
+            time.sleep(random.uniform(0, min(0.01 * 2**attempt, 0.5)))
+        raise CommitConflictError(
+            f"branch append to {name!r} at {self.path} lost the commit race "
+            f"{max_retries} times"
+        )
+
+    def fast_forward(self, name: str) -> int:
+        """Publish a branch to main (the write-audit-publish merge): commit
+        the branch head's partition state as a new MAIN snapshot, valid
+        only while main still sits at the branch's fork point — if main
+        advanced, the branch state was computed against a stale table and
+        publishing would silently erase main's commits, so this RAISES
+        (re-create the branch from CURRENT and replay instead). Branch
+        metas' seq stamps are stripped so _commit_state re-stamps:
+        fork-inherited partitions inherit their original main seq
+        (unchanged data keeps its data sequence), branch-written ones get
+        the publish sid (new-to-main data). Returns the new main sid."""
+        ref = self._load_ref(name)
+        if ref["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a {ref['type']}, not a branch")
+        head = self._repair_ref(name)
+        bman = self._branch_manifest(name, head)
+        cur = self._current_id()
+        if cur != ref["fork_sid"]:
+            raise CommitConflictError(
+                f"fast_forward({name!r}): main advanced "
+                f"{ref['fork_sid']} -> {cur} since the fork; re-create the "
+                "branch from the current snapshot and replay its writes"
+            )
+        parts = {
+            k: {kk: vv for kk, vv in m.items() if kk != "seq"}
+            for k, m in bman["partitions"].items()
+        }
+        return self._commit_state(
+            parts,
+            _expected_parent=cur,
+            operation="fast_forward",
+            from_ref=name,
+        )
+
+    def _read_branch(self, spark: SparkSession, name: str, where=None) -> DataFrame:
+        """read() over a branch head: the branch manifest is self-contained
+        (partitions + column mapping + delete lists copied/carried), so the
+        full read semantics — mergeSchema union, rename coalescing,
+        merge-on-read anti-joins incl. scope='past' seq comparisons — apply
+        from its own fields. No zone-map pruning on branches (staging-scale
+        by design); `where` still applies as a real filter."""
+        ref = self._load_ref(name)
+        man = self._branch_manifest(name, ref["snapshot_id"])
+        if not man["partitions"]:
+            raise ValueError(f"empty branch {name!r} at {self.path}")
+        paths = [os.path.join(self.path, m["path"]) for m in man["partitions"].values()]
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        needs_identity = bool(man.get("position_delete_files")) or any(
+            e.get("seq") is not None for e in (man.get("delete_files") or [])
+        )
+        if needs_identity:
+            df = df.select("*", *self._position_cols())
+        df = _apply_column_mapping(df, _normalize_mapping(man.get("column_mapping")))
+        df = self._apply_delete_files(spark, df, man=man)
+        if where:
+            df = df.filter(_where_sql(where))
+        return df
 
     def build_bloom(
         self, spark: SparkSession, col: str, fpp: float = 0.01,
@@ -2143,25 +2501,51 @@ class SnapshotTable:
         if keep_last < 1:
             raise ValueError("expire_snapshots: keep_last must be >= 1 (the CURRENT snapshot)")
         ids = sorted(s["snapshot_id"] for s in self.snapshots())
-        keep = set(ids[-keep_last:])
+        all_refs = self.refs()
+        # TAGS pin main snapshots beyond the keep_last window; LIVE BRANCHES
+        # keep every manifest on their ladder (staging-scale by design) and
+        # everything those manifests reference. Dead-branch manifests (ref
+        # dropped, or a crashed creation that never linked its ref) expire
+        # like main snapshots — this is the branch-cleanup path.
+        keep = set(ids[-keep_last:]) | {
+            r["snapshot_id"] for r in all_refs.values() if r["type"] == "tag"
+        }
+        live_branches = {n for n, r in all_refs.items() if r["type"] == "branch"}
         referenced = set()
         live_groups = set()
         live_deletes = set()
-        for sid in keep:
-            raw = self._raw_manifest(sid)
+        branch_manifests: dict[str, list[int]] = {}
+        for name in os.listdir(self.path):
+            bref, bsid = _parse_manifest_name(name)
+            if bref is not None:
+                branch_manifests.setdefault(bref, []).append(bsid)
+
+        def account(raw: dict, parts: dict) -> None:
             for e in raw.get("manifest_list") or []:
                 live_groups.add(e["path"])
             for e in raw.get("delete_files") or []:
                 live_deletes.add(e["path"])
             for e in raw.get("position_delete_files") or []:
                 live_deletes.add(e["path"])
-            for p in self.manifest(sid)["partitions"].values():
+            for p in parts.values():
                 referenced.add(p["path"])
+
+        for sid in keep:
+            account(self._raw_manifest(sid), self.manifest(sid)["partitions"])
+        for bname in live_branches & set(branch_manifests):
+            for bsid in branch_manifests[bname]:
+                bman = self._branch_manifest(bname, bsid)
+                account(bman, bman["partitions"])
         expired = []
         for sid in ids:
             if sid not in keep:
                 os.remove(self._manifest_path(sid))
                 expired.append(sid)
+        for bname, bsids in branch_manifests.items():
+            if bname not in live_branches:
+                for bsid in bsids:
+                    os.remove(self._branch_manifest_path(bname, bsid))
+                    expired.append(f"{bname}-{bsid}")
         # GC group manifests no kept snapshot references (incl. orphans from
         # lost commit races)
         dropped_groups = []
