@@ -4755,6 +4755,53 @@ def doc_lang_temperature_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
 
 
+@twin(
+    "emb_kmeans_assign",
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cv FROM q WHERE vec_id < 8
+), dists AS (
+  SELECT q.vec_id, c.cid,
+         CAST(list_sum(list_transform(q.v, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))) AS BIGINT) AS dist
+  FROM q, cents c
+), ranked AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM dists
+)
+SELECT vec_id, cid AS cluster, dist FROM ranked WHERE rn = 1 ORDER BY vec_id
+""",
+)
+def emb_kmeans_assign(spark, sf_dir):
+    """K-means assignment step (operators/kmeans.py): every embedding to
+    its nearest of the k=8 deterministic seed centroids (the vectors of
+    the 8 smallest vec_ids). The distance is an EXACT int64 sum over the
+    quantized vectors (round(x*1e6) — one exact double multiply + the
+    round-half-away both engines share), so assignment and tie-break
+    (dist, then cid) are bit-identical cross-engine with no float
+    accumulation-order hazard — the reproducibility property distributed
+    k-means normally lacks. One trap pinned here: the oracle must CAST
+    the float32 element to DOUBLE before the multiply — DuckDB evaluates
+    FLOAT * INT in single precision (x=0.22898949f: f32 product 228989.5
+    rounds to 228990 vs the exact-double 228989.4968 -> 228989), while
+    Spark's cast-then-multiply is double. Plan: crossJoin against the broadcast 8-row
+    centroid table, JVM zip_with/aggregate arithmetic, one window per
+    vec_id — no Python, no data-proportional shuffle."""
+    from erased_cells_spark.operators.kmeans import kmeans_assign, quantized_vec
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantized_vec(F.col("embedding")).alias("v"))
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    return kmeans_assign(q, cents).orderBy("vec_id")
+
+
 def _crossings_oracle() -> str:
     return """
 WITH n AS (SELECT count(*) AS cnt FROM events),
