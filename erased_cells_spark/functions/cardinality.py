@@ -1,0 +1,104 @@
+"""Deterministic cross-engine HyperLogLog cardinality sketches.
+
+Spark's approx_count_distinct and DuckDB's approx functions use
+engine-private HLL implementations that can never agree; this module
+builds the sketch from ENGINE-NEUTRAL primitives so registers — and
+therefore estimates — are bit-identical anywhere: the hash is the first
+15 hex chars of md5 (60 bits, always positive in int64), the bucket is
+h % m, and rho is derived from length(bin(w)) (both engines trim leading
+zeros). The register table IS the sketch: (group, bucket, max rho) —
+mergeable by max, so partial sketches union across partitions, tables,
+or days with zero error drift (the classic pre-aggregation pattern: keep
+per-shard register tables, merge at query time).
+
+Float discipline: the indicator sum uses the INTEGER scaling
+sum(1 << (55 - rho)) (exact int64, order-independent) instead of the
+textbook sum(2^-rho) float fold; the only floating point is one final
+constant-multiply-divide, plus ln() in the standard small-range linear
+counting branch — transcendental noise lives under round(,4) per the
+repo's cross-engine float rule.
+
+Accuracy: standard HLL, relative error ~1.04/sqrt(m) (13% at the
+default m=64; raise p for tighter). Estimates are deterministic — same
+input, same estimate, any engine, any partitioning.
+
+Scale shape (100 TB): one groupBy((group, bucket)) shuffle bounded by
+|groups| * m rows, then a |groups|-row final fold. The register table is
+metadata-scale and persists as a normal table for incremental merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# alpha_m bias constants (Flajolet et al. 2007): m=16: 0.673, m=32: 0.697,
+# m=64: 0.709, m>=128: 0.7213/(1+1.079/m)
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+_HASH_BITS = 60  # 15 md5 hex chars: positive in int64 on any engine
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """The sketch: (group_cols..., bucket, rho) with rho = max over rows.
+    Mergeable: union register tables and re-max to combine sketches."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10).cast("long")
+    w = F.shiftright(h, p)  # h // m in pure integer ops (h has 60 bits —
+    # a double division would corrupt bits beyond 2^53)
+    # rho = leading zeros of w within wbits, +1; w == 0 -> wbits + 1
+    rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 6) -> DataFrame:
+    """Fold a register table to (group_cols..., hll_estimate_r): the
+    integer-scaled indicator sum, the alpha bias constant, and the
+    small-range linear-counting correction, rounded to 4 decimals."""
+    m = 1 << p
+    wbits = _HASH_BITS - p
+    scale = wbits + 1  # 1 << (scale - rho) keeps the largest term at 2^wbits
+    s = registers.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"shiftleft(1L, {scale} - rho)")).cast("long").alias("s_present"),
+        F.count("*").alias("nonzero"),
+    )
+    full_sum = F.col("s_present") + (m - F.col("nonzero")) * F.shiftleft(
+        F.lit(1).cast("long"), scale
+    )
+    raw = F.lit(_alpha(m) * m * m * float(1 << scale)) / full_sum.cast("double")
+    v = F.lit(m) - F.col("nonzero")  # empty buckets
+    est = F.when(
+        (raw <= 2.5 * m) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+    ).otherwise(raw)
+    return s.select(*group_cols, F.round(est, 4).alias("hll_estimate_r"))
+
+
+def hll_count_distinct(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """(group_cols..., hll_estimate_r, nonzero_buckets): the one-shot
+    sketch-and-fold for ad-hoc use; persist hll_registers instead when the
+    sketch must merge incrementally."""
+    regs = hll_registers(df, col, group_cols, p)
+    est = hll_estimate(regs, group_cols, p)
+    nz = regs.groupBy(*group_cols).agg(F.count("*").alias("nonzero_buckets"))
+    return est.join(nz, group_cols)

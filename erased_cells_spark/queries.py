@@ -4756,6 +4756,64 @@ def doc_lang_temperature_sample(spark, sf_dir):
 
 
 @twin(
+    "doc_hll_cardinality",
+    oracle="""
+WITH h AS (
+  SELECT source, ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT AS hv
+  FROM documents
+), reg AS (
+  SELECT source, hv % 64 AS bucket,
+         max(CASE WHEN (hv >> 6) = 0 THEN 55
+                  ELSE 55 - length(bin(hv >> 6)) END) AS rho
+  FROM h GROUP BY source, bucket
+), fold AS (
+  SELECT source,
+         CAST(sum(1::BIGINT << (55 - rho)) AS BIGINT) AS s_present,
+         count(*) AS nonzero
+  FROM reg GROUP BY source
+), est AS (
+  SELECT source, nonzero,
+         (CAST(0.709 AS DOUBLE) * 64 * 64 * 36028797018963968.0)
+           / CAST(s_present + (64 - nonzero) * (1::BIGINT << 55) AS DOUBLE) AS raw
+  FROM fold
+), exact AS (
+  SELECT source, count(DISTINCT doc_id) AS n_exact FROM documents GROUP BY source
+)
+SELECT e.source,
+       round(CASE WHEN e.raw <= 160.0 AND (64 - e.nonzero) > 0
+                  THEN 64.0 * ln(64.0 / (64 - e.nonzero)) ELSE e.raw END, 4)
+         AS hll_estimate_r,
+       e.nonzero AS nonzero_buckets,
+       x.n_exact
+FROM est e JOIN exact x ON x.source = e.source
+ORDER BY e.source
+""",
+)
+def doc_hll_cardinality(spark, sf_dir):
+    """Deterministic cross-engine HyperLogLog (functions/cardinality.py):
+    per-source distinct-doc estimates whose REGISTERS are bit-identical on
+    any engine — md5-derived 60-bit hash, length(bin()) rank, and an
+    integer-scaled indicator sum (sum of 1<<(55-rho), exact int64,
+    order-independent) instead of the textbook float fold; the only
+    floats are one constant divide and the small-range ln() under
+    round(,4). Spark's own approx_count_distinct could never twin (its
+    HLL is engine-private). Registers merge by max, so per-shard sketch
+    tables compose incrementally — the pre-aggregation shape a 100 TB
+    distinct-count dashboard needs. n_exact rides along to document the
+    ~13%% (m=64) error envelope the estimates actually achieve."""
+    from erased_cells_spark.functions.cardinality import hll_count_distinct
+
+    d = t(spark, sf_dir, "documents")
+    sk = hll_count_distinct(d, "doc_id", ["source"], p=6)
+    exact = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_exact"))
+    return (
+        sk.join(exact, "source")
+        .select("source", "hll_estimate_r", "nonzero_buckets", "n_exact")
+        .orderBy("source")
+    )
+
+
+@twin(
     "emb_kmeans_assign",
     oracle="""
 WITH q AS (
