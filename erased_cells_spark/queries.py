@@ -4756,6 +4756,56 @@ def doc_lang_temperature_sample(spark, sf_dir):
 
 
 @twin(
+    "events_value_quantiles",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+), q AS (
+  SELECT event_type, count(*) AS n,
+         quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
+  FROM c GROUP BY event_type
+)
+SELECT event_type, n,
+       round(qs[1] / 100.0, 4) AS q25,
+       round(qs[2] / 100.0, 4) AS q50,
+       round(qs[3] / 100.0, 4) AS q75
+FROM q ORDER BY event_type
+""",
+)
+def events_value_quantiles(spark, sf_dir):
+    """Exact distributed quantiles (TDIGEST-free): per-event-type quartiles
+    of the value column via the exact sort-based percentile aggregate.
+    Exactness argument: values quantize to integer CENTS first, and at
+    quarter fractions the linear interpolation lo + (hi-lo)*frac is exact
+    double arithmetic on integers (frac in {0, .25, .5, .75} is a dyadic
+    rational; hi-lo is an int), so Spark's percentile() and DuckDB's
+    quantile_cont() agree bit-for-bit REGARDLESS of which algebraically
+    equivalent interpolation formula each engine uses — interpolating raw
+    2-decimal doubles would differ in the last ulp. One shuffle on
+    event_type; exact percentile is O(n log n) per group and per-group
+    data must fit an executor — the documented tradeoff vs the sketch
+    path (approx_percentile) a 100 TB pipeline would pick per-use."""
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    q = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("percentile(cents, array(0.25D, 0.5D, 0.75D))").alias("qs"),
+    )
+    return q.select(
+        "event_type",
+        "n",
+        F.round(F.element_at("qs", 1) / 100.0, 4).alias("q25"),
+        F.round(F.element_at("qs", 2) / 100.0, 4).alias("q50"),
+        F.round(F.element_at("qs", 3) / 100.0, 4).alias("q75"),
+    ).orderBy("event_type")
+
+
+@twin(
     "doc_hll_cardinality",
     oracle="""
 WITH h AS (

@@ -2581,7 +2581,11 @@ class SnapshotTable:
 
     # ----- SQL surface ------------------------------------------------------
     def create_or_replace_view(
-        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        name: str,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Register the snapshot (CURRENT by default) as a Spark temp view
         so `spark.sql` speaks the engine's tables — the first thing an
@@ -2590,9 +2594,11 @@ class SnapshotTable:
         merge-on-read delete sets ALL apply, so SQL over the view ≡ read()
         under every evolution state. The view PINS the snapshot resolved at
         registration time (a later commit needs a re-register to become
-        visible — time-travel-consistent, never half-new). Returns the
-        underlying DataFrame."""
-        df = self.read(spark, snapshot_id)
+        visible — time-travel-consistent, never half-new). Pass ref= to
+        register a TAG's pinned snapshot or a BRANCH head (audit queries
+        over a staging branch before fast_forward publishes it). Returns
+        the underlying DataFrame."""
+        df = self.read(spark, snapshot_id, ref=ref)
         df.createOrReplaceTempView(name)
         return df
 

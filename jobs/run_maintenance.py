@@ -25,10 +25,17 @@ composable, reported as one JSON metrics line:
                    DIR over this table's lon/lat columns
                    (sources/pyramid.TilePyramid)
 
+  --create-tag NAME[:SID] / --create-branch NAME[:SID] /
+  --fast-forward NAME / --drop-ref NAME  (r7) named-ref lifecycle: pin
+                   releases, fork/publish write-audit-publish staging
+                   branches, release pins for GC
+
 Order matters and is fixed: deletes fold first (so compaction and blooms
 see final rows), then the sort-order spec (so this run's compaction
 already honors it), then compaction, then blooms (over the compacted
-files), then expiry (reclaiming everything the earlier steps orphaned)."""
+files), then refs (so a fresh tag protects this run's state), then
+expiry (reclaiming everything the earlier steps orphaned, except what
+tags and live branches pin)."""
 
 from __future__ import annotations
 
@@ -55,6 +62,25 @@ def main() -> None:
     ap.add_argument("--pyramid-levels", type=int, default=2)
     ap.add_argument("--sort-by", default=None, metavar="C1,C2,...")
     ap.add_argument("--clear-sort-order", action="store_true")
+    ap.add_argument(
+        "--create-tag", default=None, metavar="NAME[:SID]",
+        help="pin a main snapshot (CURRENT or :SID) under an immutable "
+        "name; tagged snapshots are exempt from --expire",
+    )
+    ap.add_argument(
+        "--create-branch", default=None, metavar="NAME[:SID]",
+        help="fork a write-audit-publish staging branch from a main snapshot",
+    )
+    ap.add_argument(
+        "--fast-forward", default=None, metavar="NAME",
+        help="publish a branch head to main (fails loud if main moved "
+        "since the fork)",
+    )
+    ap.add_argument(
+        "--drop-ref", default=None, metavar="NAME",
+        help="remove a tag/branch pointer; the next --expire sweeps a "
+        "dropped branch's manifests and exclusive data dirs",
+    )
     args = ap.parse_args()
     if sum(x is not None and x is not False
            for x in (args.zorder, args.sort_by, args.clear_sort_order)) > 1:
@@ -126,6 +152,22 @@ def main() -> None:
                 spark, table, res=args.pyramid_res, n_levels=args.pyramid_levels
             )
             out["steps"]["pyramid"] = {"mode": "build", "rows_per_level": rows}
+    def _ref_arg(v: str):
+        name, _, sid = v.partition(":")
+        return name, (int(sid) if sid else None)
+
+    if args.create_tag:
+        name, sid = _ref_arg(args.create_tag)
+        out["steps"]["create_tag"] = table.create_tag(name, snapshot_id=sid)
+    if args.create_branch:
+        name, sid = _ref_arg(args.create_branch)
+        out["steps"]["create_branch"] = table.create_branch(name, snapshot_id=sid)
+    if args.fast_forward:
+        sid = table.fast_forward(args.fast_forward)
+        out["steps"]["fast_forward"] = {"ref": args.fast_forward, "snapshot": sid}
+    if args.drop_ref:
+        table.drop_ref(args.drop_ref)
+        out["steps"]["drop_ref"] = {"ref": args.drop_ref}
     if args.expire is not None:
         res = table.expire_snapshots(keep_last=args.expire)
         out["steps"]["expire"] = {

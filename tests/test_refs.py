@@ -241,6 +241,21 @@ class TestBranches:
         table.expire_snapshots(keep_last=1)
         assert table.read(spark, ref="exp").count() == 1100
 
+    def test_sql_view_over_ref(self, spark, table):
+        """The SQL surface speaks refs: a view over a branch head lets an
+        analyst audit staged data before fast_forward publishes it."""
+        seeded(spark, table)
+        table.create_branch("exp")
+        table.write_partitions(
+            pages(spark, 300, seed=7000).withColumn("bucket", F.lit(7).cast("long")),
+            "bucket", [7], branch="exp",
+        )
+        table.create_or_replace_view(spark, "tbl_main")
+        table.create_or_replace_view(spark, "tbl_exp", ref="exp")
+        n_main = spark.sql("SELECT count(*) AS n FROM tbl_main").collect()[0]["n"]
+        n_exp = spark.sql("SELECT count(*) AS n FROM tbl_exp").collect()[0]["n"]
+        assert (n_main, n_exp) == (800, 1100)
+
     def test_refs_listing(self, spark, table):
         seeded(spark, table)
         table.create_tag("v1")
