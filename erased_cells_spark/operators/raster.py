@@ -720,3 +720,111 @@ def marching_cases(
         .otherwise(F.lit(1))
     )
     return case.withColumn("n_segments", segs).orderBy("bx", "by")
+
+
+# D8 direction codes (the ESRI/ArcGIS encoding): E=1, SE=2, S=4, SW=8,
+# W=16, NW=32, N=64, NE=128, with +dy treated as south on the cell grid.
+# w is the exactness weight: comparing an orthogonal drop d_o against a
+# diagonal drop d_d over distance sqrt(2) is d_o > d_d/sqrt(2), i.e.
+# 2*d_o^2 > d_d^2 on positive ints — so the sort key drop^2 * w (w=2
+# orthogonal, w=1 diagonal) ranks steepness EXACTLY with no sqrt anywhere.
+_D8_DIRS = [
+    (1, 0, 1, 2), (1, 1, 2, 1), (0, 1, 4, 2), (-1, 1, 8, 1),
+    (-1, 0, 16, 2), (-1, -1, 32, 1), (0, -1, 64, 2), (1, -1, 128, 1),
+]
+
+
+def d8_flow(cells: DataFrame, res: int) -> DataFrame:
+    """D8 flow direction (the `gdaldem`/hydrology routing primitive) over
+    a sparse lit-cell surface (cell, n): each cell routes to its
+    steepest-DESCENT lit neighbor among the 8, encoded E=1..NE=128;
+    cells with no lower lit neighbor are pits/flats (dir_code 0,
+    to_cell NULL). Steepness comparison is the exact integer key
+    drop^2 * (2 orthogonal | 1 diagonal) — see _D8_DIRS — with the
+    standard direction-code tie-break, so routing is deterministic and
+    cross-engine identical. The x axis wraps at the antimeridian (the
+    grid's convention everywhere); y clips at the poles.
+
+    Plan: one 8-way JVM explode, one equi-join back on the neighbor key
+    (lit cells only — absent cells can't receive flow by definition),
+    one per-cell window. No Python, no NLJ; the join and window share
+    the cell-key shuffle."""
+    from pyspark.sql import Window
+
+    n = 1 << res
+    dirs = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                F.lit(code).alias("code"), F.lit(w).alias("w"),
+            )
+            for dx, dy, code, w in _D8_DIRS
+        ]
+    )
+    c = cells.select(F.col("cell"), F.col("n").alias("z"))
+    cand = (
+        c.select("cell", "z", F.explode(dirs).alias("d"))
+        .withColumn("ny", F.expr(f"cell div {n}") + F.col("d.dy"))
+        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+        .withColumn("nx", ((F.col("cell") % n) + F.col("d.dx") + n) % n)
+        .select(
+            "cell", "z", F.col("d.code").alias("code"), F.col("d.w").alias("w"),
+            (F.col("ny") * n + F.col("nx")).alias("ncell"),
+        )
+    )
+    tgt = cells.select(F.col("cell").alias("ncell"), F.col("n").alias("zn"))
+    drops = (
+        cand.join(tgt, "ncell")
+        .filter(F.col("z") > F.col("zn"))
+        .withColumn("drop", F.col("z") - F.col("zn"))
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        (F.col("drop") * F.col("drop") * F.col("w")).desc(), F.col("code")
+    )
+    best = (
+        drops.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .select("cell", "code", "ncell", "drop")
+    )
+    return (
+        cells.join(best, "cell", "left")
+        .select(
+            "cell",
+            F.col("n").alias("n_docs"),
+            F.coalesce(F.col("code"), F.lit(0)).cast("long").alias("dir_code"),
+            F.col("ncell").alias("to_cell"),
+            F.col("drop").alias("drop"),
+        )
+    )
+
+
+def sql_d8_flow(cells_cte: str, res: int) -> str:
+    """DuckDB twin of d8_flow: identical directions, wrap, exact key,
+    tie-break. `cells_cte` must expose (cell, n)."""
+    n = 1 << res
+    dirs = ", ".join(f"({dx}, {dy}, {code}, {w})" for dx, dy, code, w in _D8_DIRS)
+    return f"""
+dirs(dx, dy, code, w) AS (VALUES {dirs}),
+cand AS (
+  SELECT c.cell, c.n AS z, d.code, d.w,
+         ((c.cell // {n}) + d.dy) * {n} + (((c.cell % {n}) + d.dx) + {n}) % {n} AS ncell
+  FROM {cells_cte} c, dirs d
+  WHERE (c.cell // {n}) + d.dy >= 0 AND (c.cell // {n}) + d.dy < {n}
+),
+drops AS (
+  SELECT cand.cell, cand.code, cand.ncell, cand.z - t.n AS drop, cand.w
+  FROM cand JOIN {cells_cte} t ON t.cell = cand.ncell
+  WHERE cand.z > t.n
+),
+ranked AS (
+  SELECT cell, code, ncell, drop,
+         row_number() OVER (PARTITION BY cell
+                            ORDER BY drop * drop * w DESC, code) AS rn
+  FROM drops
+),
+d8 AS (
+  SELECT c.cell, c.n AS n_docs,
+         coalesce(r.code, 0) AS dir_code, r.ncell AS to_cell, r.drop AS drop
+  FROM {cells_cte} c
+  LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.cell = c.cell
+)"""

@@ -4755,6 +4755,42 @@ def doc_lang_temperature_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
 
 
+def _d8_oracle() -> str:
+    from erased_cells_spark.operators.raster import sql_d8_flow
+
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 4)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+),
+{sql_d8_flow('cells', 4)}
+SELECT cell, n_docs, dir_code, to_cell, drop FROM d8 ORDER BY cell
+"""
+
+
+@twin("raster_d8_flow", oracle=_d8_oracle())
+def raster_d8_flow(spark, sf_dir):
+    """D8 flow direction (operators/raster.d8_flow) over the res-4 doc
+    density surface — the hydrology routing primitive completing the
+    gdaldem family (slope/aspect/hillshade/contours landed earlier this
+    round). Every comparison is exact integer arithmetic: steepness
+    ranks by drop^2 * (2 orthogonal | 1 diagonal) — algebraically
+    equivalent to drop/distance with sqrt(2) but with no float anywhere —
+    with the standard direction-code tie-break, so the full routing
+    table (incl. pits as dir 0) is bit-identical cross-engine. One 8-way
+    JVM explode + one equi-join + one window, sharing the cell shuffle."""
+    from erased_cells_spark.operators.raster import d8_flow
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 4).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return d8_flow(cells, res=4).orderBy("cell")
+
+
 @twin(
     "events_value_quantiles",
     oracle="""
