@@ -134,3 +134,48 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS shortest hop counts over a directed edge table:
+    (id, hops) for every vertex reachable from any source within
+    max_hops (sources themselves at 0). Level-synchronous frontier
+    expansion — each level is one equi-join frontier->edges plus an
+    anti-join against the visited set, lineage cut per level with
+    localCheckpoint (the components.py convention); the only driver
+    state is one emptiness scalar per level. Level-synchrony IS the
+    shortest-path proof: a vertex is labeled the first level it appears,
+    and every edge is explored from a frontier exactly once.
+
+    Scale shape: right for SMALL-DIAMETER graphs (web/link graphs, ~6
+    levels at any size — O(diameter) shuffles on dst). High-diameter
+    reachability belongs to the pointer-jumping components operator
+    (doubling rounds), not BFS."""
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    frontier = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -4755,6 +4755,44 @@ def doc_lang_temperature_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
 
 
+def _bfs_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH RECURSIVE edges AS ({doc_edges_sql()}),
+walk(id, hops) AS (
+  SELECT doc_id, 0 FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.hops < 4
+)
+SELECT id, min(hops) AS hops FROM walk GROUP BY id ORDER BY id
+"""
+
+
+@twin("graph_bfs_hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS shortest hops (operators/graph.bfs_hops) from
+    docs {0,1,2} over the deterministic link graph, capped at 4 levels —
+    the crawl-frontier / seed-expansion primitive. The Spark side is
+    level-synchronous frontier expansion (visited anti-join proves
+    minimality, O(diameter) shuffles); the oracle enumerates ALL walks
+    up to the cap in a recursive CTE and folds min(hops) — two entirely
+    different algorithms, exact integer agreement. Output covers every
+    vertex reachable within the cap."""
+    from erased_cells_spark.operators.graph import bfs_hops, doc_link_edges
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n)
+    sources = docs.filter(F.col("doc_id") < 3)
+    return (
+        bfs_hops(edges, sources, max_hops=4, id_col="doc_id")
+        .orderBy("id")
+    )
+
+
 def _d8_oracle() -> str:
     from erased_cells_spark.operators.raster import sql_d8_flow
 

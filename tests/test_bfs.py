@@ -1,0 +1,78 @@
+"""BFS shortest hops (operators/graph.bfs_hops): hand graphs (chain,
+cycle, diamond, disconnected), python-BFS brute equivalence on a random
+graph, multi-source minimality, early-exit, and validation. Cross-engine
+identity is proven by the graph_bfs_hops twin."""
+
+from collections import deque
+
+import numpy as np
+import pytest
+
+from erased_cells_spark.operators.graph import bfs_hops
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src LONG, dst LONG")
+
+
+def sources_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id LONG")
+
+
+def run(spark, pairs, srcs, max_hops):
+    out = bfs_hops(edges_df(spark, pairs), sources_df(spark, srcs), max_hops)
+    return {r["id"]: r["hops"] for r in out.collect()}
+
+
+def python_bfs(pairs, srcs, max_hops):
+    adj: dict = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in srcs}
+    q = deque(srcs)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, []):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_chain_cycle_diamond(spark):
+    # chain 0->1->2->3, cycle 3->0, diamond 1->4, 2->4 (4 at hops 2)
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4), (2, 4)]
+    assert run(spark, pairs, [0], 10) == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}
+
+
+def test_hop_cap_and_disconnected(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (7, 8)]  # 7->8 unreachable from 0
+    got = run(spark, pairs, [0], 2)
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_multi_source_min(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (9, 3)]
+    got = run(spark, pairs, [0, 9], 10)
+    assert got[3] == 1  # via source 9, not hops 3 via 0
+
+
+def test_matches_python_bfs_random(spark):
+    rng = np.random.default_rng(17)
+    n = 200
+    pairs = list(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 600), rng.integers(0, n, 600))
+            if a != b
+        }
+    )
+    for cap in (0, 1, 3, 6):
+        assert run(spark, pairs, [0, 1], cap) == python_bfs(pairs, [0, 1], cap)
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError):
+        run(spark, [(0, 1)], [0], -1)
