@@ -4755,6 +4755,77 @@ def doc_lang_temperature_sample(spark, sf_dir):
     return kept.select("doc_id", "lang", "bucket", "threshold").orderBy("doc_id")
 
 
+@twin(
+    "user_interval_coverage",
+    oracle="""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) * 600000 AS e
+  FROM events
+), marked AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), islands AS (
+  SELECT user_id, s, e,
+         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY s, e) AS island_id
+  FROM marked
+), spans AS (
+  SELECT user_id, island_id, max(e) - min(s) AS span_us
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id, count(*) AS n_islands,
+       sum(span_us) AS covered_us, max(span_us) AS max_span_us
+FROM spans GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_interval_coverage(spark, sf_dir):
+    """Interval-union coverage (resource utilization / uptime analytics):
+    each event opens an interval of `value` minutes; per user, the total
+    UNION length of those intervals — overlapping and touching intervals
+    merge into islands (gaps-and-islands via a running-max window), then
+    coverage = sum over islands of (max end - min start). All arithmetic
+    is exact integer microseconds (durations quantize via round(value*100)
+    * 600000 — one exact double multiply + the shared half-away round),
+    so the two engines agree bit-for-bit incl. the touching-intervals
+    merge rule. Order among (s, e) ties cannot move island boundaries
+    (the running max is order-free over ties), so the window is total
+    where it needs to be. One shuffle on user_id, reused by every window
+    and the final rollup."""
+    e = t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ (unix_micros rejects it — the NTZ trap the dwell
+    # twin pinned): anchor-relative timestampdiff is tz-free on both
+    # engines, and every output is a DIFFERENCE so the anchor cancels
+    s = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    dur = F.round(F.col("value").cast("double") * 100).cast("long") * 600000
+    iv = e.select("user_id", s.alias("s"), (s + dur).alias("e"))
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    marked = iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    islands = marked.withColumn(
+        "island_id",
+        F.sum(
+            F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0)
+        ).over(w),
+    )
+    spans = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return (
+        spans.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.sum("span_us").alias("covered_us"),
+            F.max("span_us").alias("max_span_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def _bfs_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
 
