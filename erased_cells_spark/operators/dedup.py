@@ -161,6 +161,93 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: dict | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard >= threshold via PREFIX FILTERING (the
+    AllPairs/PPJoin family, Bayardo et al. WWW'07): identical output to
+    ngram_jaccard_pairs, but the candidate join runs over each doc's
+    PREFIX shingles only — the first p = sz - floor(threshold*sz) + 1
+    shingles under the global (document-frequency asc, shingle asc)
+    order. Completeness: J(A,B) >= t implies |A inter B| >= ceil(t*|A|)
+    (o >= t(|A|+|B|-o) and |B| >= o give o >= t|A|), so the shared
+    shingles cannot all hide in A's last ceil(t*|A|)-1 positions — A's
+    prefix contains a shared shingle, and symmetrically for B; under one
+    global total order the smallest shared shingle therefore lies in
+    BOTH prefixes, so the prefix-prefix equi-join finds every qualifying
+    pair. floor (not ceil) of the float product errs only toward a
+    LONGER prefix, so float rounding can never cost a pair.
+
+    Why it scales where the plain exact join cannot: a stop-shingle
+    shared by m docs emits m^2 join rows in ngram_jaccard_pairs, but
+    rarest-first ranking pushes hot shingles out of prefixes — the
+    quadratic blowup now happens only on RARE shingles, where m is
+    small. Candidates are then verified EXACTLY (one join back to full
+    shingle sets + the cross-multiplied threshold), so output equals the
+    brute-force pair set, shingle for shingle — unlike MinHash-LSH there
+    is no probabilistic recall story to audit.
+
+    `stats` (optional dict) receives {"candidates": ..., "pairs": ...}
+    — the measured pruning, driver-side scalars only."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from pyspark.sql import Window
+
+    sh = (
+        _spread(docs)
+        .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
+        .select("id", F.explode("shs").alias("sh"))
+    )
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "sh")),
+        )
+        .join(sizes, "id")
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.floor(F.col("sz") * F.lit(threshold)) + 1
+    ).select("id", "sh")
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(pb, (F.col("pa.sh") == F.col("pb.sh")) & (F.col("pa.id") < F.col("pb.id")))
+        .select(F.col("pa.id").alias("id_a"), F.col("pb.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("__idb"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    if stats is not None:
+        stats["candidates"] = cand.count()
+        stats["pairs"] = out.count()
+    return out
+
+
 # ------------------------------------------------------------------ MinHash --
 N_HASHES = 128
 LSH_BANDS = 32  # r = 4 rows/band → s-curve threshold ≈ (1/32)^(1/4) ≈ 0.42

@@ -1209,6 +1209,26 @@ def jaccard_dups(spark, sf_dir):
     )
 
 
+@twin("doc_prefix_jaccard_dups", oracle=_jaccard_sql(threshold=0.5))
+def doc_prefix_jaccard_dups(spark, sf_dir):
+    """EXACT Jaccard >= 0.5 via PREFIX FILTERING (dedup.
+    prefix_filter_jaccard_pairs — the AllPairs/PPJoin family): identical
+    pair set to the brute exact join, but candidates come only from each
+    doc's rarest-first prefix shingles, so boilerplate stop-shingles
+    never drive the m^2 blowup (the documented weakness that quarantines
+    ngram_jaccard_dups to twin status). Deterministic, no probabilistic
+    recall to audit — the third point of the dedup triangle: brute-exact
+    (oracle), MinHash-LSH (probabilistic scale path), prefix-filter
+    (exact scale path). Completeness proof in the operator docstring;
+    float-rounding in the prefix length can only LENGTHEN prefixes."""
+    from erased_cells_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    out = prefix_filter_jaccard_pairs(t(spark, sf_dir, "documents"), 0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_a", "id_b")
+
+
 @query("minhash_lsh_dups", oracle=_JACCARD_SQL)
 def minhash_dups(spark, sf_dir):
     # LSH candidates + exact verification ⇒ same set as the exact operator.
