@@ -4846,6 +4846,79 @@ def user_interval_coverage(spark, sf_dir):
     )
 
 
+def _resample_oracle() -> str:
+    return f"""
+WITH fixes AS (
+  SELECT user_id, event_id,
+         date_diff('microsecond', TIMESTAMP '2024-01-01 00:00:00', ts) AS t_us,
+         {sql_lon("'ev-' || user_id::VARCHAR || '-' || event_id::VARCHAR")} AS lon,
+         {sql_lat("'ev-' || user_id::VARCHAR || '-' || event_id::VARCHAR")} AS lat
+  FROM events WHERE user_id % 10 = 0
+), seg AS (
+  SELECT user_id,
+         lag(t_us)  OVER w AS t0,  t_us AS t1,
+         lag(lon)   OVER w AS lon0, lon AS lon1,
+         lag(lat)   OVER w AS lat0, lat AS lat1
+  FROM fixes
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+), ks AS (
+  SELECT user_id, t0, t1, lon0, lon1, lat0, lat1,
+         (t0 // 3600000000) + (CASE WHEN t0 % 3600000000 > 0 THEN 1 ELSE 0 END)
+           AS k_min,
+         (t1 // 3600000000) + (CASE WHEN t1 % 3600000000 > 0 THEN 1 ELSE 0 END) - 1
+           AS k_max
+  FROM seg WHERE t0 IS NOT NULL AND t1 > t0
+), ep AS (
+  SELECT user_id, t0, t1, lon0, lon1, lat0, lat1,
+         unnest(generate_series(k_min, k_max)) AS epoch
+  FROM ks WHERE k_max >= k_min
+)
+SELECT user_id, epoch,
+       round(lon0 + (lon1 - lon0) * ((epoch * 3600000000 - t0)::DOUBLE
+             / (t1 - t0)::DOUBLE), 6) AS lon_r,
+       round(lat0 + (lat1 - lat0) * ((epoch * 3600000000 - t0)::DOUBLE
+             / (t1 - t0)::DOUBLE), 6) AS lat_r
+FROM ep ORDER BY user_id, epoch
+"""
+
+
+@twin("user_track_resample", oracle=_resample_oracle())
+def user_track_resample(spark, sf_dir):
+    """Trajectory resampling (operators/trajectory.resample_tracks): each
+    user's irregular fix sequence interpolated onto the fixed hourly
+    epoch grid (a deterministic 10%% user stratum keeps the twin's
+    row-compare tractable; the operator itself is rate/volume-generic) — the normalization step every movement model wants.
+    Half-open segment ownership makes each epoch emit exactly once with
+    no distinct (proof in the operator docstring); epoch arithmetic is
+    exact integer ceil-division, and the interpolation is the same IEEE
+    expression tree on identical int64-derived doubles on both engines
+    (rounded to 6 per the float rule). One lag window per user + a
+    bounded sequence explode, zero joins, zero Python."""
+    from erased_cells_spark.operators.trajectory import resample_tracks
+
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    fixes = e.select(
+        "user_id",
+        F.col("event_id").alias("fix_id"),
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("t_us"),
+        geocode_lon(key).alias("lon"),
+        geocode_lat(key).alias("lat"),
+    )
+    out = resample_tracks(fixes, every_us=3_600_000_000)
+    return out.select(
+        "user_id",
+        "epoch",
+        F.round("lon", 6).alias("lon_r"),
+        F.round("lat", 6).alias("lat_r"),
+    ).orderBy("user_id", "epoch")
+
+
 def _bfs_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
 
