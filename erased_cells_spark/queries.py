@@ -4846,6 +4846,135 @@ def user_interval_coverage(spark, sf_dir):
     )
 
 
+@twin(
+    "events_cohort_retention",
+    oracle="""
+WITH weeks AS (
+  SELECT user_id,
+         date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) // 7 AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id
+)
+SELECT c.cohort_wk, w.wk - c.cohort_wk AS week_offset,
+       count(DISTINCT w.user_id) AS n_users
+FROM weeks w JOIN cohort c ON c.user_id = w.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention — the canonical product-analytics triangle: users
+    cohorted by first-activity week, n_users active at each week offset.
+    Day indices come from anchored tz-free timestampdiff (nonnegative, so
+    truncating div == floor — the div trap the resample twin pinned
+    cannot bite), cohort = min(week) per user, and the cohort join rides
+    the same user_id shuffle the week extraction created. Exact integers
+    + exact distinct counts end to end."""
+    e = t(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id",
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts) div 7"
+        ).alias("wk"),
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weeks.join(cohort, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+def _od_oracle() -> str:
+    zone_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN lon >= {x0!r} AND lon < {x1!r} AND lat >= {y0!r} AND lat < {y1!r} "
+            f"THEN {z}"
+            for z, x0, y0, x1, y1 in _BOXES
+        )
+        + " ELSE -1 END"
+    )
+    return f"""
+WITH pos AS (
+  SELECT user_id, ts, event_id,
+         {sql_lon(_TRAVEL_KEY_SQL)} AS lon, {sql_lat(_TRAVEL_KEY_SQL)} AS lat
+  FROM events
+), zoned AS (
+  SELECT user_id, ts, event_id,
+         date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS d,
+         {zone_case} AS zone
+  FROM pos
+), ranked AS (
+  SELECT user_id, d, zone,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rd
+  FROM zoned
+), od AS (
+  SELECT user_id, d,
+         max(CASE WHEN ra = 1 THEN zone END) AS zone_from,
+         max(CASE WHEN rd = 1 THEN zone END) AS zone_to
+  FROM ranked GROUP BY user_id, d
+)
+SELECT zone_from, zone_to,
+       count(*) AS n_user_days, count(DISTINCT user_id) AS n_users
+FROM od GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@twin("user_od_matrix", oracle=_od_oracle())
+def user_od_matrix(spark, sf_dir):
+    """Origin-destination matrix — the movement-analytics rollup: per
+    (user, day), the zone of the first and last fix; flows aggregated to
+    (zone_from, zone_to) with user-day and distinct-user counts. Zone
+    containment is the shared box CASE, day indexing the anchored
+    tz-free timestampdiff, first/last resolved by a total
+    (ts, event_id) order in two window passes over ONE (user, day)
+    shuffle that the OD fold then reuses. Exact ints; -1 is the
+    outside-every-zone origin/destination."""
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    pos = e.select(
+        "user_id", "ts", "event_id",
+        geocode_lon(key).alias("lon"), geocode_lat(key).alias("lat"),
+    )
+    zone = F.lit(-1)
+    for z, x0, y0, x1, y1 in reversed(_BOXES):
+        zone = F.when(
+            (F.col("lon") >= x0) & (F.col("lon") < x1)
+            & (F.col("lat") >= y0) & (F.col("lat") < y1),
+            F.lit(z),
+        ).otherwise(zone)
+    zoned = pos.select(
+        "user_id", "ts", "event_id",
+        F.expr("timestampdiff(DAY, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)").alias("d"),
+        zone.alias("zone"),
+    )
+    wa = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "d").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = zoned.select(
+        "user_id", "d", "zone",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    od = ranked.groupBy("user_id", "d").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("zone"))).alias("zone_from"),
+        F.max(F.when(F.col("rd") == 1, F.col("zone"))).alias("zone_to"),
+    )
+    return (
+        od.groupBy("zone_from", "zone_to")
+        .agg(
+            F.count("*").alias("n_user_days"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("zone_from", "zone_to")
+    )
+
+
 def _resample_oracle() -> str:
     return f"""
 WITH fixes AS (
