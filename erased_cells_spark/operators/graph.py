@@ -179,3 +179,54 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def bellman_ford(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Weighted shortest paths after exactly `rounds` synchronous
+    relaxation rounds (distributed Bellman-Ford): (id, cost) where cost
+    is the exact minimum total weight over walks of at most `rounds`
+    edges from any source (sources at 0). Integer weights -> every cost
+    and comparison is exact int64; with rounds >= |V|-1 and nonnegative
+    weights this is the true shortest-path table.
+
+    Each round is one equi-join dist->edges plus a min-fold groupBy —
+    the relaxation never needs the visited/frontier machinery BFS uses
+    because the min-fold is idempotent; lineage is cut per round
+    (localCheckpoint, the iterative-operator convention here). O(rounds)
+    shuffles on dst; right for the bounded-hop queries a link graph
+    asks ("cheapest path within 4 hops"), with the same small-diameter
+    caveat as bfs_hops for unbounded ones."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    dist = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(edges, dist["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: relaxation is monotone, equal row count + equal min-sum
+        # means no label changed (costs only ever decrease)
+        if (
+            new.count() == dist.count()
+            and new.agg(F.sum("cost")).collect()[0][0]
+            == dist.agg(F.sum("cost")).collect()[0][0]
+        ):
+            return new
+        dist = new
+    return dist

@@ -5048,6 +5048,45 @@ def user_track_resample(spark, sf_dir):
     ).orderBy("user_id", "epoch")
 
 
+def _bford_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH RECURSIVE edges AS (
+  SELECT src, dst, 1 + (src * 7 + dst * 13) % 5 AS w FROM ({doc_edges_sql()})
+),
+walk(id, cost, hops) AS (
+  SELECT doc_id, CAST(0 AS BIGINT), 0 FROM documents WHERE doc_id < 3
+  UNION ALL
+  SELECT e.dst, w.cost + e.w, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.id
+  WHERE w.hops < 4
+)
+SELECT id, min(cost) AS cost FROM walk GROUP BY id ORDER BY id
+"""
+
+
+@twin("graph_shortest_costs", oracle=_bford_oracle())
+def graph_shortest_costs(spark, sf_dir):
+    """Weighted shortest paths (operators/graph.bellman_ford): minimum
+    total weight within 4 relaxation rounds from sources {0,1,2} over
+    the link graph with deterministic integer weights
+    1 + (src*7 + dst*13) % 5. The Spark side is synchronous
+    Bellman-Ford (join + min-fold per round, monotone fixpoint early
+    exit); the oracle enumerates every weighted walk up to the hop cap
+    in a recursive CTE and folds min(cost) — different algorithms, exact
+    int64 agreement. Complements graph_bfs_hops (hops = unit weights)."""
+    from erased_cells_spark.operators.graph import bellman_ford, doc_link_edges
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n).withColumn(
+        "w", 1 + F.pmod(F.col("src") * 7 + F.col("dst") * 13, F.lit(5))
+    )
+    sources = docs.filter(F.col("doc_id") < 3)
+    return bellman_ford(edges, sources, rounds=4, id_col="doc_id").orderBy("id")
+
+
 def _bfs_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
 

@@ -76,3 +76,67 @@ def test_matches_python_bfs_random(spark):
 def test_validation(spark):
     with pytest.raises(ValueError):
         run(spark, [(0, 1)], [0], -1)
+
+
+# ---------------------------------------------------------- bellman-ford --
+from erased_cells_spark.operators.graph import bellman_ford  # noqa: E402
+
+
+def wedges_df(spark, triples):
+    return spark.createDataFrame(triples, "src LONG, dst LONG, w LONG")
+
+
+def run_bf(spark, triples, srcs, rounds):
+    out = bellman_ford(wedges_df(spark, triples), sources_df(spark, srcs), rounds)
+    return {r["id"]: r["cost"] for r in out.collect()}
+
+
+def python_bf(triples, srcs, rounds):
+    dist = {s: 0 for s in srcs}
+    for _ in range(rounds):
+        new = dict(dist)
+        for s, d, w in triples:
+            if s in dist and dist[s] + w < new.get(d, 1 << 60):
+                new[d] = dist[s] + w
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
+def test_bf_cheaper_long_path_beats_short(spark):
+    # direct edge cost 10 vs 3-hop path cost 3: enough rounds finds 3
+    triples = [(0, 9, 10), (0, 1, 1), (1, 2, 1), (2, 9, 1)]
+    assert run_bf(spark, triples, [0], 1)[9] == 10
+    assert run_bf(spark, triples, [0], 3)[9] == 3
+
+
+def test_bf_matches_python_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 150
+    triples = list(
+        {
+            (int(a), int(b), int(w))
+            for a, b, w in zip(
+                rng.integers(0, n, 500), rng.integers(0, n, 500), rng.integers(1, 9, 500)
+            )
+            if a != b
+        }
+    )
+    for rounds in (0, 1, 4):
+        assert run_bf(spark, triples, [0, 1], rounds) == python_bf(triples, [0, 1], rounds)
+
+
+def test_bf_fixpoint_early_exit_is_exact(spark):
+    # rounds far beyond the diameter: result equals the converged table
+    triples = [(0, 1, 2), (1, 2, 2), (2, 3, 2)]
+    assert run_bf(spark, triples, [0], 50) == {0: 0, 1: 2, 2: 4, 3: 6}
+
+
+def test_bf_validation(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_bf(spark, [(0, 1, 1)], [0], -1)
