@@ -5048,6 +5048,64 @@ def user_track_resample(spark, sf_dir):
     ).orderBy("user_id", "epoch")
 
 
+# Deterministic near-duplicate string fixture for the fuzzy join: docs in
+# groups of 4 share an md5-derived 8-hex base; members 1/2/3 apply one
+# deletion / substitution / insertion at a doc-dependent position, so the
+# corpus is dense in distance-0/1 pairs with the occasional cross-base
+# collision left for the verify step to adjudicate.
+_FUZZY_STR_SQL = """
+CASE doc_id % 4
+  WHEN 0 THEN base
+  WHEN 1 THEN substr(base, 1, k - 1) || substr(base, k + 1, 8)
+  WHEN 2 THEN substr(base, 1, k - 1) || 'z' || substr(base, k + 1, 8)
+  ELSE substr(base, 1, k - 1) || 'q' || substr(base, k, 8)
+END
+"""
+
+
+def _edit1_oracle() -> str:
+    return f"""
+WITH seed AS (
+  SELECT doc_id, substr(md5((doc_id // 4)::VARCHAR || '-w'), 1, 8) AS base,
+         doc_id % 7 + 1 AS k
+  FROM documents
+), strs AS (
+  SELECT doc_id, {_FUZZY_STR_SQL} AS s FROM seed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM strs a JOIN strs b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 1
+ORDER BY id_a, id_b
+"""
+
+
+@twin("doc_edit1_fuzzy_pairs", oracle=_edit1_oracle())
+def doc_edit1_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance-1 fuzzy self-join (operators/fuzzy.edit1_pairs, the
+    SymSpell deletion-neighborhood index): every pair of synthesized
+    near-duplicate strings within Levenshtein 1, exact. The oracle is the
+    brute O(n^2) levenshtein cross join — both engines implement the same
+    public Levenshtein, so distances are exact ints. The operator's plan
+    is a linear variant index + one equi-join + exact verify (no cross
+    join, no Python); completeness proof in the module docstring. The
+    string fixture plants deletions/substitutions/insertions in groups
+    of 4 so the pair set is dense and every mutation class is exercised."""
+    from erased_cells_spark.operators.fuzzy import edit1_pairs
+
+    d = t(spark, sf_dir, "documents")
+    base = F.substring(
+        F.md5(F.concat(F.expr("doc_id div 4").cast("string"), F.lit("-w"))), 1, 8
+    )
+    k = F.col("doc_id") % 7 + 1
+    seed = d.select("doc_id", base.alias("base"), k.alias("k"))
+    strs = seed.select("doc_id", F.expr(_FUZZY_STR_SQL).alias("s"))
+    return (
+        edit1_pairs(strs, id_col="doc_id", str_col="s")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _bford_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
 
