@@ -5048,6 +5048,60 @@ def user_track_resample(spark, sf_dir):
     ).orderBy("user_id", "epoch")
 
 
+@twin(
+    "doc_skyline_frontier",
+    oracle="""
+WITH pts AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS c1,
+         ('0x'||substr(md5('sk1-'||doc_id::VARCHAR),1,8))::BIGINT % 1000 AS c2,
+         ('0x'||substr(md5('sk2-'||doc_id::VARCHAR),1,8))::BIGINT % 1000 AS c3
+  FROM documents
+)
+SELECT p.doc_id, p.c1, p.c2, p.c3
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.c1 <= p.c1 AND q.c2 <= p.c2 AND q.c3 <= p.c3
+    AND (q.c1 < p.c1 OR q.c2 < p.c2 OR q.c3 < p.c3)
+)
+ORDER BY doc_id
+""",
+)
+def doc_skyline_frontier(spark, sf_dir):
+    """Skyline / Pareto-frontier query (operators/skyline.py): documents
+    not dominated on (length, and two md5-derived quality criteria) —
+    the multi-criteria shortlist operator. The Spark side is the
+    two-phase distributed skyline (per-partition numpy Pareto reduction,
+    then one pass over the tiny union — transitivity of dominance proves
+    phase 1 loses nothing); the oracle is the textbook NOT EXISTS
+    dominance anti-join, which is a cartesian NLJ no engine should run
+    at scale — exactly the plan the operator exists to avoid. Exact
+    integer comparisons; frontier duplicates all survive."""
+    from erased_cells_spark.operators.skyline import skyline
+
+    d = t(spark, sf_dir, "documents")
+
+    def mh(prefix):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        )
+
+    pts = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("c1"),
+        mh("sk1-").alias("c2"),
+        mh("sk2-").alias("c3"),
+    )
+    return skyline(pts, ["c1", "c2", "c3"]).orderBy("doc_id")
+
+
 # Deterministic near-duplicate string fixture for the fuzzy join: docs in
 # groups of 4 share an md5-derived 8-hex base; members 1/2/3 apply one
 # deletion / substitution / insertion at a doc-dependent position, so the
