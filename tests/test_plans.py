@@ -222,3 +222,66 @@ class TestPlanShapes:
             p = plan_of(TWIN_QUERIES[name](spark, SF_DIR))
             assert "Python" not in p, name
             assert "CartesianProduct" not in p, name
+
+
+class TestR7cPlanShapes:
+    """Plan discipline for the second r7 continuation session's operators."""
+
+    def test_segment_crossings_is_equi_join_no_python(self, spark):
+        # assert on the OPERATOR plan: the registered twin wraps it in the
+        # scale-invariant sampling whose 1-row count crossJoin is the
+        # repo's documented allowed pattern and would read as a BNLJ here
+        from erased_cells_spark.operators.crossings import segment_crossing_pairs
+
+        segs = spark.createDataFrame(
+            [(0, 0, 0, 10, 10), (1, 5, 0, 5, 10)],
+            "seg_id LONG, ax LONG, ay LONG, bx LONG, by LONG",
+        )
+        p = plan_of(segment_crossing_pairs(segs, grid=8))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # exactly-once first-shared-cell rule: no distinct/dedup aggregate
+        assert "HashAggregate" not in p and "SortAggregate" not in p
+
+    def test_prefix_filter_join_is_pure_builtin(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        p = plan_of(TWIN_QUERIES["doc_prefix_jaccard_dups"](spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_fuzzy_edit1_is_equi_join_no_python(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        p = plan_of(TWIN_QUERIES["doc_edit1_fuzzy_pairs"](spark, SF_DIR))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_d8_and_resample_and_coverage_are_pure_builtin(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        for name in ("raster_d8_flow", "user_track_resample", "user_interval_coverage",
+                     "events_cohort_retention", "user_od_matrix",
+                     "doc_lang_temperature_sample", "doc_hll_cardinality",
+                     "events_value_quantiles"):
+            p = plan_of(TWIN_QUERIES[name](spark, SF_DIR))
+            assert "BatchEvalPython" not in p, name
+            assert "ArrowEvalPython" not in p, name
+            assert "CartesianProduct" not in p, name
+
+    def test_kmeans_assign_is_broadcast_no_python(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        p = plan_of(TWIN_QUERIES["emb_kmeans_assign"](spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # the k-row centroid side must broadcast, never shuffle-join
+        assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p or "Broadcast" in p
+        assert "SortMergeJoin" not in p
+
+    def test_skyline_is_two_arrow_stages_no_shuffle_join(self, spark):
+        from erased_cells_spark.queries import TWIN_QUERIES
+
+        p = plan_of(TWIN_QUERIES["doc_skyline_frontier"](spark, SF_DIR))
+        # two mapInPandas phases by design; absolutely no join anywhere
+        assert p.count("MapInPandas") == 2
+        assert "Join" not in p and "CartesianProduct" not in p
