@@ -47,11 +47,9 @@ def _alpha(m: int) -> float:
 _HASH_BITS = 60  # 15 md5 hex chars: positive in int64 on any engine
 
 
-def hll_registers(
-    df: DataFrame, col: str, group_cols: list[str], p: int = 6
-) -> DataFrame:
-    """The sketch: (group_cols..., bucket, rho) with rho = max over rows.
-    Mergeable: union register tables and re-max to combine sketches."""
+def bucket_rho_exprs(col: str, p: int = 6):
+    """(bucket, rho) column expressions for one value — the per-row half
+    of the sketch, reusable by the streaming register maintainer."""
     if not 4 <= p <= 16:
         raise ValueError("p must be in [4, 16]")
     m = 1 << p
@@ -63,8 +61,17 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits + 1) - F.length(F.bin(w))
     )
+    return (h % m), rho
+
+
+def hll_registers(
+    df: DataFrame, col: str, group_cols: list[str], p: int = 6
+) -> DataFrame:
+    """The sketch: (group_cols..., bucket, rho) with rho = max over rows.
+    Mergeable: union register tables and re-max to combine sketches."""
+    bucket, rho = bucket_rho_exprs(col, p)
     return (
-        df.select(*group_cols, (h % m).alias("bucket"), rho.alias("rho"))
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
