@@ -5049,6 +5049,43 @@ def user_track_resample(spark, sf_dir):
 
 
 @twin(
+    "events_sliding_counts",
+    oracle="""
+WITH hopped AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', ts)
+           - unnest(generate_series(0, 1)) AS hop
+  FROM events
+)
+SELECT hop AS win_start_hr, event_type, count(*) AS n
+FROM hopped WHERE hop >= 0
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_sliding_counts(spark, sf_dir):
+    """Sliding (hopping) window aggregation: per event_type counts over
+    2-hour windows advancing every hour — each event lands in exactly
+    two windows. The Spark side is the built-in F.window(ts, '2 hours',
+    '1 hour') (Catalyst's window explode); the oracle derives the same
+    two hop indices arithmetically (anchored tz-free hour index minus
+    0/1). Window identity is reported as the integer start-hour, so no
+    timestamp formatting/zone surface exists at all; counts exact."""
+    e = t(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    hr = F.expr(
+        "timestampdiff(HOUR, TIMESTAMP_NTZ '2024-01-01 00:00:00', window.start)"
+    )
+    return (
+        e.select(win.alias("window"), "event_type")
+        .select(hr.alias("win_start_hr"), "event_type")
+        .filter(F.col("win_start_hr") >= 0)
+        .groupBy("win_start_hr", "event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("win_start_hr", "event_type")
+    )
+
+
+@twin(
     "doc_skyline_frontier",
     oracle="""
 WITH pts AS (
