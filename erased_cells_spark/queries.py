@@ -5049,6 +5049,75 @@ def user_track_resample(spark, sf_dir):
 
 
 @twin(
+    "doc_source_pmi_terms",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT source, word, count(*) AS c FROM words
+  WHERE length(word) > 0 GROUP BY 1, 2
+), wtot AS (SELECT word, sum(c) AS wc FROM c GROUP BY 1),
+stot AS (SELECT source, sum(c) AS sc FROM c GROUP BY 1),
+n AS (SELECT sum(c) AS n FROM c),
+scored AS (
+  SELECT c.source, c.word, c.c,
+         round(ln((c.c * n.n)::DOUBLE / (w.wc * s.sc)::DOUBLE), 6) AS pmi_r
+  FROM c JOIN wtot w ON w.word = c.word
+  JOIN stot s ON s.source = c.source, n
+  WHERE c.c >= 5
+), ranked AS (
+  SELECT source, word, c, pmi_r,
+         row_number() OVER (PARTITION BY source ORDER BY pmi_r DESC, word) AS rnk
+  FROM scored
+)
+SELECT source, word, c, pmi_r, rnk FROM ranked WHERE rnk <= 3
+ORDER BY source, rnk
+""",
+)
+def doc_source_pmi_terms(spark, sf_dir):
+    """Top discriminative terms per source by pointwise mutual information
+    — the corpus-diagnostics op behind domain tagging and contamination
+    triage ("which words over-index in this source"). All counts are
+    exact integers; pmi = ln(c*N / (W*S)) computes on exact int64
+    products cast to double (all < 2^53), with the rounded-score ranking
+    convention (round(,6) DESC, word) so the transcendental never
+    decides an order. One word-explode scan, three metadata-scale
+    aggregates, broadcast-joined back. Min-count 5 excludes rare-word
+    noise."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    c = words.groupBy("source", "word").agg(F.count("*").alias("c"))
+    wtot = c.groupBy("word").agg(F.sum("c").alias("wc"))
+    stot = c.groupBy("source").agg(F.sum("c").alias("sc"))
+    n = c.agg(F.sum("c").alias("n"))
+    scored = (
+        c.join(F.broadcast(wtot), "word")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c") >= 5)
+        .select(
+            "source", "word", "c",
+            F.round(
+                F.log(
+                    (F.col("c") * F.col("n")).cast("double")
+                    / (F.col("wc") * F.col("sc")).cast("double")
+                ),
+                6,
+            ).alias("pmi_r"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("pmi_r"), "word")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "word", "c", "pmi_r", F.col("rnk").cast("long").alias("rnk"))
+        .orderBy("source", "rnk")
+    )
+
+
+@twin(
     "events_sliding_counts",
     oracle="""
 WITH hopped AS (
