@@ -58,6 +58,14 @@ def main() -> None:
     ap.add_argument("--expire", type=int, default=None, metavar="KEEP")
     ap.add_argument("--zorder", default=None, metavar="LON,LAT[:RES[:KEY]]")
     ap.add_argument("--pyramid", default=None, metavar="DIR")
+    ap.add_argument(
+        "--matview", default=None, metavar="DIR",
+        help="build (first run) or incrementally refresh (later runs, "
+        "recompute-affected-groups from the table changelog) a persisted "
+        "GROUP BY view at DIR (sources/matview.MaterializedAggregate)",
+    )
+    ap.add_argument("--matview-group", default=None, metavar="C1,C2")
+    ap.add_argument("--matview-sum", default=None, metavar="C1,C2")
     ap.add_argument("--pyramid-res", type=int, default=8)
     ap.add_argument("--pyramid-levels", type=int, default=2)
     ap.add_argument("--sort-by", default=None, metavar="C1,C2,...")
@@ -168,6 +176,20 @@ def main() -> None:
     if args.drop_ref:
         table.drop_ref(args.drop_ref)
         out["steps"]["drop_ref"] = {"ref": args.drop_ref}
+    if args.matview:
+        from erased_cells_spark.sources.matview import MaterializedAggregate
+
+        mv = MaterializedAggregate(args.matview)
+        if mv.exists():
+            out["steps"]["matview"] = mv.refresh(spark, table)
+        else:
+            if not args.matview_group:
+                ap.error("--matview first build needs --matview-group")
+            out["steps"]["matview"] = mv.build(
+                spark, table,
+                group_cols=args.matview_group.split(","),
+                sum_cols=args.matview_sum.split(",") if args.matview_sum else [],
+            )
     if args.expire is not None:
         res = table.expire_snapshots(keep_last=args.expire)
         out["steps"]["expire"] = {
