@@ -204,6 +204,41 @@ def purchases_join_views_stream(
     ).select("user_id", "p_id", "v_id")
 
 
+def purchases_left_join_views_stream(
+    stream: DataFrame, gap: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: like
+    purchases_join_views_stream, but purchases with NO view in their
+    attribution window still emit — with NULL view columns — once the
+    watermark proves no matching view can ever arrive (Spark holds the
+    unmatched left row in state until left-side eviction time passes).
+    This is the attribution join a funnel actually needs: the
+    'organic purchase' rows are the interesting ones, and an inner join
+    silently drops them. Batch twin: the identical LEFT join on the
+    static table — equality incl. the null rows is the test contract."""
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    v = (
+        stream.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return p.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {gap}"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("user_id", "p_id", "v_id")
+
+
 def dedupe_stream(
     stream: DataFrame, key_cols: tuple[str, ...] = ("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:

@@ -317,3 +317,81 @@ class TestStreaming:
         # and most sessions should have closed (only per-user trailing ones open)
         n_users = len({u for u, _ in want})
         assert len(got) >= len(want) - n_users
+
+    def test_stream_stream_left_join_matches_batch(self, spark, tmp_path):
+        """LEFT OUTER stream-stream attribution: organic purchases (no view
+        in the window) emit with NULL v_id once the watermark proves no
+        match can arrive — total output equals the batch LEFT join. A
+        far-future sentinel file (later mtime -> processed last) drives
+        the final watermark past every real event so no row stays
+        withheld in state."""
+        import shutil
+        import time as _time
+
+        from erased_cells_spark.streaming.events import (
+            purchases_left_join_views_stream,
+        )
+
+        e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        src = str(tmp_path / "ev_src")
+        # ONE data file: the fixture spans a month, so slicing it across
+        # micro-batches would make most rows late vs the 2h watermark and
+        # the comparison would (correctly) diverge — arrival order is the
+        # contract under test only for the sentinel tail
+        e.coalesce(1).write.parquet(src)
+        # two sentinel files in successively-later batches: the first
+        # raises the watermark past every real event, the second forces
+        # one MORE micro-batch in which the join state evicts and the
+        # final unmatched-left null rows emit (outer emission runs a
+        # batch BEHIND the watermark raise). Each sentinel carries BOTH
+        # event types: the join's global watermark is the MIN of the
+        # purchase-side and view-side watermarks, so a view-only sentinel
+        # would leave the purchase side pinned at the real data's tail
+        # and the last purchases would never evict (found the hard way).
+        for i, ts_s in enumerate(["2099-01-01 00:00:00", "2099-01-02 00:00:00"]):
+            _time.sleep(1.1)
+            spark.createDataFrame(
+                [(999990 + 2 * i, ts_s, 1, "view", 0.0, "{}"),
+                 (999991 + 2 * i, ts_s, 1, "purchase", 0.0, "{}")],
+                "event_id LONG, ts_s STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+            ).select(
+                "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        stream = spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+        ).option("maxFilesPerTrigger", 1).parquet(src)  # 1: the two
+        # sentinels must land in SEPARATE micro-batches for the
+        # raise-then-evict sequence to happen
+        shutil.rmtree("/tmp/ckpt_ssj_left", ignore_errors=True)
+        out = run_stream_to_memory(
+            spark, purchases_left_join_views_stream(stream), "ssj_left", timeout=180
+        )
+        got = {
+            (r.user_id, r.p_id, r.v_id)
+            for r in out.collect()
+            if r.p_id < 999990  # sentinel purchases are harness plumbing
+        }
+        ee = e.withColumn("ts", F.col("ts").cast("timestamp"))
+        p = ee.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        v = ee.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        want = {
+            (r.user_id, r.p_id, r.v_id)
+            for r in p.join(
+                v,
+                (F.col("user_id") == F.col("v_user"))
+                & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 hour"))
+                & (F.col("v_ts") <= F.col("p_ts")),
+                "leftOuter",
+            ).select("user_id", "p_id", "v_id").collect()
+        }
+        assert got == want
+        organic = [x for x in got if x[2] is None]
+        assert len(organic) > 0  # the rows the inner join silently drops
