@@ -5048,6 +5048,94 @@ def user_track_resample(spark, sf_dir):
     ).orderBy("user_id", "epoch")
 
 
+def _dbscan_oracle() -> str:
+    return """
+WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents),
+pts AS (
+  SELECT doc_id AS id,
+         ('0x'||substr(md5('px-'||doc_id::VARCHAR),1,8))::BIGINT % 1250 AS x,
+         ('0x'||substr(md5('py-'||doc_id::VARCHAR),1,8))::BIGINT % 1250 AS y
+  FROM documents, n
+  WHERE ('0x'||substr(md5('pk-'||doc_id::VARCHAR),1,8))::BIGINT % 1000000
+        < 800000000 // n.cnt
+),
+nb AS (
+  SELECT a.id AS a, b.id AS b
+  FROM pts a JOIN pts b ON a.id != b.id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500
+),
+deg AS (SELECT a, count(*) AS d FROM nb GROUP BY a),
+core AS (
+  SELECT p.id FROM pts p LEFT JOIN deg ON deg.a = p.id
+  WHERE coalesce(deg.d, 0) + 1 >= 4
+),
+cedges AS (
+  SELECT nb.a, nb.b FROM nb
+  JOIN core ca ON ca.id = nb.a JOIN core cb ON cb.id = nb.b
+),
+walk(node, label) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.b, w.label FROM walk w JOIN cedges e ON e.a = w.node
+),
+comp AS (SELECT node, min(label) AS cluster FROM walk GROUP BY node),
+border AS (
+  SELECT nb.a AS id, min(c.cluster) AS bcluster
+  FROM nb JOIN comp c ON c.node = nb.b
+  WHERE nb.a NOT IN (SELECT id FROM core)
+  GROUP BY nb.a
+)
+SELECT p.id,
+  CASE WHEN co.id IS NOT NULL THEN 'core'
+       WHEN bo.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+  CASE WHEN co.id IS NOT NULL THEN coalesce(cm.cluster, p.id)
+       WHEN bo.id IS NOT NULL THEN bo.bcluster ELSE -1 END AS cluster
+FROM pts p
+LEFT JOIN core co ON co.id = p.id
+LEFT JOIN comp cm ON cm.node = p.id
+LEFT JOIN border bo ON bo.id = p.id
+ORDER BY p.id
+"""
+
+
+@twin("geo_dbscan_clusters", oracle=_dbscan_oracle())
+def geo_dbscan_clusters(spark, sf_dir):
+    """Exact DBSCAN (operators/dbscan.py) over md5-derived integer points
+    (scale-invariant ~800-point sample so the O(n^2) oracle stays
+    tractable; eps=50, min_pts=4 tuned for a real core/border/noise
+    mix): density clustering with no floats and no scan-order dependence
+    — squared-integer eps test, min-id component labels, min-cluster
+    border assignment — so the FULL labeling is bit-identical
+    cross-engine. Spark plan: eps-grid 3x3 neighbor join (no cross
+    join), degree groupBy, the shared pointer-jumping components
+    operator, one border min-fold. The oracle replays it as brute
+    distance pairs + a recursive min-label CTE."""
+    from erased_cells_spark.operators.dbscan import dbscan
+
+    d = t(spark, sf_dir, "documents")
+    cnt = d.agg(F.count("*").alias("cnt"))
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = (
+        d.crossJoin(F.broadcast(cnt))
+        .filter((mh("pk-") % 1000000) < F.expr("800000000 div cnt"))
+        .select(
+            F.col("doc_id").alias("id"),
+            (mh("px-") % 1250).alias("x"),
+            (mh("py-") % 1250).alias("y"),
+        )
+    )
+    return dbscan(pts, eps=50, min_pts=4).orderBy("id")
+
+
 @twin(
     "doc_source_pmi_terms",
     oracle="""
