@@ -5048,6 +5048,119 @@ def user_track_resample(spark, sf_dir):
     ).orderBy("user_id", "epoch")
 
 
+@twin(
+    "doc_frequent_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), toks2 AS (SELECT doc_id, w FROM toks WHERE length(w) >= 4),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks2),
+wc AS (SELECT w, count(*) AS c FROM toks2 GROUP BY w),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS support
+  FROM toks2 a JOIN toks2 b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+)
+SELECT p.w1, p.w2, p.support,
+       round((p.support * n.n_docs)::DOUBLE / (c1.c * c2.c)::DOUBLE, 6) AS lift_r
+FROM pairs p
+JOIN wc c1 ON c1.w = p.w1 JOIN wc c2 ON c2.w = p.w2, n
+WHERE p.support * 20 >= n.n_docs
+ORDER BY p.w1, p.w2
+""",
+)
+def doc_frequent_pairs(spark, sf_dir):
+    """Frequent itemset pairs (market-basket over document vocabularies):
+    co-occurring word pairs with support >= 5%% of docs, plus LIFT =
+    support*N / (c1*c2). Support threshold is cross-multiplied
+    (support*20 >= N — exact ints, never a rounded fraction); lift's
+    integer products stay under 2^53 before the one double division,
+    rounded(6). Plan: one distinct (doc, word) reduction, a per-doc
+    self-join (bounded by doc vocabulary size squared — the apriori
+    candidate explosion is the OUTPUT here, not an artifact), two
+    broadcast count dims."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 4)
+        .distinct()
+    )
+    n = toks.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    wc = toks.groupBy("w").agg(F.count("*").alias("c"))
+    a = toks.select("doc_id", F.col("w").alias("w1"))
+    b = toks.select(F.col("doc_id").alias("d2"), F.col("w").alias("w2"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("d2")) & (F.col("w1") < F.col("w2")))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("support"))
+    )
+    c1 = wc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = wc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pairs.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("support") * 20 >= F.col("n_docs"))
+        .select(
+            "w1", "w2", "support",
+            F.round(
+                (F.col("support") * F.col("n_docs")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double"),
+                6,
+            ).alias("lift_r"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+@twin(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+), rowtot AS (
+  SELECT from_type, sum(n) AS tot FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       round(p.n::DOUBLE / r.tot::DOUBLE, 6) AS prob_r
+FROM pairs p JOIN rowtot r ON r.from_type = p.from_type
+ORDER BY p.from_type, p.to_type
+""",
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences
+    — the user-journey diagnostic (what follows a view? where do errors
+    lead?). The lead window runs on the total (ts, event_id) order;
+    counts are exact ints, row-normalized probabilities are one double
+    division under round(,6). One shuffle on user_id, then a tiny
+    (types x types) aggregate."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type", "to_type", "n",
+            F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6)
+            .alias("prob_r"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
 def _dbscan_oracle() -> str:
     return """
 WITH RECURSIVE n AS (SELECT count(*) AS cnt FROM documents),
