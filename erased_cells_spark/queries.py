@@ -5115,6 +5115,64 @@ def doc_frequent_pairs(spark, sf_dir):
 
 
 @twin(
+    "events_mad_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         2 * CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v2
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(v2, 0.5) AS med2 FROM c GROUP BY 1
+), dev AS (
+  SELECT c.event_type, c.v2, abs(c.v2 - m.med2) AS dev2, m.med2
+  FROM c JOIN med m ON m.event_type = c.event_type
+), mad AS (
+  SELECT event_type, quantile_cont(dev2, 0.5) AS mad2 FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN d.dev2 > 3 * a.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       round(min(d.med2) / 200.0, 4) AS median_r,
+       round(min(a.mad2) / 200.0, 4) AS mad_r
+FROM dev d JOIN mad a ON a.event_type = d.event_type
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier counts per event type via exact MAD (median absolute
+    deviation — the robust-statistics alternative to z-scores, immune to
+    the outliers it hunts). Exactness: values quantize to DOUBLED cents
+    so the median of the even-integer population is itself an exact
+    integer double (midpoint of two even ints), deviations are exact
+    ints, and the MAD (median of ints) is integer-or-half — every
+    comparison dev > 3*MAD is exact double arithmetic with no rounding
+    hazard on either engine. Two grouped exact percentiles (one shuffle
+    each on event_type) and one conditional count."""
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        (F.round(F.col("value").cast("double") * 100).cast("long") * 2).alias("v2"),
+    )
+    med = c.groupBy("event_type").agg(F.expr("percentile(v2, 0.5D)").alias("med2"))
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("v2") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev2, 0.5D)").alias("mad2"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("dev2") > 3 * F.col("mad2")).cast("long")).alias("n_outliers"),
+            F.round(F.min("med2") / 200.0, 4).alias("median_r"),
+            F.round(F.min("mad2") / 200.0, 4).alias("mad_r"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@twin(
     "events_transition_matrix",
     oracle="""
 WITH seq AS (
