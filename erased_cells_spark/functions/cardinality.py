@@ -99,6 +99,24 @@ def hll_estimate(registers: DataFrame, group_cols: list[str], p: int = 6) -> Dat
     return s.select(*group_cols, F.round(est, 4).alias("hll_estimate_r"))
 
 
+def estimate_from_registers(regs: dict, p: int) -> float:
+    """Driver-side mirror of hll_estimate's arithmetic over a python
+    {bucket: rho} register dict: the integer indicator sum is exact
+    either way; the constant multiply/divide and the small-range ln ride
+    under round(,4) like the JVM path. Used by the streaming maintainer
+    and the manifest-level NDV statistic."""
+    import math
+
+    m = 1 << p
+    scale = _HASH_BITS - p + 1
+    s = sum(1 << (scale - r) for r in regs.values()) + (m - len(regs)) * (1 << scale)
+    raw = (_alpha(m) * m * m * float(1 << scale)) / float(s)
+    v = m - len(regs)
+    if raw <= 2.5 * m and v > 0:
+        return round(float(m) * math.log(float(m) / v), 4)
+    return round(raw, 4)
+
+
 def hll_count_distinct(
     df: DataFrame, col: str, group_cols: list[str], p: int = 6
 ) -> DataFrame:

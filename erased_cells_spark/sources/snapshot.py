@@ -2329,6 +2329,79 @@ class SnapshotTable:
             new_parts, _expected_parent=man["snapshot_id"], operation="build_bloom"
         )
 
+    def build_ndv(self, spark: SparkSession, col: str, p: int = 6) -> int:
+        """ANALYZE-style NDV statistics: per-partition deterministic-HLL
+        registers on `col` (functions/cardinality.py — md5 hash, exact
+        integer ranks) committed into the partition metas under "hll",
+        metadata-only like build_bloom. Registers MERGE BY MAX, so the
+        table-level estimate (`ndv`) folds the manifest without touching
+        data, and re-analyzing after appends only has to cover new
+        partitions (this call recomputes all — the registers of committed
+        partitions are deterministic, so the rewrite is byte-identical
+        for untouched data). Compaction rewrites metas without registers;
+        ndv() then fails loud rather than serving a stale statistic."""
+        from erased_cells_spark.functions.cardinality import hll_registers
+
+        man = self.current_manifest()
+        if not man["partitions"]:
+            raise ValueError(f"empty snapshot table at {self.path}")
+        tagged = self._tagged_read(spark)
+        rows = hll_registers(tagged, col, ["__part"], p=p).collect()
+        by_part: dict = {}
+        for r in rows:
+            by_part.setdefault(r["__part"], {})[int(r["bucket"])] = int(r["rho"])
+        new_parts = {}
+        for key, meta in man["partitions"].items():
+            hll = dict(meta.get("hll") or {})
+            hll[col] = {"p": p, "regs": by_part.get(key, {})}
+            new_parts[key] = {**meta, "hll": hll}
+        return self._commit_state(
+            new_parts, _expected_parent=man["snapshot_id"], operation="build_ndv"
+        )
+
+    def ndv(self, col: str, snapshot_id: int | None = None) -> dict:
+        """Table-level distinct-count estimate for `col` from the
+        manifest's per-partition HLL registers — a PURE METADATA fold
+        (max-merge, then the shared estimate formula), no data touched.
+        Fails loud when any non-empty partition lacks registers (analyze
+        is stale — appends or compaction since build_ndv): a statistic
+        silently ignoring data would be worse than none. Returns
+        {"estimate": float, "p": int, "partitions_merged": int}."""
+        from erased_cells_spark.functions.cardinality import estimate_from_registers
+
+        man = self.manifest(snapshot_id)
+        merged: dict = {}
+        p = None
+        n_merged = 0
+        for key, meta in man["partitions"].items():
+            ent = (meta.get("hll") or {}).get(col)
+            if ent is None:
+                if meta["rows"] == 0:
+                    continue
+                raise ValueError(
+                    f"partition {key} has no NDV registers for {col!r} — run "
+                    "build_ndv (appends/compaction since the last analyze)"
+                )
+            if p is None:
+                p = int(ent["p"])
+            elif p != int(ent["p"]):
+                raise ValueError(
+                    f"mixed NDV precisions for {col!r} ({p} vs {ent['p']}) — "
+                    "re-run build_ndv to normalize"
+                )
+            n_merged += 1
+            for b, r in ent["regs"].items():
+                b, r = int(b), int(r)
+                if r > merged.get(b, 0):
+                    merged[b] = r
+        if p is None:
+            raise ValueError(f"no NDV registers for {col!r} — run build_ndv")
+        return {
+            "estimate": estimate_from_registers(merged, p),
+            "p": p,
+            "partitions_merged": n_merged,
+        }
+
     def set_sort_order(self, spec: dict | None) -> int:
         """Record the table's SORT-ORDER SPEC (Iceberg sort_order / Delta
         OPTIMIZE ZORDER as a TABLE PROPERTY, r7 — VERDICT missing #6):

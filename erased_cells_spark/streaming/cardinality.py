@@ -19,8 +19,6 @@ live until the watermark passes its end."""
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,7 +32,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from erased_cells_spark.functions.cardinality import _HASH_BITS, _alpha, bucket_rho_exprs
+from erased_cells_spark.functions.cardinality import (
+    bucket_rho_exprs,
+    estimate_from_registers,
+)
 
 HLL_STREAM_SCHEMA = StructType(
     [
@@ -53,20 +54,6 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def _estimate(regs: dict, p: int) -> float:
-    """Mirror of hll_estimate's arithmetic in python doubles: the integer
-    indicator sum is exact either way; the constant multiply/divide and
-    the small-range ln ride under round(,4) like the batch path."""
-    m = 1 << p
-    scale = _HASH_BITS - p + 1
-    s = sum(1 << (scale - r) for r in regs.values()) + (m - len(regs)) * (1 << scale)
-    raw = (_alpha(m) * m * m * float(1 << scale)) / float(s)
-    v = m - len(regs)
-    if raw <= 2.5 * m and v > 0:
-        return round(float(m) * math.log(float(m) / v), 4)
-    return round(raw, 4)
-
-
 def _hll_fn(p: int):
     def fn(key, pdfs, state: GroupState):
         if state.hasTimedOut:
@@ -79,7 +66,7 @@ def _hll_fn(p: int):
                 [
                     {
                         "window_start_s": ws,
-                        "hll_estimate_r": _estimate(regs, p),
+                        "hll_estimate_r": estimate_from_registers(regs, p),
                         "nonzero_buckets": len(regs),
                         "buckets": order,
                         "rhos": [regs[b] for b in order],

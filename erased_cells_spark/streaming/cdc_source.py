@@ -64,7 +64,7 @@ SCHEMA_SAMPLE_PARTITIONS = 64
 # touching only these (build_bloom rewriting the blooms map, the one-time
 # seq-stamping migration) is INDEX/METADATA MAINTENANCE, not a replace —
 # flagging it would permanently wedge a strict-mode stream (ADVICE r6)
-_NON_DATA_META_KEYS = ("blooms", "committed_at", "seq")
+_NON_DATA_META_KEYS = ("blooms", "hll", "committed_at", "seq")
 
 
 def _is_data_change(a: dict, b: dict) -> bool:

@@ -56,6 +56,11 @@ def main() -> None:
         "never reach the driver; bit-identical output)",
     )
     ap.add_argument("--expire", type=int, default=None, metavar="KEEP")
+    ap.add_argument(
+        "--ndv", default=None, metavar="COL",
+        help="ANALYZE: commit per-partition deterministic-HLL registers on "
+        "COL (metadata-only) and report the merged table-level NDV estimate",
+    )
     ap.add_argument("--zorder", default=None, metavar="LON,LAT[:RES[:KEY]]")
     ap.add_argument("--pyramid", default=None, metavar="DIR")
     ap.add_argument(
@@ -149,6 +154,9 @@ def main() -> None:
     if args.bloom:
         sid = table.build_bloom(spark, args.bloom, distributed=args.bloom_distributed)
         out["steps"]["bloom"] = {"column": args.bloom, "snapshot": sid}
+    if args.ndv:
+        sid = table.build_ndv(spark, args.ndv)
+        out["steps"]["ndv"] = {"column": args.ndv, "snapshot": sid, **table.ndv(args.ndv)}
     if args.pyramid:
         from erased_cells_spark.sources.pyramid import TilePyramid
 
