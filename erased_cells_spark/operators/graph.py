@@ -230,3 +230,45 @@ def bellman_ford(
             return new
         dist = new
     return dist
+
+
+def dag_depth(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Topological depth (longest-path layer) of every vertex in a DAG:
+    depth(v) = 0 for sources (no in-edges), else 1 + max(depth(u)) over
+    in-edges (u, v) — the scheduling-layer / dependency-level query.
+    Synchronous max-fold relaxation: each round joins current depths to
+    out-edges and max-folds per dst; a fixpoint (no depth grew) ends it,
+    and exceeding max_rounds RAISES — on a DAG depths grow at most
+    |longest path| rounds, so non-termination means the input has a
+    cycle and a silent wrong answer would be worse than an error.
+    Exact integers; lineage cut per round (the iterative-operator
+    convention); O(depth) shuffles on dst."""
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    depth = nodes.withColumn("depth", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        relaxed = (
+            depth.join(edges, depth["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("depth") + 1).alias("depth"))
+        )
+        new = (
+            depth.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.max("depth").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if (
+            new.agg(F.sum("depth")).collect()[0][0]
+            == depth.agg(F.sum("depth")).collect()[0][0]
+        ):
+            return new
+        depth = new
+    raise ValueError(
+        f"dag_depth: no fixpoint after {max_rounds} rounds — the edge set "
+        "contains a cycle (or raise max_rounds for a deeper DAG)"
+    )

@@ -5525,6 +5525,45 @@ def doc_edit1_fuzzy_pairs(spark, sf_dir):
     )
 
 
+def _dag_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH RECURSIVE dag AS (
+  SELECT src, dst FROM ({doc_edges_sql()}) WHERE src % 16 < dst % 16
+),
+nodes AS (
+  SELECT src AS id FROM dag UNION SELECT dst FROM dag
+),
+walk(id, d) AS (
+  SELECT id, 0 FROM nodes
+  UNION
+  SELECT e.dst, w.d + 1 FROM walk w JOIN dag e ON e.src = w.id
+)
+SELECT id, max(d) AS depth FROM walk GROUP BY id ORDER BY id
+"""
+
+
+@twin("graph_dag_depth", oracle=_dag_oracle())
+def graph_dag_depth(spark, sf_dir):
+    """Topological depth (operators/graph.dag_depth): longest-path layer
+    per vertex of a LAYERED acyclic orientation of the link graph (keep
+    edges where src%16 < dst%16 — every path strictly climbs the layer,
+    so the DAG's depth is <= 15 at ANY corpus size; orienting on raw
+    src < dst would leave the +1 edge family as an O(n)-deep chain and
+    both the relaxation rounds and the oracle's recursion would scale
+    with the table). Spark runs synchronous max-fold relaxation to a
+    verified fixpoint (cycles fail loud instead of silently wrong); the
+    oracle enumerates all layer-monotone walks in a recursive CTE and
+    folds max. Exact integers at every scale."""
+    from erased_cells_spark.operators.graph import dag_depth, doc_link_edges
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n).filter(F.col("src") % 16 < F.col("dst") % 16)
+    return dag_depth(edges).orderBy("id")
+
+
 def _bford_oracle() -> str:
     from erased_cells_spark.operators.graph import doc_edges_sql
 

@@ -140,3 +140,46 @@ def test_bf_validation(spark):
 
     with _pytest.raises(ValueError):
         run_bf(spark, [(0, 1, 1)], [0], -1)
+
+
+# ------------------------------------------------------------ dag depth --
+from erased_cells_spark.operators.graph import dag_depth  # noqa: E402
+
+
+def run_depth(spark, pairs, **kw):
+    out = dag_depth(edges_df(spark, pairs), **kw)
+    return {r["id"]: r["depth"] for r in out.collect()}
+
+
+def test_dag_depth_hand_case(spark):
+    # diamond with a long arm: 0->1->2->4, 0->3->4, 5 isolated source via 5->4
+    pairs = [(0, 1), (1, 2), (2, 4), (0, 3), (3, 4), (5, 4)]
+    assert run_depth(spark, pairs) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 3, 5: 0}
+
+
+def test_dag_depth_matches_python(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    pairs = list(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in zip(rng.integers(0, 80, 300), rng.integers(0, 80, 300))
+            if a != b
+        }
+    )
+    # python longest-path relaxation over the (acyclic: src < dst) edges
+    depth = {v: 0 for e in pairs for v in e}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in pairs:
+            if depth[s] + 1 > depth[d]:
+                depth[d] = depth[s] + 1
+                changed = True
+    assert run_depth(spark, pairs) == depth
+
+
+def test_dag_depth_cycle_fails_loud(spark):
+    with pytest.raises(ValueError, match="cycle"):
+        run_depth(spark, [(0, 1), (1, 2), (2, 0)], max_rounds=10)
