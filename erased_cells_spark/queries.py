@@ -5115,6 +5115,108 @@ def doc_frequent_pairs(spark, sf_dir):
 
 
 @twin(
+    "events_value_deciles",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+), d AS (
+  SELECT event_type, cents,
+         ntile(10) OVER (PARTITION BY event_type ORDER BY cents, event_id)
+           AS decile
+  FROM c
+)
+SELECT event_type, decile, count(*) AS n,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def events_value_deciles(spark, sf_dir):
+    """Equi-depth histogram via NTILE: per event type, ten equal-count
+    value buckets with their cent boundaries — the quantile-bucketing
+    step feature binning and monotone calibration start from. NTILE's
+    remainder-to-early-buckets rule is standard on both engines and the
+    window order is made TOTAL with the event_id tie-break, so bucket
+    membership is deterministic; everything is exact integers."""
+    e = t(spark, sf_dir, "events")
+    c = e.select(
+        "event_type", "event_id",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
+@twin(
+    "user_time_weighted_value",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS t_next
+  FROM events
+), seg AS (
+  SELECT user_id, cents, t_next - t AS dur
+  FROM seq WHERE t_next IS NOT NULL AND t_next > t
+)
+SELECT user_id,
+       count(*) AS n_segments,
+       sum(CAST(cents AS DECIMAL(38,0)) * dur) AS weighted_sum,
+       sum(dur) AS total_us,
+       round(sum(CAST(cents AS DECIMAL(38,0)) * dur)::DOUBLE
+             / sum(dur)::DOUBLE / 100.0, 6) AS twap_r
+FROM seg GROUP BY user_id ORDER BY user_id
+""",
+)
+def user_time_weighted_value(spark, sf_dir):
+    """Time-weighted average value per user (TWAP — the financial/IoT
+    staple where a plain mean over-weights bursts): each event's value
+    holds until the next event; the weighted sum folds cents*duration_us
+    in DECIMAL(38,0) — each term fits int64 but a month of microseconds
+    times cents overflows the SUM, and decimal folds are also
+    order-independent, so both engines agree exactly; the final division
+    is one rounded double. Durations via lead on the total
+    (ts, event_id) order; zero-length segments drop (no weight)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # anchored tz-free micros (the NTZ convention); outputs are durations
+    # and duration-weighted sums, so the anchor cancels everywhere
+    tcol = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+        tcol.alias("t"),
+        F.lead(tcol).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull() & (F.col("t_next") > F.col("t")))
+    seg = seq.withColumn("dur", F.col("t_next") - F.col("t"))
+    wsum = F.sum(F.col("cents").cast("decimal(38,0)") * F.col("dur"))
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            wsum.alias("weighted_sum"),
+            F.sum("dur").alias("total_us"),
+            F.round(
+                wsum.cast("double") / F.sum("dur").cast("double") / 100.0, 6
+            ).alias("twap_r"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@twin(
     "events_mad_outliers",
     oracle="""
 WITH c AS (
