@@ -5115,6 +5115,112 @@ def doc_frequent_pairs(spark, sf_dir):
 
 
 @twin(
+    "events_json_props_rollup",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT)
+         AS n_distinct_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: the events' JSON props column parsed
+    per row (get_json_object / json_extract — the JSONPath both engines
+    share), cast to exact integers and rolled up per type. The 100 TB
+    note: JSON parsing is per-row JVM work but stays inside whole-stage
+    codegen (no Python); columnarize hot keys at ingest when a path is
+    queried repeatedly — this op is the probe that tells you which."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.countDistinct(F.get_json_object("props", "$.k")).alias("n_distinct_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@twin(
+    "events_pivot_dow",
+    oracle="""
+SELECT event_type,
+       CAST(sum(CASE WHEN dayofweek(ts) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sun,
+       CAST(sum(CASE WHEN dayofweek(ts) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS mon,
+       CAST(sum(CASE WHEN dayofweek(ts) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS tue,
+       CAST(sum(CASE WHEN dayofweek(ts) = 3 THEN 1 ELSE 0 END) AS BIGINT) AS wed,
+       CAST(sum(CASE WHEN dayofweek(ts) = 4 THEN 1 ELSE 0 END) AS BIGINT) AS thu,
+       CAST(sum(CASE WHEN dayofweek(ts) = 5 THEN 1 ELSE 0 END) AS BIGINT) AS fri,
+       CAST(sum(CASE WHEN dayofweek(ts) = 6 THEN 1 ELSE 0 END) AS BIGINT) AS sat
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def events_pivot_dow(spark, sf_dir):
+    """PIVOT/crosstab: event counts as a type x day-of-week matrix via the
+    DataFrame pivot operator with an EXPLICIT value list (an implicit
+    pivot runs a discovery pass and non-deterministic column order — the
+    100 TB rule is always pass the values). Day-of-week convention
+    pinned: Spark dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday —
+    the oracle maps accordingly. Exact counts."""
+    e = t(spark, sf_dir, "events")
+    days = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    piv = (
+        e.withColumn("dow", F.dayofweek("ts"))  # 1=Sunday .. 7=Saturday
+        .groupBy("event_type")
+        .pivot("dow", list(range(1, 8)))
+        .count()
+    )
+    out = piv.select(
+        "event_type",
+        *[F.coalesce(F.col(str(i + 1)), F.lit(0)).cast("long").alias(d)
+          for i, d in enumerate(days)],
+    )
+    return out.orderBy("event_type")
+
+
+@twin(
+    "events_range_frame_load",
+    oracle="""
+WITH c AS (
+  SELECT event_id,
+         date_diff('second', TIMESTAMP '2024-01-01 00:00:00', ts) AS t_s
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT event_id,
+       CAST(count(*) OVER (ORDER BY t_s RANGE BETWEEN 3600 PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS n_last_hour
+FROM c ORDER BY event_id
+""",
+)
+def events_range_frame_load(spark, sf_dir):
+    """RANGE-frame window: for each (sampled) event, how many sampled
+    events occurred in the trailing hour — the rolling-load query ROWS
+    frames cannot express (the frame is VALUE-based: all rows within
+    3600 seconds, however many). Event times become anchored tz-free
+    integer seconds so the range bound is exact; a deterministic 5%%
+    event stratum keeps the single unpartitioned window (a global sort
+    — stated; partition by a key for the 100 TB variant) small."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    c = e.select(
+        "event_id",
+        F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+        .alias("t_s"),
+    )
+    w = Window.orderBy("t_s").rangeBetween(-3600, 0)
+    return (
+        c.withColumn("n_last_hour", F.count("*").over(w).cast("long"))
+        .select("event_id", "n_last_hour")
+        .orderBy("event_id")
+    )
+
+
+@twin(
     "events_value_deciles",
     oracle="""
 WITH c AS (
