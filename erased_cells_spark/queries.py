@@ -5114,6 +5114,54 @@ def doc_frequent_pairs(spark, sf_dir):
     )
 
 
+def _langid_confusion_oracle() -> str:
+    return f"""
+WITH scored AS (
+  SELECT lang AS true_lang, {T.sql_lang_id('text')} AS pred_lang FROM documents
+), cells AS (
+  SELECT true_lang, pred_lang, count(*) AS n FROM scored GROUP BY 1, 2
+), tot AS (
+  SELECT true_lang, sum(n) AS t FROM cells GROUP BY 1
+)
+SELECT c.true_lang, c.pred_lang, c.n,
+       (c.true_lang = c.pred_lang) AS correct,
+       round(c.n::DOUBLE / x.t::DOUBLE, 6) AS rate_r
+FROM cells c JOIN tot x ON x.true_lang = c.true_lang
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
+@twin("doc_langid_confusion", oracle=_langid_confusion_oracle())
+def doc_langid_confusion(spark, sf_dir):
+    """Classifier evaluation as a query: the confusion matrix of the
+    engine's n-gram language identifier against the corpus's labeled
+    lang column — per (true, predicted) cell counts and row-normalized
+    rates. This is the eval harness every model-in-the-loop pipeline
+    runs after retraining a filter; counts exact, rates one rounded
+    double, and the langid expression itself is the same JVM codegen
+    both the registered langid query and the curation pipeline use."""
+    d = t(spark, sf_dir, "documents")
+    cells = (
+        d.select(
+            F.col("lang").alias("true_lang"),
+            T.lang_id(F.col("text")).alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = cells.groupBy("true_lang").agg(F.sum("n").alias("t"))
+    return (
+        cells.join(F.broadcast(tot), "true_lang")
+        .select(
+            "true_lang", "pred_lang", "n",
+            (F.col("true_lang") == F.col("pred_lang")).alias("correct"),
+            F.round(F.col("n").cast("double") / F.col("t").cast("double"), 6)
+            .alias("rate_r"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
 @twin(
     "events_json_props_rollup",
     oracle="""

@@ -113,3 +113,49 @@ def test_build_guards(spark, tmp_path, src):
     mv.build(spark, src, ["lang"])
     with pytest.raises(ValueError, match="already exists"):
         mv.build(spark, src, ["lang"])
+
+
+def test_stream_driven_refresh_composition(spark, tmp_path, src):
+    """Streaming IVM: the snapshot CDC stream TRIGGERS matview refreshes
+    per micro-batch (foreachBatch) — the view tracks the table with no
+    poller and no full recompute; a second stream drain after more
+    writes resumes from the checkpoint and converges again."""
+    import shutil
+
+    from erased_cells_spark.streaming.cdc_source import SnapshotCdcDataSource
+
+    spark.dataSource.register(SnapshotCdcDataSource)
+    mv = MaterializedAggregate(str(tmp_path / "mv"))
+    mv.build(spark, src, ["lang"], ["n_chars"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", src.path)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: mv.refresh(spark, src))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    extra = spark.createDataFrame(
+        [(91001, "aa bb", "en", "source-2", 5, 7)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG, bucket LONG",
+    )
+    src.write_partitions(extra, "bucket", [7])
+    drain()
+    assert view_state(spark, mv) == full_agg(spark, src)
+    src.write_partitions(
+        spark.createDataFrame(
+            [(91002, "cc", "tlh", "source-2", 2, 8)],
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG, bucket LONG",
+        ),
+        "bucket", [8],
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)  # fresh drain over the new window
+    drain()
+    assert view_state(spark, mv) == full_agg(spark, src)
+    assert mv.model["src_snapshot"] == src.metrics()["snapshot_id"]
