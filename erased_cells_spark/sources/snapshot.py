@@ -2329,6 +2329,99 @@ class SnapshotTable:
             new_parts, _expected_parent=man["snapshot_id"], operation="build_bloom"
         )
 
+    # ----- metadata tables (Iceberg's tbl.files / tbl.history / tbl.partitions)
+    def history_df(self, spark: SparkSession) -> DataFrame:
+        """Snapshot history as a DataFrame: (snapshot_id, committed_at_s,
+        operation, n_partitions, total_rows) — the audit query surface
+        (`SELECT * FROM tbl$history`). Pure manifest metadata."""
+        rows = [
+            (
+                int(s["snapshot_id"]),
+                None
+                if s.get("committed_at") is None
+                else time.strftime(
+                    "%Y-%m-%d %H:%M:%S", time.gmtime(s["committed_at"])
+                ),
+                s.get("operation", "append"),
+                int(s["n_partitions"]),
+                int(s["total_rows"]),
+            )
+            for s in self.snapshots()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id LONG, committed_at_s STRING, operation STRING, "
+            "n_partitions LONG, total_rows LONG",
+        )
+
+    def partitions_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Partition metadata as a DataFrame: (lineage, spec, rows, bytes,
+        n_files, seq, path) — `tbl$partitions`. Metadata-scale."""
+        rows = [
+            (
+                m.get("lineage", k),
+                m.get("spec"),
+                int(m["rows"]),
+                int(m.get("bytes", 0)),
+                int(m.get("n_files", 1)),
+                int(m.get("seq", 0)),
+                m["path"],
+            )
+            for k, m in self.manifest(snapshot_id)["partitions"].items()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "lineage STRING, spec STRING, rows LONG, bytes LONG, n_files LONG, "
+            "seq LONG, path STRING",
+        )
+
+    def files_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Data files as a DataFrame: (lineage, file, rows, bytes) from the
+        parquet footers of exactly the snapshot's committed files —
+        `tbl$files`, the input to small-file/compaction planning. Footer
+        reads only (no data)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        rows = []
+        for k, m in self.manifest(snapshot_id)["partitions"].items():
+            for f in sorted(
+                _glob.glob(os.path.join(self.path, m["path"], "*.parquet"))
+            ):
+                rows.append(
+                    (
+                        m.get("lineage", k),
+                        os.path.relpath(f, self.path),
+                        int(pq.ParquetFile(f).metadata.num_rows),
+                        int(os.path.getsize(f)),
+                    )
+                )
+        return spark.createDataFrame(
+            rows, "lineage STRING, file STRING, rows LONG, bytes LONG"
+        )
+
+    def snapshot_as_of(self, ts: float) -> int:
+        """TIMESTAMP time travel: the latest main snapshot committed at or
+        before unix time `ts` (Iceberg's FOR SYSTEM_TIME AS OF). Raises
+        when nothing that old survives (expired or pre-table)."""
+        best = None
+        for s in self.snapshots():
+            at = s.get("committed_at")
+            if at is not None and at <= ts:
+                if best is None or s["snapshot_id"] > best:
+                    best = s["snapshot_id"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before unix time {ts} at {self.path} "
+                "(expired, or before the table existed)"
+            )
+        return best
+
     def build_ndv(self, spark: SparkSession, col: str, p: int = 6) -> int:
         """ANALYZE-style NDV statistics: per-partition deterministic-HLL
         registers on `col` (functions/cardinality.py — md5 hash, exact
