@@ -6155,6 +6155,42 @@ def geo_segment_crossings(spark, sf_dir):
     return segment_crossing_pairs(segs, grid=512).orderBy("a_id", "b_id")
 
 
+def _quadtree_oracle() -> str:
+    from erased_cells_spark.operators.quadtree import sql_quadtree_leaves
+
+    inner = sql_quadtree_leaves(_DOC_PTS_SQL, base_res=3, max_res=7, cap=24)
+    return f"SELECT * FROM ({inner}) ORDER BY res, ix, iy"
+
+
+@twin("geo_quadtree_bins", oracle=_quadtree_oracle())
+def geo_quadtree_bins(spark, sf_dir):
+    """Adaptive quadtree binning (operators/quadtree.py): variable-
+    resolution spatial bins sized so no bin holds more than `cap` docs
+    (res 3..7) — the skew-adaptive partitioner that prevents hot spatial
+    keys BY CONSTRUCTION instead of salting them after the fact. Exact
+    integers end to end (counts + bit shifts); the oracle replays the
+    identical one-shuffle rollup and leaf rule (exactly-once cover proof
+    in the module docstring). cap=24 puts real subdivision at sf0.001
+    and drives bins to the max_res floor at sf0.1 — both leaf-rule
+    branches exercised at every scale.
+
+    The returned counts are recomputed THROUGH quadtree_assign (explode
+    the ancestor path, broadcast-join the leaves, re-aggregate), so the
+    oracle match simultaneously proves the leaf rule AND that assignment
+    is an exactly-once cover — if any point matched zero or two leaves,
+    the recounted n_docs would differ from the oracle's."""
+    from erased_cells_spark.operators.quadtree import quadtree_assign, quadtree_leaves
+
+    p = _doc_points(spark, sf_dir)
+    leaves = quadtree_leaves(p, base_res=3, max_res=7, cap=24)
+    return (
+        quadtree_assign(p, leaves, base_res=3, max_res=7)
+        .groupBy("res", "ix", "iy")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("res", "ix", "iy")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

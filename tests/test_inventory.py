@@ -50,6 +50,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.sources.warc",
     "erased_cells_spark.sources.avi",
     "erased_cells_spark.sources.geojson",
+    "erased_cells_spark.operators.quadtree",
 ]
 
 # the engine surface an operator must be reachable from (tests NOT included)
