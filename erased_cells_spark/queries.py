@@ -6191,6 +6191,33 @@ def geo_quadtree_bins(spark, sf_dir):
     )
 
 
+def _moran_oracle() -> str:
+    from erased_cells_spark.operators.autocorr import sql_local_moran
+
+    return f"SELECT * FROM ({sql_local_moran(_DOC_PTS_SQL, res=5)}) ORDER BY ix, iy"
+
+
+@twin("geo_moran_hotspots", oracle=_moran_oracle())
+def geo_moran_hotspots(spark, sf_dir):
+    """Spatial autocorrelation (operators/autocorr.py): Anselin LISA
+    quadrants (HH/LL/HL/LH/ISO), Getis-Ord-style focal sums, exact local
+    Moran numerators in DECIMAL(38,0), and the global Moran's I over the
+    res-5 doc-density grid — the ESDA layer answering "is density
+    clustered and where are the hot cores". Deviations are integral
+    (u = n·x − S), so every per-cell value and every sign test is exact
+    integer arithmetic; the only float is the one global division chain
+    under round(,6). Post-rollup work is all on the occupied-cell table
+    (metadata scale)."""
+    from erased_cells_spark.operators.autocorr import local_moran_cells
+
+    p = _doc_points(spark, sf_dir)
+    cells = p.groupBy(
+        CE.ix_expr(F.col("lon"), 5).alias("ix"),
+        CE.iy_expr(F.col("lat"), 5).alias("iy"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    return local_moran_cells(cells, res=5).orderBy("ix", "iy")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

@@ -51,6 +51,7 @@ OPERATOR_MODULES = [
     "erased_cells_spark.sources.avi",
     "erased_cells_spark.sources.geojson",
     "erased_cells_spark.operators.quadtree",
+    "erased_cells_spark.operators.autocorr",
 ]
 
 # the engine surface an operator must be reachable from (tests NOT included)
