@@ -6218,6 +6218,165 @@ def geo_moran_hotspots(spark, sf_dir):
     return local_moran_cells(cells, res=5).orderBy("ix", "iy")
 
 
+_KMV_SOURCES = ("src0", "src1", "src2", "src3")
+_KMV_K = 64
+# (k-1) * 2^60: 63 has 6 significant bits, so the product is EXACTLY
+# representable in double — both engines parse/compute the identical value
+_KMV_NUM = "(63.0 * 1152921504606846976.0)"
+
+
+def _kmv_overlap_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _KMV_SOURCES)
+    return f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE source IN ({srcs})
+),
+sh AS (
+  SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM toks WHERE len(w) >= 3)
+),
+hashed AS (SELECT DISTINCT source, ('0x'||substr(md5(g),1,15))::BIGINT AS hv FROM sh),
+sk AS (
+  SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rank
+  FROM hashed QUALIFY rank <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sk),
+pairs AS (SELECT a.source AS group_a, b.source AS group_b
+          FROM srcs a, srcs b WHERE a.source < b.source),
+u0 AS (
+  SELECT p.group_a, p.group_b, s.hv,
+         max(CASE WHEN s.source = p.group_a THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.source = p.group_b THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.group_a, p.group_b)
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY group_a, group_b ORDER BY hv) AS rank
+  FROM u0 QUALIFY rank <= {_KMV_K}
+),
+agg AS (
+  SELECT group_a, group_b, count(*) AS n_u,
+         max(CASE WHEN rank = {_KMV_K} THEN hv END) AS theta,
+         sum(in_a * in_b) AS n_both
+  FROM ranked GROUP BY 1, 2
+),
+persrc AS (
+  SELECT source, count(*) AS n_h, max(CASE WHEN rank = {_KMV_K} THEN hv END) AS h_k
+  FROM sk GROUP BY 1
+),
+est AS (
+  SELECT source, round(CASE WHEN n_h < {_KMV_K} THEN n_h::DOUBLE
+                            ELSE {_KMV_NUM} / h_k::DOUBLE END, 4) AS e
+  FROM persrc
+),
+exact0 AS (SELECT source, count(*) AS n_exact FROM hashed GROUP BY 1),
+inter AS (
+  SELECT x.source AS group_a, y.source AS group_b, count(*) AS exact_inter
+  FROM hashed x JOIN hashed y ON x.hv = y.hv AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT a.group_a AS group_a, a.group_b AS group_b, ea.e AS est_a_r, eb.e AS est_b_r,
+       round(CASE WHEN a.n_u < {_KMV_K} THEN a.n_u::DOUBLE
+                  ELSE {_KMV_NUM} / a.theta::DOUBLE END, 4) AS est_union_r,
+       round(a.n_both::DOUBLE / a.n_u::DOUBLE, 4) AS est_jaccard_r,
+       round((a.n_both::DOUBLE / a.n_u::DOUBLE)
+             * (CASE WHEN a.n_u < {_KMV_K} THEN a.n_u::DOUBLE
+                     ELSE {_KMV_NUM} / a.theta::DOUBLE END), 4) AS est_intersect_r,
+       a.n_both AS sketch_overlap,
+       xa.n_exact + xb.n_exact - coalesce(i.exact_inter, 0) AS exact_union,
+       coalesce(i.exact_inter, 0) AS exact_inter
+FROM agg a
+JOIN est ea ON ea.source = a.group_a
+JOIN est eb ON eb.source = a.group_b
+JOIN exact0 xa ON xa.source = a.group_a
+JOIN exact0 xb ON xb.source = a.group_b
+LEFT JOIN inter i ON i.group_a = a.group_a AND i.group_b = a.group_b
+ORDER BY a.group_a, a.group_b
+"""
+
+
+@twin("doc_kmv_overlap", oracle=_kmv_overlap_oracle())
+def doc_kmv_overlap(spark, sf_dir):
+    """KMV (bottom-k theta) sketch set algebra (functions/kmv.py):
+    pairwise shared-3-gram-shingle overlap between sources — per-source
+    distinct estimates, the UNION estimate from the merged bottom-k,
+    the Jaccard estimate (fraction of the union sketch present in both
+    sides), and the derived INTERSECTION estimate, with the exact
+    union/intersection counts riding along to document the error
+    envelope. This is the set operation HLL registers structurally
+    cannot answer (max-merge destroys sample identity — see
+    functions/cardinality.py); KMV keeps the k smallest md5-60-bit
+    hashes as the sketch, so intersections are membership counts over
+    exact int64 and every estimator is one divide of exact ints under
+    round(,4) ((k-1)*2^60 has 6 significant bits — exactly
+    representable, identical literal both engines). At 100 TB: sketches
+    persist at |groups|*k rows (metadata scale), merge by
+    union+re-rank, and overlap queries never rescan the corpus."""
+    from erased_cells_spark.functions.kmv import (
+        hash60,
+        kmv_estimate,
+        kmv_pair_overlap,
+        kmv_sketch,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isin(*_KMV_SOURCES))
+    w = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(
+                " ", F.get(w, i), F.get(w, i + 1), F.get(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = d.select("source", F.explode(grams).alias("g")).distinct()
+    sk = kmv_sketch(sh, "g", ["source"], k=_KMV_K)
+    est = kmv_estimate(sk, ["source"], k=_KMV_K)
+    ov = kmv_pair_overlap(sk, "source", k=_KMV_K)
+    hashed = sh.select("source", hash60(F.col("g")).alias("hv")).distinct()
+    n_exact = hashed.groupBy("source").agg(F.count("*").alias("n_exact"))
+    inter = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.hv") == F.col("y.hv")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("group_a"), F.col("y.source").alias("group_b")
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    ea = est.select(F.col("source").alias("group_a"), F.col("kmv_estimate_r").alias("est_a_r"))
+    eb = est.select(F.col("source").alias("group_b"), F.col("kmv_estimate_r").alias("est_b_r"))
+    xa = n_exact.select(F.col("source").alias("group_a"), F.col("n_exact").alias("n_a"))
+    xb = n_exact.select(F.col("source").alias("group_b"), F.col("n_exact").alias("n_b"))
+    return (
+        ov.join(F.broadcast(ea), "group_a")
+        .join(F.broadcast(eb), "group_b")
+        .join(F.broadcast(xa), "group_a")
+        .join(F.broadcast(xb), "group_b")
+        .join(inter, ["group_a", "group_b"], "left")
+        .select(
+            "group_a",
+            "group_b",
+            "est_a_r",
+            "est_b_r",
+            "est_union_r",
+            "est_jaccard_r",
+            "est_intersect_r",
+            "sketch_overlap",
+            (F.col("n_a") + F.col("n_b") - F.coalesce("exact_inter", F.lit(0))).alias(
+                "exact_union"
+            ),
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_inter"),
+        )
+        .orderBy("group_a", "group_b")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
