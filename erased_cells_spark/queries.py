@@ -6377,6 +6377,63 @@ def doc_kmv_overlap(spark, sf_dir):
     )
 
 
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_oracle() -> str:
+    return f"""
+WITH occ AS (SELECT event_type || '-' || user_id::VARCHAR AS k FROM events),
+counts AS (SELECT k, count(*) AS n FROM occ GROUP BY 1),
+rows_ AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS row),
+cells AS (
+  SELECT r.row, ('0x'||substr(md5('cms'||r.row||'-'||c.k),1,15))::BIGINT % {_CMS_W} AS col, c.n
+  FROM counts c CROSS JOIN rows_ r
+),
+counters AS (SELECT row, col, sum(n) AS cnt FROM cells GROUP BY 1, 2),
+top AS (SELECT k, n FROM counts ORDER BY n DESC, k LIMIT 20),
+probes AS (
+  SELECT t.k, t.n, r.row,
+         ('0x'||substr(md5('cms'||r.row||'-'||t.k),1,15))::BIGINT % {_CMS_W} AS col
+  FROM top t CROSS JOIN rows_ r
+)
+SELECT p.k AS key, max(p.n) AS n_exact, min(coalesce(c.cnt, 0)) AS cms_est
+FROM probes p LEFT JOIN counters c USING (row, col)
+GROUP BY 1 ORDER BY n_exact DESC, key
+"""
+
+
+@twin("events_cms_counts", oracle=_cms_oracle())
+def events_cms_counts(spark, sf_dir):
+    """Count-min sketch point queries (functions/cms.py): per-(event_type,
+    user) occurrence estimates from a d=4 x w=64 counter table, probed
+    for the top-20 exact keys. The sketch never undercounts (min over d
+    salted-md5 rows); with |keys| >> w the counters collide and the
+    overcount becomes visible against the exact counts riding along —
+    the bounded-error tradeoff a 100 TB frequency dashboard buys. The
+    whole pipeline is EXACT INT64 (hash, modulo, sums, min): zero float
+    discipline needed, bit-identical estimates on any engine and any
+    partitioning. Counter tables merge by cell-wise ADDITION, so shard/
+    day sketches compose without rescans; the only data-proportional
+    shuffle is the map-side-combined groupBy(key)."""
+    from erased_cells_spark.functions.cms import cms_build, cms_query
+
+    e = t(spark, sf_dir, "events")
+    occ = e.select(
+        F.concat(
+            F.col("event_type"), F.lit("-"), F.col("user_id").cast("string")
+        ).alias("k")
+    )
+    counters = cms_build(occ, "k", d=_CMS_D, w=_CMS_W)
+    counts = occ.groupBy("k").agg(F.count(F.lit(1)).alias("n_exact"))
+    top = counts.orderBy(F.desc("n_exact"), "k").limit(20)
+    est = cms_query(counters, top, "k", d=_CMS_D, w=_CMS_W)
+    return (
+        top.join(est, "k")
+        .select(F.col("k").alias("key"), "n_exact", "cms_est")
+        .orderBy(F.desc("n_exact"), "key")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
