@@ -6434,6 +6434,78 @@ def events_cms_counts(spark, sf_dir):
     )
 
 
+_CUSUM_DRIFT, _CUSUM_H = 5000, 50000  # cents
+
+
+def _cusum_oracle() -> str:
+    return f"""
+WITH c AS (
+  SELECT event_type, event_id, ts,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+), pref AS (
+  SELECT event_type, event_id, ts,
+         sum(cents - {_CUSUM_DRIFT}) OVER w AS p
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT event_type, event_id, ts,
+         p - least(0, min(p) OVER w2) AS cusum
+  FROM pref
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       count(*) AS n_pts,
+       sum(CASE WHEN cusum >= {_CUSUM_H} THEN 1 ELSE 0 END) AS n_alarms,
+       max(cusum) AS max_cusum,
+       min(CASE WHEN cusum >= {_CUSUM_H} THEN ts END) AS first_alarm_ts,
+       min(CASE WHEN cusum >= {_CUSUM_H} THEN event_id END) AS min_alarm_event_id
+FROM scored GROUP BY event_type ORDER BY event_type
+"""
+
+
+@twin("events_cusum_alarms", oracle=_cusum_oracle())
+def events_cusum_alarms(spark, sf_dir):
+    """CUSUM change-point detection (operators/changepoint.py): the
+    sequential max(0, s+x-k) recurrence computed as ONE window pass via
+    its prefix-sum closed form s_n = P_n - min(0, running_min(P_n)) —
+    the monitoring primitive ("has this series drifted above its target
+    level, and since when") that naive implementations force through
+    per-row recursion or a stateful stream. All arithmetic is int64
+    cents, so scores and alarm sets are bit-identical cross-engine; the
+    oracle nests the same two window aggregates in raw SQL. One shuffle
+    on the series key; the summary (counts, max excursion, first alarm
+    time, min alarming id) keeps the twin's output O(|series|) at every
+    SF while the scored rows underneath scale with the data."""
+    from erased_cells_spark.operators.changepoint import cusum_scores
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    scored = cusum_scores(
+        e, ["event_type"], ["ts", "event_id"], "cents",
+        drift=_CUSUM_DRIFT, h=_CUSUM_H,
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.sum(F.col("alarm").cast("long")).alias("n_alarms"),
+            F.max("cusum").alias("max_cusum"),
+            F.min(F.when(F.col("alarm"), F.col("ts"))).alias("first_alarm_ts"),
+            F.min(F.when(F.col("alarm"), F.col("event_id"))).alias(
+                "min_alarm_event_id"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
