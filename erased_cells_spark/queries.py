@@ -6506,6 +6506,76 @@ def events_cusum_alarms(spark, sf_dir):
     )
 
 
+def _bbox_overlap_oracle() -> str:
+    def mh(prefix):
+        return f"('0x'||substr(md5('{prefix}'||doc_id::VARCHAR),1,8))::BIGINT"
+
+    return f"""
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+rects AS (
+  SELECT doc_id AS rect_id,
+         {mh('rx-')} % 16000 AS x0,
+         {mh('ry-')} % 16000 AS y0,
+         {mh('rx-')} % 16000 + {mh('rw-')} % 384 AS x1,
+         {mh('ry-')} % 16000 + {mh('rh-')} % 384 AS y1
+  FROM documents, n
+  WHERE {mh('rk-')} % 1000000 < 1500000000 // n.cnt
+)
+SELECT a.rect_id AS a_id, b.rect_id AS b_id,
+       least(a.x1, b.x1) - greatest(a.x0, b.x0) AS inter_w,
+       least(a.y1, b.y1) - greatest(a.y0, b.y0) AS inter_h,
+       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+         * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS inter_area
+FROM rects a JOIN rects b
+  ON a.rect_id < b.rect_id
+ AND a.x0 <= b.x1 AND b.x0 <= a.x1
+ AND a.y0 <= b.y1 AND b.y0 <= a.y1
+ORDER BY a_id, b_id
+"""
+
+
+@twin("geo_bbox_overlaps", oracle=_bbox_overlap_oracle())
+def geo_bbox_overlaps(spark, sf_dir):
+    """Rectangle overlap self-join (operators/overlap.py): every pair of
+    intersecting axis-aligned rects with exact integer intersection
+    extents — the 2-D interval join (viewport hits, tile conflicts, bbox
+    pre-filters). Rects are md5-derived (scale-invariant ~1500-rect
+    deterministic sample keeps the O(n^2) oracle tractable); the
+    OPERATOR is the grid plan: cell explode -> (cx,cy) equi-join ->
+    exactly-once first-shared-cell filter (no distinct; the cell ranges
+    of two intersecting rects always share max-of-minima) -> residual
+    comparisons. Touching edges count (inter_area 0), exercising the
+    closed-interval boundary both engines must agree on exactly."""
+    from erased_cells_spark.operators.overlap import bbox_overlap_pairs
+
+    d = t(spark, sf_dir, "documents")
+    cnt = d.agg(F.count("*").alias("cnt"))
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    x0 = mh("rx-") % 16000
+    y0 = mh("ry-") % 16000
+    rects = (
+        d.crossJoin(F.broadcast(cnt))
+        .filter((mh("rk-") % 1000000) < F.expr("1500000000 div cnt"))
+        .select(
+            F.col("doc_id").alias("rect_id"),
+            x0.alias("x0"),
+            y0.alias("y0"),
+            (x0 + mh("rw-") % 384).alias("x1"),
+            (y0 + mh("rh-") % 384).alias("y1"),
+        )
+    )
+    return bbox_overlap_pairs(rects, grid=512).orderBy("a_id", "b_id")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
