@@ -198,3 +198,79 @@ SELECT j.ix, j.iy, j.n_docs, j.n_nbrs, j.nbr_docs,
        gstat.moran_i_r
 FROM j, gstat
 """
+
+
+# ------------------------------------------------------------ Ripley's K ---
+_EARTH_R_KM = 6371.0088
+# injected as the SAME literal into Spark and the SQL oracle so the
+# normalization constant is bit-identical (computing 4*pi*R^2 in each
+# engine separately would still agree, but a shared literal removes the
+# question entirely)
+SPHERE_AREA_KM2 = 4.0 * 3.141592653589793 * _EARTH_R_KM * _EARTH_R_KM
+PI = 3.141592653589793
+
+
+def ripley_k(
+    pts: DataFrame,
+    radii_km: list[float],
+    *,
+    id_col: str = "id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Ripley's K at multiple radii over a global (spherical) point set:
+    for each r, the count of unordered pairs within r great-circle km,
+    the K estimate, the CSR (complete spatial randomness) expectation,
+    and their ratio — the second-order clustering statistic that says
+    HOW MUCH more often points co-occur within r than chance, as a
+    function of scale (Moran tells you THAT density clusters; K tells
+    you at WHICH radii).
+
+        K_hat(r) = A * 2*pairs(r) / (n*(n-1))     (A = sphere area)
+        CSR K(r) = 2*pi*R^2*(1 - cos(r/R))        (spherical cap area)
+
+    ratio > 1: clustered at that scale; < 1: dispersed/inhibited.
+
+    Plan: ONE radius_pairs call at max(radii) — the exactly-once banded
+    equi-join — then conditional counts per radius from the same pair
+    table (one aggregate row, fanned to |radii| result rows). Pair
+    counts are exact ints; each statistic is a short shared-literal
+    double chain under round(,4)/(,6). O(|radii|) extra cost over the
+    single-radius join; no second shuffle."""
+    from erased_cells_spark.operators.radius import radius_pairs
+
+    if not radii_km or any(r <= 0 for r in radii_km):
+        raise ValueError("radii_km must be positive")
+    rmax = max(radii_km)
+    pairs = radius_pairs(pts, rmax, id_col=id_col, lon_col=lon_col, lat_col=lat_col)
+    n_pts = pts.select(F.count(F.lit(1)).alias("n"))
+    agg = pairs.agg(
+        *[
+            F.sum((F.col("dist_km") <= F.lit(float(r))).cast("long")).alias(f"p{i}")
+            for i, r in enumerate(radii_km)
+        ]
+    ).crossJoin(F.broadcast(n_pts))
+    import math
+
+    per_radius = []
+    for i, r in enumerate(radii_km):
+        csr = 2.0 * PI * _EARTH_R_KM * _EARTH_R_KM * (1.0 - math.cos(r / _EARTH_R_KM))
+        k_hat = (
+            F.lit(SPHERE_AREA_KM2)
+            * (F.col(f"p{i}").cast("double") * 2.0)
+            / (F.col("n").cast("double") * (F.col("n").cast("double") - 1.0))
+        )
+        per_radius.append(
+            agg.select(
+                F.lit(float(r)).alias("r_km"),
+                F.col("n").alias("n_pts"),
+                F.col(f"p{i}").alias("n_pairs"),
+                F.round(k_hat, 4).alias("k_hat_r"),
+                F.lit(round(csr, 4)).alias("csr_k_r"),
+                F.round(k_hat / F.lit(csr), 6).alias("clustering_ratio_r"),
+            )
+        )
+    out = per_radius[0]
+    for df in per_radius[1:]:
+        out = out.unionAll(df)
+    return out

@@ -6576,6 +6576,73 @@ def geo_bbox_overlaps(spark, sf_dir):
     return bbox_overlap_pairs(rects, grid=512).orderBy("a_id", "b_id")
 
 
+_RIPLEY_RADII = [200.0, 400.0, 800.0]
+
+
+def _ripley_oracle() -> str:
+    import math
+
+    from erased_cells_spark.operators.autocorr import _EARTH_R_KM, SPHERE_AREA_KM2
+
+    conds = ", ".join(
+        f"sum(CASE WHEN dist <= {r!r} THEN 1 ELSE 0 END) AS p{i}"
+        for i, r in enumerate(_RIPLEY_RADII)
+    )
+    selects = []
+    for i, r in enumerate(_RIPLEY_RADII):
+        csr = 2.0 * 3.141592653589793 * _EARTH_R_KM * _EARTH_R_KM * (
+            1.0 - math.cos(r / _EARTH_R_KM)
+        )
+        k_hat = (
+            f"{SPHERE_AREA_KM2!r} * (agg.p{i} * 2.0)"
+            f" / (n.n::DOUBLE * (n.n::DOUBLE - 1.0))"
+        )
+        selects.append(
+            f"SELECT {r!r}::DOUBLE AS r_km, n.n AS n_pts, agg.p{i} AS n_pairs,"
+            f" round({k_hat}, 4)::DOUBLE AS k_hat_r,"
+            f" {round(csr, 4)!r}::DOUBLE AS csr_k_r,"
+            f" round({k_hat} / {csr!r}, 6) AS clustering_ratio_r"
+            f" FROM agg, n"
+        )
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+n AS (SELECT count(*) AS n FROM pts),
+d AS (
+  SELECT 2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(b.lat) - radians(a.lat)) / 2.0) * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin((radians(b.lon) - radians(a.lon)) / 2.0) * sin((radians(b.lon) - radians(a.lon)) / 2.0)
+         )) AS dist
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+),
+agg AS (SELECT {conds} FROM d WHERE dist <= {max(_RIPLEY_RADII)!r})
+SELECT * FROM ({union}) ORDER BY r_km
+"""
+
+
+@twin("geo_ripley_k", oracle=_ripley_oracle())
+def geo_ripley_k(spark, sf_dir):
+    """Ripley's K function (operators/autocorr.py ripley_k): second-order
+    clustering statistic over the global doc point set at 200/400/800 km
+    — pair counts within r, the K estimate, the spherical-cap CSR
+    expectation, and their ratio, per radius. Completes the ESDA pair
+    with Moran's I: Moran says density IS clustered, K says AT WHICH
+    SCALES. One exactly-once banded radius join at max(r) feeds all
+    radii (conditional counts from the same pair table — no extra
+    shuffle); pair counts are exact ints and each statistic is a
+    shared-literal double chain (the sphere-area and cap constants are
+    injected as identical literals into both engines), so the only
+    cross-engine float surface is the haversine threshold itself — the
+    same surface geo_radius_pairs already proves exact."""
+    from erased_cells_spark.operators.autocorr import ripley_k
+
+    p = _doc_points(spark, sf_dir)
+    return ripley_k(
+        p, _RIPLEY_RADII, id_col="doc_id", lon_col="lon", lat_col="lat"
+    ).orderBy("r_km")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
