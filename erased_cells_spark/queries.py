@@ -6643,6 +6643,46 @@ def geo_ripley_k(spark, sf_dir):
     ).orderBy("r_km")
 
 
+@twin(
+    "events_scd2_dim",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+         lead(ts)     OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ordered WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from, valid_to, version,
+       valid_to IS NULL AS is_current
+FROM runs ORDER BY user_id, version
+""",
+)
+def events_scd2_dim(spark, sf_dir):
+    """SCD Type 2 dimension build (operators/scd.py): per-user state
+    history from the event stream — one row per state RUN with half-open
+    [valid_from, valid_to) intervals, 1-based versions, and the current
+    flag. Change compression (lag-compare on the attribute) collapses
+    consecutive identical observations, keeping the dimension O(changes)
+    not O(observations) — the warehouse shape behind "what plan/segment
+    was this user on at time T". Pure windows over (ts, event_id), so
+    every interval boundary is bit-identical cross-engine; one shuffle
+    on the key, second window over already-compressed runs. Incremental
+    maintenance composes with changes() per the matview pattern."""
+    from erased_cells_spark.operators.scd import scd2_build
+
+    e = t(spark, sf_dir, "events")
+    dim = scd2_build(
+        e, ["user_id"], ["ts", "event_id"], ["event_type"], ts_col="ts"
+    )
+    return dim.select(
+        "user_id", "event_type", "valid_from", "valid_to", "version", "is_current"
+    ).orderBy("user_id", "version")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
