@@ -828,3 +828,105 @@ d8 AS (
   FROM {cells_cte} c
   LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON r.cell = c.cell
 )"""
+
+
+def d8_accumulation(flow: DataFrame) -> DataFrame:
+    """Flow accumulation + watershed labeling over a d8_flow routing
+    table — the two questions downstream of "where does each cell
+    drain": HOW MUCH drains through each cell (upstream cell count and
+    upstream doc load — the hydrology 'flow accumulation' / pollutant
+    load analog), and INTO WHICH SINK (the basin label partitioning the
+    surface into watersheds).
+
+    The D8 forest is acyclic by construction (strictly decreasing z), so
+    every cell has one path to one sink. Both outputs derive from the
+    full downstream-reachability relation R = {(u, w): w strictly
+    downstream of u}, built by POINTER DOUBLING: with J_k the exact
+    2^k-step jump table and R_k covering distances 1..2^k,
+
+        R_{k+1} = R_k UNION (J_k join R_k)   — distances 2^k+1..2^{k+1}
+        J_{k+1} = J_k join J_k               — exactly 2^{k+1} steps
+
+    Each pair lands at exactly one distance, so the union needs NO
+    dedup shuffle; the loop runs ceil(log2(longest path)) rounds (driver
+    checks only an emptiness scalar per round; lineage is cut with
+    localCheckpoint — the components.py convention). Output size is
+    sum of path lengths (O(cells * depth)); all counts/sums exact ints.
+
+    Oracle twin: a DuckDB recursive CTE walks the same forest edge by
+    edge — different algorithm, exact integer agreement
+    (raster_flow_accumulation)."""
+    sess = flow.sparkSession
+    _CP_CONF = "spark.sql.constraintPropagation.enabled"
+    prev_cp = sess.conf.get(_CP_CONF, "true")
+    # Unions over localCheckpointed frames hit a Catalyst constraint-rewrite
+    # bug (UnionBase.rewriteConstraints: "key not found: <attr>") — the
+    # LogicalRDD keeps constraints referencing pre-checkpoint exprIds.
+    # Constraint propagation buys nothing on these metadata-scale id pairs;
+    # disable it for the duration and restore on exit.
+    sess.conf.set(_CP_CONF, "false")
+    try:
+        return _d8_accumulation_inner(flow)
+    finally:
+        sess.conf.set(_CP_CONF, prev_cp)
+
+
+def _d8_accumulation_inner(flow: DataFrame) -> DataFrame:
+    edges = flow.filter(F.col("to_cell").isNotNull()).select(
+        F.col("cell").alias("src"), F.col("to_cell").alias("dst")
+    )
+    reach = edges.localCheckpoint(eager=True)
+    jump = reach
+    while True:
+        longer = (
+            jump.alias("j")
+            .join(reach.alias("r"), F.col("j.dst") == F.col("r.src"))
+            .select(F.col("j.src").alias("src"), F.col("r.dst").alias("dst"))
+        )
+        jump2 = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        new_rows = longer.localCheckpoint(eager=True)
+        if new_rows.isEmpty():
+            break
+        reach = reach.unionAll(new_rows).localCheckpoint(eager=True)
+        jump = jump2
+        if jump.isEmpty():
+            break
+    ups = reach.groupBy(F.col("dst").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_upstream")
+    )
+    load = (
+        reach.join(
+            flow.select(F.col("cell").alias("src"), F.col("n_docs").alias("src_docs")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("cell"))
+        .agg(F.sum("src_docs").alias("docs_upstream"))
+    )
+    # basin without a Union (the returned plan outlives the constraint-
+    # propagation guard in the wrapper): non-sinks get their reachable
+    # sink via the join; a sink IS its own basin (it has no downstream
+    # row in `reach`), handled by the coalesce
+    sinks = flow.filter(F.col("dir_code") == 0).select(F.col("cell").alias("sink"))
+    r2s = reach.join(sinks, reach["dst"] == sinks["sink"]).select(
+        F.col("src").alias("cell"), F.col("sink").alias("reached_basin")
+    )
+    return (
+        flow.select("cell", "n_docs", "dir_code")
+        .join(ups, "cell", "left")
+        .join(load, "cell", "left")
+        .join(r2s, "cell", "left")
+        .select(
+            "cell",
+            "n_docs",
+            F.coalesce("n_upstream", F.lit(0)).alias("n_upstream"),
+            F.coalesce("docs_upstream", F.lit(0)).alias("docs_upstream"),
+            F.coalesce(
+                "reached_basin", F.when(F.col("dir_code") == 0, F.col("cell"))
+            ).alias("basin"),
+        )
+    )

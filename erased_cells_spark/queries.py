@@ -6683,6 +6683,67 @@ def events_scd2_dim(spark, sf_dir):
     ).orderBy("user_id", "version")
 
 
+def _d8_acc_oracle() -> str:
+    from erased_cells_spark.operators.raster import sql_d8_flow
+
+    return f"""
+WITH RECURSIVE pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 4)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+),
+{sql_d8_flow('cells', 4)},
+reach AS (
+  SELECT cell AS src, to_cell AS dst FROM d8 WHERE to_cell IS NOT NULL
+  UNION
+  SELECT r.src, f.to_cell FROM reach r JOIN d8 f ON f.cell = r.dst
+  WHERE f.to_cell IS NOT NULL
+),
+ups AS (SELECT dst, count(*) AS n_upstream FROM reach GROUP BY 1),
+load AS (
+  SELECT r.dst, sum(f.n_docs) AS docs_upstream
+  FROM reach r JOIN d8 f ON f.cell = r.src GROUP BY 1
+),
+basin AS (
+  SELECT r.src AS cell, r.dst AS basin
+  FROM reach r JOIN d8 s ON s.cell = r.dst AND s.dir_code = 0
+  UNION ALL
+  SELECT cell, cell AS basin FROM d8 WHERE dir_code = 0
+)
+SELECT f.cell, f.n_docs,
+       coalesce(u.n_upstream, 0) AS n_upstream,
+       coalesce(l.docs_upstream, 0) AS docs_upstream,
+       b.basin
+FROM d8 f
+LEFT JOIN ups u ON u.dst = f.cell
+LEFT JOIN load l ON l.dst = f.cell
+JOIN basin b ON b.cell = f.cell
+ORDER BY f.cell
+"""
+
+
+@twin("raster_flow_accumulation", oracle=_d8_acc_oracle())
+def raster_flow_accumulation(spark, sf_dir):
+    """Flow accumulation + watershed labels (operators/raster.
+    d8_accumulation) over the res-4 D8 routing forest: per cell, the
+    exact count of upstream cells, the upstream doc load, and the sink
+    (basin) the cell drains to — the hydrology pair downstream of
+    raster_d8_flow. Spark builds the downstream-reachability relation by
+    POINTER DOUBLING (log2(depth) rounds, dedup-free unions since every
+    pair lands at exactly one distance); the oracle walks the same
+    forest with a recursive CTE — two different algorithms, exact
+    integer agreement on every count, load, and label."""
+    from erased_cells_spark.operators.raster import d8_accumulation, d8_flow
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 4).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return d8_accumulation(d8_flow(cells, res=4)).orderBy("cell")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
