@@ -6744,6 +6744,95 @@ def raster_flow_accumulation(spark, sf_dir):
     return d8_accumulation(d8_flow(cells, res=4)).orderBy("cell")
 
 
+def _hull_oracle() -> str:
+    def mh(prefix):
+        return f"('0x'||substr(md5('{prefix}'||doc_id::VARCHAR),1,8))::BIGINT"
+
+    cr = "({bx}-{ax})*({py}-{ay}) - ({by}-{ay})*({px}-{ax})"
+
+    def cross(a, b, p):
+        return cr.format(
+            ax=f"{a}.x", ay=f"{a}.y", bx=f"{b}.x", by=f"{b}.y",
+            px=f"{p}.x", py=f"{p}.y",
+        )
+
+    d1, d2, d3 = cross("a", "b", "p"), cross("b", "c", "p"), cross("c", "a", "p")
+    dabc = cross("a", "b", "c")
+    return f"""
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+raw AS (
+  SELECT min(doc_id) AS pid, x, y FROM (
+    SELECT doc_id, {mh('hx-')} % 16000 AS x, {mh('hy-')} % 16000 AS y
+    FROM documents, n
+    WHERE {mh('hk-')} % 1000000 < 100000000 // n.cnt
+  ) GROUP BY x, y
+),
+-- p is NOT a hull vertex iff p lies in conv(others): Caratheodory in 2-D
+-- = inside-or-on a non-degenerate triangle of others, or on a segment
+tri AS (
+  SELECT DISTINCT p.pid
+  FROM raw p, raw a, raw b, raw c
+  WHERE a.pid < b.pid AND b.pid < c.pid
+    AND p.pid NOT IN (a.pid, b.pid, c.pid)
+    AND ({dabc}) <> 0
+    AND ( (({d1}) >= 0 AND ({d2}) >= 0 AND ({d3}) >= 0)
+       OR (({d1}) <= 0 AND ({d2}) <= 0 AND ({d3}) <= 0) )
+),
+seg AS (
+  SELECT DISTINCT p.pid
+  FROM raw p, raw a, raw b
+  WHERE a.pid < b.pid AND p.pid NOT IN (a.pid, b.pid)
+    AND ({cross('a', 'b', 'p')}) = 0
+    AND (a.x - p.x) * (b.x - p.x) + (a.y - p.y) * (b.y - p.y) <= 0
+)
+SELECT r.pid, r.x, r.y FROM raw r
+WHERE r.pid NOT IN (SELECT pid FROM tri)
+  AND r.pid NOT IN (SELECT pid FROM seg)
+ORDER BY r.pid
+"""
+
+
+@twin("geo_convex_hull", oracle=_hull_oracle())
+def geo_convex_hull(spark, sf_dir):
+    """Distributed convex hull (operators/hull.py): the minimal strict
+    vertex set of an md5-derived integer point cloud (~100-point
+    scale-invariant sample; coords deduped by min-id groupBy). Spark
+    runs the contractive two-phase monotone chain — per-Arrow-batch
+    local hulls, then one coalesced final chain, all int64 cross
+    products, no driver collect; the oracle derives hull membership
+    FROM FIRST PRINCIPLES (Caratheodory: a point is a vertex iff it
+    lies in no triangle and on no segment of the others) — two
+    completely different characterizations, exact integer agreement.
+    The twin compares the vertex SET; canonical CCW ordering is pinned
+    by the python-reference pytest contracts."""
+    from erased_cells_spark.operators.hull import convex_hull
+
+    d = t(spark, sf_dir, "documents")
+    cnt = d.agg(F.count("*").alias("cnt"))
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = (
+        d.crossJoin(F.broadcast(cnt))
+        .filter((mh("hk-") % 1000000) < F.expr("100000000 div cnt"))
+        .select(
+            "doc_id",
+            (mh("hx-") % 16000).alias("x"),
+            (mh("hy-") % 16000).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.min("doc_id").alias("pid"))
+    )
+    return convex_hull(pts).select("pid", "x", "y").orderBy("pid")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
