@@ -272,3 +272,64 @@ def dag_depth(edges: DataFrame, max_rounds: int = 50) -> DataFrame:
         f"dag_depth: no fixpoint after {max_rounds} rounds — the edge set "
         "contains a cycle (or raise max_rounds for a deeper DAG)"
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 6,
+    id_col: str = "id",
+) -> DataFrame:
+    """HITS hubs & authorities after ``n_iter`` synchronous (Jacobi)
+    iterations, UN-normalized:
+
+        auth_{k+1}(v) = sum_{(u,v) in E} hub_k(u)
+        hub_{k+1}(v)  = sum_{(v,w) in E} auth_k(w)
+
+    with hub_0 = auth_0 = 1. Deferring normalization makes every score an
+    EXACT INTEGER (sums of integers starting from 1 — no divisions inside
+    the loop), so iterates are bit-identical on any engine and any
+    partitioning/summation order up to 2^53 — callers bound n_iter by
+    max_degree^(2*n_iter) < 2^53 and normalize once at the end (a single
+    exact divide by the max). The parallel update (hub from the PREVIOUS
+    auth) is power iteration on the doubled graph: same fixpoint
+    direction as the textbook sequential form, chosen because it is
+    expressible as ONE pass over the previous state in both engines.
+
+    Complements pagerank: PageRank scores endorsement flow along edges;
+    HITS separates "points at good pages" (hub) from "is pointed at by
+    good hubs" (authority) — on directed link graphs the two rankings
+    disagree in exactly the ways a crawl-prioritizer cares about.
+
+    Scale shape: per iteration, two equi-joins sharing the edges table +
+    two map-side-combined groupBys, state is one (id, hub, auth) row per
+    vertex, lineage cut per iteration (localCheckpoint, the components.py
+    convention). Returns (id, hub, auth) as exact int64."""
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.lit(1).cast("long").alias("hub"),
+        F.lit(1).cast("long").alias("auth"),
+    )
+    for _ in range(n_iter):
+        auth_new = (
+            edges.join(state, edges["src"] == state["id"])
+            .groupBy(F.col("dst").alias("a_id"))
+            .agg(F.sum("hub").alias("auth_in"))
+        )
+        hub_new = (
+            edges.join(state, edges["dst"] == state["id"])
+            .groupBy(F.col("src").alias("h_id"))
+            .agg(F.sum("auth").alias("hub_in"))
+        )
+        state = (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(hub_new, F.col("id") == F.col("h_id"), "left")
+            .join(auth_new, F.col("id") == F.col("a_id"), "left")
+            .select(
+                "id",
+                F.coalesce("hub_in", F.lit(0)).cast("long").alias("hub"),
+                F.coalesce("auth_in", F.lit(0)).cast("long").alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state

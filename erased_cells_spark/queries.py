@@ -6833,6 +6833,78 @@ def geo_convex_hull(spark, sf_dir):
     return convex_hull(pts).select("pid", "x", "y").orderBy("pid")
 
 
+_HITS_ITER = 6
+
+
+def _hits_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+edges AS ({doc_edges_sql()}),
+hits(iter, id, hub, auth) AS (
+  SELECT 0, id, 1::BIGINT, 1::BIGINT FROM nodes
+  UNION ALL
+  SELECT h.iter + 1,
+         CASE WHEN e.src = h.id THEN e.dst ELSE e.src END AS id,
+         CAST(sum(CASE WHEN e.dst = h.id THEN h.auth ELSE 0 END) AS BIGINT) AS hub,
+         CAST(sum(CASE WHEN e.src = h.id THEN h.hub ELSE 0 END) AS BIGINT) AS auth
+  FROM hits h JOIN edges e ON e.src = h.id OR e.dst = h.id
+  WHERE h.iter < {_HITS_ITER}
+  GROUP BY 1, 2
+),
+fin AS (SELECT id, hub, auth FROM hits WHERE iter = {_HITS_ITER}),
+mx AS (SELECT max(hub) AS mh, max(auth) AS ma FROM fin)
+SELECT f.id, f.hub, f.auth,
+       round(f.hub::DOUBLE / mx.mh::DOUBLE, 6) AS hub_r,
+       round(f.auth::DOUBLE / mx.ma::DOUBLE, 6) AS auth_r
+FROM fin f, mx
+ORDER BY f.auth DESC, f.hub DESC, f.id LIMIT 25
+"""
+
+
+@twin("graph_hits_top", oracle=_hits_oracle())
+def graph_hits_top(spark, sf_dir):
+    """HITS hubs & authorities (operators/graph.hits), 6 synchronous
+    iterations over the deterministic doc link graph — top 25
+    authorities with hub scores alongside. Normalization is DEFERRED so
+    every iterate is an exact INTEGER (sums of ints from 1; max degree 4
+    keeps 6 iterations far under 2^53): bit-identical on any engine with
+    zero float discipline inside the loop, unlike textbook HITS whose
+    per-iteration L2 normalization would stack transcendental noise. The
+    single end normalization is one exact divide by the max under
+    round(,6); ranking orders by the raw ints. The oracle walks the same
+    recurrence in a recursive CTE via a single-reference OR-join (DuckDB
+    allows one recursive reference; each (edge, endpoint) row routes to
+    exactly one of the two scores). In-coverage premise asserted like
+    graph_pagerank_top."""
+    from erased_cells_spark.operators.graph import doc_link_edges, hits
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n)
+    covered = edges.select("dst").distinct().count()
+    assert covered == n, "hits oracle premise violated: missing in-edges"
+    state = hits(docs, edges, n_iter=_HITS_ITER, id_col="doc_id")
+    mx = state.agg(F.max("hub").alias("mh"), F.max("auth").alias("ma"))
+    return (
+        state.crossJoin(F.broadcast(mx))
+        .select(
+            "id",
+            "hub",
+            "auth",
+            F.round(F.col("hub").cast("double") / F.col("mh").cast("double"), 6).alias(
+                "hub_r"
+            ),
+            F.round(F.col("auth").cast("double") / F.col("ma").cast("double"), 6).alias(
+                "auth_r"
+            ),
+        )
+        .orderBy(F.desc("auth"), F.desc("hub"), "id")
+        .limit(25)
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
