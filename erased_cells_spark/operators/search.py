@@ -92,3 +92,48 @@ scored AS (
 )
 SELECT id AS doc_id, sum(term_score) AS score FROM scored GROUP BY id
 """
+
+
+def positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted-index postings (term, doc_id, pos) — the index
+    shape behind phrase/proximity search: BM25 above needs only term
+    frequencies, but "merge AS A PHRASE" needs positions. One posexplode
+    (0-based pos), same shuffle profile as word count; persist as a
+    bucketed-by-term table at corpus scale and phrase queries never touch
+    the raw text again."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
+    )
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hits) — exact occurrence counts of the token-sequence
+    `phrase` (whitespace tokenization, same convention as the shingle
+    family). Plan: the first term's postings equi-join each subsequent
+    term's postings at (doc, pos+i) — every side is TERM-FILTERED before
+    joining, so the join inputs are the phrase terms' posting lists, not
+    the corpus (the classic positional-intersection query plan). k-1
+    equi-joins for a k-word phrase, all sharing the doc+pos key space;
+    exact integer counts, overlapping matches counted (each start
+    position independently)."""
+    words = phrase.split(" ")
+    if not words or any(not w for w in words):
+        raise ValueError("phrase must be non-empty whitespace-separated tokens")
+    post = positional_postings(docs, id_col=id_col, text_col=text_col)
+    base = post.filter(F.col("term") == words[0]).select(
+        F.col(id_col), F.col("pos").alias("p0")
+    )
+    for i, wd in enumerate(words[1:], 1):
+        nxt = post.filter(F.col("term") == wd).select(
+            F.col(id_col), (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(nxt, [id_col, "p0"])
+    return base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))

@@ -6905,6 +6905,80 @@ def graph_hits_top(spark, sf_dir):
     )
 
 
+_PHRASES = ("order fast", "table scan merge", "spark window window dup")
+
+
+def _phrase_oracle() -> str:
+    blocks = []
+    for ph in _PHRASES:
+        words = ph.split(" ")
+        joins = "".join(
+            f"\n  JOIN post p{i} ON p{i}.doc_id = p0.doc_id"
+            f" AND p{i}.pos = p0.pos + {i} AND p{i}.term = '{w}'"
+            for i, w in enumerate(words[1:], 1)
+        )
+        blocks.append(f"""
+SELECT '{ph}' AS phrase, h.source,
+       count(*) AS n_docs, sum(h.n) AS n_occurrences, max(h.n) AS max_per_doc
+FROM (
+  SELECT p0.doc_id, p0.source, count(*) AS n
+  FROM post p0{joins}
+  WHERE p0.term = '{words[0]}'
+  GROUP BY 1, 2
+) h GROUP BY 1, 2""")
+    union = " UNION ALL ".join(blocks)
+    return f"""
+WITH post AS (
+  SELECT doc_id, source, i AS pos, w[i] AS term
+  FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w))) AS i
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents))
+)
+SELECT * FROM ({union}) ORDER BY phrase, source
+"""
+
+
+@twin("doc_phrase_search", oracle=_phrase_oracle())
+def doc_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/search.positional_postings +
+    phrase_occurrences): exact token-sequence occurrence counts for 2-,
+    3- and 4-word phrases, rolled up per source — the proximity layer
+    BM25 cannot answer (bag-of-words scores "merge data" and "data
+    merge" identically). The plan is the classic positional
+    intersection: each phrase term's postings are filtered BEFORE the
+    (doc, pos+i) equi-join chain, so join inputs are posting lists, not
+    the corpus; at 100 TB the postings persist as a bucketed-by-term
+    table and phrase queries never rescan text. Exact integer counts
+    (overlapping matches included); the oracle runs the same
+    intersection over 1-based ordinality positions."""
+    from erased_cells_spark.operators.search import phrase_occurrences
+
+    d = t(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    parts = []
+    for ph in _PHRASES:
+        hits = phrase_occurrences(d, ph)
+        parts.append(
+            hits.join(src, "doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_hits").alias("n_occurrences"),
+                F.max("n_hits").alias("max_per_doc"),
+            )
+            .select(
+                F.lit(ph).alias("phrase"),
+                "source",
+                "n_docs",
+                "n_occurrences",
+                "max_per_doc",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("phrase", "source")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
