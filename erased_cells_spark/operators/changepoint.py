@@ -55,3 +55,62 @@ def cusum_scores(
     return df.withColumn("cusum", p - floor).withColumn(
         "alarm", F.col("cusum") >= F.lit(h).cast("long")
     )
+
+
+def mann_kendall_sen(
+    df: DataFrame,
+    series_cols: list[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test statistic + Theil-Sen slope per series —
+    the nonparametric monotone-trend pair (is the series rising, and how
+    fast) robust to outliers, i.e. the right trend estimator for bursty
+    count series where least squares melts. Input: ONE row per
+    (series, time) with integer time and integer value (pre-binned).
+    Output per series with >= 2 bins:
+
+        n_bins, n_pairs,
+        s_stat     = sum over i<j of sign(v_j - v_i)    (exact int)
+        sen_slope  = LOWER MEDIAN of pairwise slopes (v_j-v_i)/(t_j-t_i)
+
+    Exactness: S is pure integer; each pairwise slope is ONE IEEE divide
+    of exact ints (deterministic); the median is SELECTED, not averaged
+    — row_number ordered by the slope value picks element (m+1) div 2,
+    so ties collapse to the same value and no arithmetic touches the
+    result. Series with a single bin are dropped (no pairs — stated).
+
+    Scale shape: the pair self-join is O(bins^2) PER SERIES — bins are a
+    bounded time axis (days/weeks), not data; the join + two windows
+    share the series-key shuffle. This is the per-cell "emerging
+    hotspot" computation when series_cols is a spatial cell."""
+    a = df.select(
+        *series_cols,
+        F.col(time_col).cast("long").alias("t_a"),
+        F.col(value_col).cast("long").alias("v_a"),
+    )
+    b = df.select(
+        *series_cols,
+        F.col(time_col).cast("long").alias("t_b"),
+        F.col(value_col).cast("long").alias("v_b"),
+    )
+    pairs = a.join(b, series_cols).filter(F.col("t_a") < F.col("t_b"))
+    dv = F.col("v_b") - F.col("v_a")
+    slope = dv.cast("double") / (F.col("t_b") - F.col("t_a")).cast("double")
+    scored = pairs.select(*series_cols, dv.alias("dv"), slope.alias("slope"))
+    w = Window.partitionBy(*series_cols).orderBy("slope")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "m", F.count(F.lit(1)).over(Window.partitionBy(*series_cols))
+    )
+    sen = ranked.filter(F.col("rn") == F.expr("(m + 1) div 2")).select(
+        *series_cols, F.col("slope").alias("sen_slope"), F.col("m").alias("n_pairs")
+    )
+    s = scored.groupBy(*series_cols).agg(
+        F.sum(F.signum(F.col("dv").cast("double")).cast("long")).alias("s_stat")
+    )
+    bins = df.groupBy(*series_cols).agg(F.count(F.lit(1)).alias("n_bins"))
+    return (
+        bins.join(s, series_cols)
+        .join(sen, series_cols)
+        .select(*series_cols, "n_bins", "n_pairs", "s_stat", "sen_slope")
+    )

@@ -6979,6 +6979,77 @@ def doc_phrase_search(spark, sf_dir):
     return out.orderBy("phrase", "source")
 
 
+def _trend_oracle() -> str:
+    ev_key = "'ev-'||user_id::VARCHAR||'-'||event_id::VARCHAR"
+    return f"""
+WITH pts AS (
+  SELECT ts, {sql_lon(ev_key)} AS lon, {sql_lat(ev_key)} AS lat FROM events
+),
+binned AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 2)} AS cell,
+         date_part('day', ts)::BIGINT AS d, count(*) AS c
+  FROM pts GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.cell, b.c - a.c AS dv, b.d - a.d AS dt
+  FROM binned a JOIN binned b ON a.cell = b.cell AND a.d < b.d
+),
+mk AS (
+  SELECT cell, count(*) AS n_pairs,
+         sum(CASE WHEN dv > 0 THEN 1 WHEN dv < 0 THEN -1 ELSE 0 END) AS s_stat
+  FROM pairs GROUP BY 1
+),
+slopes AS (
+  SELECT cell, dv::DOUBLE / dt::DOUBLE AS slope,
+         row_number() OVER (PARTITION BY cell ORDER BY dv::DOUBLE / dt::DOUBLE) AS rn,
+         count(*) OVER (PARTITION BY cell) AS m
+  FROM pairs
+),
+sen AS (SELECT cell, slope FROM slopes WHERE rn = (m + 1) // 2),
+bins AS (SELECT cell, count(*) AS n_bins FROM binned GROUP BY 1)
+SELECT b.cell, b.n_bins, mk.n_pairs, mk.s_stat, round(sen.slope, 6) AS sen_slope_r
+FROM bins b JOIN mk USING (cell) JOIN sen USING (cell)
+ORDER BY b.cell
+"""
+
+
+@twin("events_trend_cells", oracle=_trend_oracle())
+def events_trend_cells(spark, sf_dir):
+    """Emerging-hotspot trend analysis (operators/changepoint.
+    mann_kendall_sen): per res-2 cell of the geocoded event stream, the
+    Mann-Kendall S statistic and Theil-Sen slope of the daily count
+    series — the nonparametric "is this area HEATING UP, and how fast"
+    layer on top of the static hotspot map (geo_moran_hotspots says
+    where density clusters NOW; this says where it is trending). S is
+    exact integer sign-sums; each pairwise slope is one IEEE divide of
+    exact ints and the Sen slope is SELECTED (lower median via
+    row_number), never averaged — so the whole surface is deterministic
+    cross-engine with no float folds. The O(days^2) pair join is per
+    series over a bounded time axis; one shuffle on the cell key."""
+    from erased_cells_spark.operators.changepoint import mann_kendall_sen
+
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    binned = (
+        e.select(
+            geocode_lon(key).alias("lon"),
+            geocode_lat(key).alias("lat"),
+            F.dayofmonth("ts").alias("d"),
+        )
+        .groupBy(
+            CE.cell_key_expr(F.col("lon"), F.col("lat"), 2).alias("cell"), F.col("d")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = mann_kendall_sen(binned, ["cell"], "d", "c")
+    return out.select(
+        "cell", "n_bins", "n_pairs", "s_stat", F.round("sen_slope", 6).alias("sen_slope_r")
+    ).orderBy("cell")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
