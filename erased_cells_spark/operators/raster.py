@@ -930,3 +930,128 @@ def _d8_accumulation_inner(flow: DataFrame) -> DataFrame:
             ).alias("basin"),
         )
     )
+
+
+def viewshed(
+    cells: DataFrame,
+    res: int,
+    *,
+    radius: int,
+    eye: int = 1,
+) -> DataFrame:
+    """Viewshed (line-of-sight) over a sparse lit-cell surface: which
+    occupied cells can an observer standing on the highest cell actually
+    SEE — the visibility primitive behind tower placement, coverage
+    audits, and terrain-aware sampling. The surface height is the cell
+    value (n), unoccupied cells are height 0, the observer's eye sits
+    `eye` above its own cell.
+
+    EXACT INTEGER GEOMETRY, planar (no antimeridian wrap — a viewshed is
+    an observer-local window; callers near the seam translate first):
+
+    * the discrete sight line is the dominant-axis DDA: at step k of
+      `steps = max(|dx|, |dy|)`, minor coordinate = round-half-up of
+      k*minor_span/steps via ((2*k*ady + adx) div (2*adx)) with the sign
+      applied outside — pure int64, identical `div` truncation both
+      engines (operands positive);
+    * cell C at step k blocks target T iff it rises strictly above the
+      sight line: (z_C - z_eye) * steps > (z_T - z_eye) * k — the
+      cross-multiplied similar-triangles test, no division, no floats;
+      grazing the line does NOT block (strict >), and height-0 cells can
+      never block a positive-eye observer (proof: LHS <= -z_eye*steps <
+      (z_T - z_eye)*k = RHS for k < steps, z_T >= 0), so only OCCUPIED
+      intermediates need checking — an inner join against the lit table.
+
+    Observer selection is deterministic: max height, min cell id
+    tie-break. Targets are occupied cells within Chebyshev `radius`
+    (excluding the observer). Output: (cell, z, steps, n_blockers,
+    visible).
+
+    Scale shape: one bounded explode (steps-1 <= radius rows per
+    target), one equi-join on the intermediate cell key against the lit
+    table, one groupBy target — all sharing the cell-key shuffle; the
+    observer row broadcasts."""
+    if radius < 1:
+        raise ValueError("radius must be >= 1")
+    n = 1 << res
+    obs = (
+        cells.orderBy(F.desc("n"), "cell")
+        .limit(1)
+        .select(
+            (F.col("cell") % n).alias("ox"),
+            F.expr(f"cell div {n}").alias("oy"),
+            (F.col("n") + eye).alias("z_eye"),
+            F.col("cell").alias("obs_cell"),
+        )
+    )
+    tgt = (
+        cells.crossJoin(F.broadcast(obs))
+        .withColumn("tx", F.col("cell") % n)
+        .withColumn("ty", F.expr(f"cell div {n}"))
+        .withColumn("adx", F.abs(F.col("tx") - F.col("ox")))
+        .withColumn("ady", F.abs(F.col("ty") - F.col("oy")))
+        .withColumn("steps", F.greatest("adx", "ady"))
+        .filter(
+            (F.col("steps") >= 1)
+            & (F.col("adx") <= radius)
+            & (F.col("ady") <= radius)
+        )
+        .withColumn("sx", F.signum((F.col("tx") - F.col("ox")).cast("double")).cast("long"))
+        .withColumn("sy", F.signum((F.col("ty") - F.col("oy")).cast("double")).cast("long"))
+    )
+    inter = (
+        tgt.select(
+            F.col("cell").alias("t_cell"),
+            F.col("n").alias("z_t"),
+            "ox", "oy", "z_eye", "adx", "ady", "steps", "sx", "sy",
+            F.explode(
+                F.when(
+                    F.col("steps") >= 2, F.sequence(F.lit(1), F.col("steps") - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("k"),
+        )
+        # round-half-up minor offset; major advances k cells exactly
+        .withColumn(
+            "cx",
+            F.when(
+                F.col("adx") >= F.col("ady"),
+                F.col("ox") + F.col("sx") * F.col("k"),
+            ).otherwise(
+                F.col("ox")
+                + F.col("sx")
+                * F.expr("(2 * k * adx + ady) div (2 * ady)")
+            ),
+        )
+        .withColumn(
+            "cy",
+            F.when(
+                F.col("adx") >= F.col("ady"),
+                F.col("oy")
+                + F.col("sy")
+                * F.expr("(2 * k * ady + adx) div (2 * adx)"),
+            ).otherwise(F.col("oy") + F.col("sy") * F.col("k")),
+        )
+        .withColumn("i_cell", F.col("cy") * n + F.col("cx"))
+    )
+    blockers = (
+        inter.join(
+            cells.select(F.col("cell").alias("i_cell"), F.col("n").alias("z_c")),
+            "i_cell",
+        )
+        .filter(
+            (F.col("z_c") - F.col("z_eye")) * F.col("steps")
+            > (F.col("z_t") - F.col("z_eye")) * F.col("k")
+        )
+        .groupBy("t_cell")
+        .agg(F.count(F.lit(1)).alias("n_blockers"))
+    )
+    return (
+        tgt.join(blockers, tgt["cell"] == blockers["t_cell"], "left")
+        .select(
+            "cell",
+            F.col("n").alias("z"),
+            "steps",
+            F.coalesce("n_blockers", F.lit(0)).alias("n_blockers"),
+            (F.coalesce("n_blockers", F.lit(0)) == 0).alias("visible"),
+        )
+    )

@@ -7050,6 +7050,82 @@ def events_trend_cells(spark, sf_dir):
     ).orderBy("cell")
 
 
+_VIEW_RES, _VIEW_RADIUS = 4, 6
+
+
+def _viewshed_oracle() -> str:
+    n = 1 << _VIEW_RES
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', _VIEW_RES)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+),
+obs AS (
+  SELECT cell % {n} AS ox, cell // {n} AS oy, n + 1 AS z_eye
+  FROM cells ORDER BY n DESC, cell LIMIT 1
+),
+tgt0 AS (
+  SELECT c.cell, c.n AS z_t, c.cell % {n} AS tx, c.cell // {n} AS ty,
+         o.ox, o.oy, o.z_eye
+  FROM cells c, obs o
+),
+tgt AS (
+  SELECT *, abs(tx - ox) AS adx, abs(ty - oy) AS ady,
+         greatest(abs(tx - ox), abs(ty - oy)) AS steps,
+         CASE WHEN tx > ox THEN 1 WHEN tx < ox THEN -1 ELSE 0 END AS sx,
+         CASE WHEN ty > oy THEN 1 WHEN ty < oy THEN -1 ELSE 0 END AS sy
+  FROM tgt0
+  WHERE greatest(abs(tx - ox), abs(ty - oy)) >= 1
+    AND abs(tx - ox) <= {_VIEW_RADIUS} AND abs(ty - oy) <= {_VIEW_RADIUS}
+),
+inter AS (
+  SELECT t.cell, t.z_t, t.z_eye, t.steps, k.k,
+         CASE WHEN t.adx >= t.ady THEN t.ox + t.sx * k.k
+              ELSE t.ox + t.sx * ((2 * k.k * t.adx + t.ady) // (2 * t.ady)) END AS cx,
+         CASE WHEN t.adx >= t.ady THEN t.oy + t.sy * ((2 * k.k * t.ady + t.adx) // (2 * t.adx))
+              ELSE t.oy + t.sy * k.k END AS cy
+  FROM tgt t JOIN (SELECT unnest(generate_series(1, {_VIEW_RADIUS})) AS k) k
+    ON k.k <= t.steps - 1
+),
+blk AS (
+  SELECT i.cell, count(*) AS n_blockers
+  FROM inter i JOIN cells c2 ON c2.cell = i.cy * {n} + i.cx
+  WHERE (c2.n - i.z_eye) * i.steps > (i.z_t - i.z_eye) * i.k
+  GROUP BY 1
+)
+SELECT t.cell, t.z_t AS z, t.steps,
+       coalesce(b.n_blockers, 0) AS n_blockers,
+       coalesce(b.n_blockers, 0) = 0 AS visible
+FROM tgt t LEFT JOIN blk b ON b.cell = t.cell
+ORDER BY t.cell
+"""
+
+
+@twin("raster_viewshed", oracle=_viewshed_oracle())
+def raster_viewshed(spark, sf_dir):
+    """Viewshed / line-of-sight (operators/raster.viewshed) from the
+    densest res-4 cell (deterministic max-height min-id observer, eye
+    +1) to every occupied cell within Chebyshev radius 6 — which cells
+    the observer actually SEES over the intervening terrain. Exact
+    integer geometry end to end: dominant-axis DDA with round-half-up
+    minor offsets (shared div formula, positive operands), and the
+    cross-multiplied similar-triangles blocking test (z_C - z_eye) *
+    steps > (z_T - z_eye) * k — no division, no floats, grazing does
+    not block, and height-0 cells provably never block (so only the lit
+    table joins). One bounded explode + one cell equi-join + one
+    groupBy, all on the cell key."""
+    from erased_cells_spark.operators.raster import viewshed
+
+    p = _doc_points(spark, sf_dir)
+    cells = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), _VIEW_RES).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return viewshed(cells, _VIEW_RES, radius=_VIEW_RADIUS, eye=1).orderBy("cell")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
