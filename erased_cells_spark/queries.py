@@ -7126,6 +7126,103 @@ def raster_viewshed(spark, sf_dir):
     return viewshed(cells, _VIEW_RES, radius=_VIEW_RADIUS, eye=1).orderBy("cell")
 
 
+# polygon-fill fixture: DOUBLED cell coords on the res-5 grid (n=32).
+# diamond (non-axis-parallel edges -> rational crossings), concave L,
+# square with a hole (two rings, even-odd parity)
+_FILL_VERTS = [
+    (0, 0, 0, 32, 12), (0, 0, 1, 52, 32), (0, 0, 2, 32, 52), (0, 0, 3, 12, 32),
+    (1, 0, 0, 4, 4), (1, 0, 1, 28, 4), (1, 0, 2, 28, 16),
+    (1, 0, 3, 16, 16), (1, 0, 4, 16, 28), (1, 0, 5, 4, 28),
+    (2, 0, 0, 36, 4), (2, 0, 1, 60, 4), (2, 0, 2, 60, 28), (2, 0, 3, 36, 28),
+    (2, 1, 0, 44, 12), (2, 1, 1, 52, 12), (2, 1, 2, 52, 20), (2, 1, 3, 44, 20),
+]
+
+
+def _polyfill_oracle() -> str:
+    vals = ", ".join(f"({p}, {r}, {s}, {x}, {y})" for p, r, s, x, y in _FILL_VERTS)
+    return f"""
+WITH verts(poly_id, ring_id, seq, x, y) AS (VALUES {vals}),
+edges AS (
+  SELECT poly_id, x AS x1, y AS y1,
+         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+  FROM verts
+  WINDOW w AS (PARTITION BY poly_id, ring_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+e AS (SELECT * FROM edges WHERE y1 <> y2),
+bbox AS (
+  SELECT poly_id, min(x) AS bx0, max(x) AS bx1, min(y) AS by0, max(y) AS by1
+  FROM verts GROUP BY 1
+),
+cand AS (
+  SELECT b.poly_id, ix.ix, iy.iy, 2 * ix.ix + 1 AS px, 2 * iy.iy + 1 AS py
+  FROM bbox b,
+       LATERAL (SELECT unnest(generate_series(greatest(b.bx0 // 2, 0),
+                                              least((b.bx1 - 1) // 2, 31))) AS ix) ix,
+       LATERAL (SELECT unnest(generate_series(greatest(b.by0 // 2, 0),
+                                              least((b.by1 - 1) // 2, 31))) AS iy) iy
+),
+covered AS (
+  SELECT c.poly_id, c.iy * 32 + c.ix AS cell
+  FROM cand c JOIN e ON e.poly_id = c.poly_id
+  WHERE (e.y1 > c.py) <> (e.y2 > c.py)
+    AND (CASE WHEN e.y2 > e.y1
+              THEN (c.py - e.y1) * (e.x2 - e.x1) > (c.px - e.x1) * (e.y2 - e.y1)
+              ELSE (c.py - e.y1) * (e.x2 - e.x1) < (c.px - e.x1) * (e.y2 - e.y1) END)
+  GROUP BY 1, 2
+  HAVING count(*) % 2 = 1
+),
+pts AS ({_DOC_PTS_SQL}),
+dens AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 5)} AS cell, count(*) AS n
+  FROM pts GROUP BY 1
+)
+SELECT c.poly_id, count(*) AS n_cells, sum(c.cell) AS cell_checksum,
+       count(d.cell) AS n_occupied, coalesce(sum(d.n), 0) AS n_docs
+FROM covered c LEFT JOIN dens d ON d.cell = c.cell
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("raster_polygon_fill", oracle=_polyfill_oracle())
+def raster_polygon_fill(spark, sf_dir):
+    """Polygon rasterization (operators/raster.rasterize_polygons):
+    scanline parity fill of integer-vertex polygons — a diamond
+    (rational crossings), a concave L, and a square WITH A HOLE (two
+    rings composing by even-odd parity, zero special cases) — then the
+    covered cells joined against the res-5 doc density ("how many docs
+    fall inside each zone's raster footprint"). Doubled-coordinate
+    vertices make every cell center odd, so no center ever hits a
+    vertex scanline and the crossing-right test is exact integer
+    cross-multiplication: bit-identical coverage on any engine, no
+    epsilon, no UDF. One edge explode + one (poly, bbox-cell) join +
+    one parity groupBy."""
+    from erased_cells_spark.operators.raster import rasterize_polygons
+
+    verts = spark.createDataFrame(
+        _FILL_VERTS, "poly_id long, ring_id long, seq long, x long, y long"
+    )
+    covered = rasterize_polygons(verts, res=5)
+    p = _doc_points(spark, sf_dir)
+    dens = (
+        p.select(CE.cell_key_expr(F.col("lon"), F.col("lat"), 5).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        covered.join(dens, "cell", "left")
+        .groupBy("poly_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cell").alias("cell_checksum"),
+            F.count("n").alias("n_occupied"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("poly_id")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
