@@ -7223,6 +7223,67 @@ def raster_polygon_fill(spark, sf_dir):
     )
 
 
+_HILB_RES = 5
+
+
+def _hilbert_oracle() -> str:
+    from erased_cells_spark.functions.hilbert import sql_hilbert_cte
+
+    n = 1 << _HILB_RES
+    return f"""
+WITH RECURSIVE pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT (iy * {n} + ix) AS cell, ix, iy, n_docs FROM (
+    SELECT {CE.sql_ix('lon', _HILB_RES)} AS ix, {CE.sql_iy('lat', _HILB_RES)} AS iy,
+           count(*) AS n_docs
+    FROM pts GROUP BY 1, 2
+  )
+),
+{sql_hilbert_cte('cells', _HILB_RES, key_col='cell')}
+SELECT h.hd // 32 AS segment,
+       count(*) AS n_cells, sum(c.n_docs) AS n_docs,
+       min(h.hd) AS first_hd, max(h.hd) AS last_hd
+FROM hkeys h JOIN cells c ON c.cell = h.key
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("doc_hilbert_density", oracle=_hilbert_oracle())
+def doc_hilbert_density(spark, sf_dir):
+    """Hilbert curve index (functions/hilbert.py) — the engine's third
+    clustering curve after row-major and Morton (sources/layout.py now
+    writes `--curve hilbert`): doc density per res-5 cell keyed by the
+    Hilbert index, rolled up into 32-cell curve segments. Hilbert's
+    defining property (consecutive keys are ALWAYS grid 4-neighbors —
+    no Morton quadrant-seam jumps) is what makes its row groups tighter
+    for box queries; it is pinned by bijectivity+adjacency tests, not by
+    matching any reference implementation. The recurrence is rewritten
+    with pure comparisons/arithmetic (no bitops, no XOR), so the exact
+    same step runs as a generated codegen CASE tree in Spark and as a
+    recursive CTE in DuckDB — bit-identical indexes, exact rollups."""
+    from erased_cells_spark.functions.hilbert import hilbert_index_expr
+
+    p = _doc_points(spark, sf_dir)
+    cells = p.groupBy(
+        CE.ix_expr(F.col("lon"), _HILB_RES).alias("ix"),
+        CE.iy_expr(F.col("lat"), _HILB_RES).alias("iy"),
+    ).agg(F.count("*").alias("n_docs"))
+    keyed = cells.select(
+        hilbert_index_expr(F.col("ix"), F.col("iy"), _HILB_RES).alias("hd"),
+        "n_docs",
+    )
+    return (
+        keyed.groupBy(F.expr("hd div 32").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_docs").alias("n_docs"),
+            F.min("hd").alias("first_hd"),
+            F.max("hd").alias("last_hd"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

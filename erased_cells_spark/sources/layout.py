@@ -46,12 +46,23 @@ def write_spatially_clustered(
     key: readers push Morton-range predicates from box covers straight to
     the footer stats) and the row-major `cell_col` (the shuffle/join key
     the rest of the engine speaks)."""
-    if curve not in ("morton", "rowmajor"):
+    if curve not in ("morton", "rowmajor", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
+    if curve == "hilbert":
+        # unit-step curve: tighter row-group boxes than Morton's quadrant
+        # seams; Arrow-vectorized at writer resolutions (functions/hilbert.py)
+        from erased_cells_spark.functions.hilbert import hilbert_index_udf
+        from erased_cells_spark.operators.cells_expr import ix_expr, iy_expr
+
+        zkey = hilbert_index_udf(
+            ix_expr(F.col(lon_col), res), iy_expr(F.col(lat_col), res), res
+        )
+    else:
+        zkey = morton_key_expr(F.col(lon_col), F.col(lat_col), res)
     keyed = df.withColumn(
         cell_col, cell_key_expr(F.col(lon_col), F.col(lat_col), res)
-    ).withColumn("zcell", morton_key_expr(F.col(lon_col), F.col(lat_col), res))
-    order_col = "zcell" if curve == "morton" else cell_col
+    ).withColumn("zcell", zkey)
+    order_col = cell_col if curve == "rowmajor" else "zcell"
     out = repartition_by_cell(keyed, order_col, n_partitions).sortWithinPartitions(order_col)
     out.write.mode("overwrite").parquet(path)
 
@@ -94,6 +105,12 @@ def box_query_ranges(
     elif curve == "rowmajor":
         ix, iy = cellid.cell_xy(ids)
         keys = np.sort(iy * (1 << res) + ix)
+        step = 1
+    elif curve == "hilbert":
+        from erased_cells_spark.functions.hilbert import hilbert_np
+
+        ix, iy = cellid.cell_xy(ids)
+        keys = np.sort(hilbert_np(res, ix.astype(np.int64), iy.astype(np.int64)))
         step = 1
     else:
         raise ValueError(f"unknown curve {curve!r}")

@@ -26,7 +26,9 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--res", type=int, default=12)
     ap.add_argument("--partitions", type=int, default=8)
-    ap.add_argument("--curve", default="morton", choices=["morton", "rowmajor"])
+    ap.add_argument(
+        "--curve", default="morton", choices=["morton", "rowmajor", "hilbert"]
+    )
     args = ap.parse_args()
 
     from erased_cells_spark.functions.geocode import geocode_lat, geocode_lon
@@ -49,7 +51,7 @@ def main() -> None:
     write_spatially_clustered(
         df, args.out, res=args.res, n_partitions=args.partitions, curve=args.curve
     )
-    key = "zcell" if args.curve == "morton" else "cell"
+    key = "cell" if args.curve == "rowmajor" else "zcell"
     spans = rowgroup_cell_spans(args.out, key)
     full_range = (
         ((1 << (2 * args.res)) << 5) if args.curve == "morton" else (1 << (2 * args.res))
