@@ -2503,12 +2503,16 @@ class SnapshotTable:
         routine compaction instead of a standalone writer path.
 
         spec shapes:
-        - {"kind": "zorder", "cols": [lon, lat], "res": R, "key_col": K}
-          — compaction derives K = morton_key_expr(lon, lat, R) (added as
-          a REAL column if absent), range-partitions + sorts on it, and
-          the rewritten footers' K stats land in the partition zone maps:
-          box queries prune via read(where=[(K, "ranges", cover_runs)])
-          with no standalone layout writer.
+        - {"kind": "zorder", "cols": [lon, lat], "res": R, "key_col": K,
+           "curve": "morton"|"hilbert"}
+          — compaction derives K from (lon, lat) at res R (added as a
+          REAL column if absent; Morton = builtins bit interleave,
+          Hilbert = the unit-step curve via functions/hilbert.py, Arrow-
+          vectorized), range-partitions + sorts on it, and the rewritten
+          footers' K stats land in the partition zone maps: box queries
+          prune via read(where=[(K, "ranges", cover_runs)]) with the
+          cover runs from layout.box_query_ranges(curve=...) — no
+          standalone layout writer.
         - {"kind": "sorted", "cols": [c1, ...]} — plain multi-column sort.
         - None clears the spec (data stays as last written).
 
@@ -2523,11 +2527,17 @@ class SnapshotTable:
             if kind == "zorder":
                 if len(cols) != 2:
                     raise ValueError("set_sort_order: zorder needs cols=[lon, lat]")
+                curve = spec.get("curve", "morton")
+                if curve not in ("morton", "hilbert"):
+                    raise ValueError(
+                        f"set_sort_order: curve {curve!r} not in (morton, hilbert)"
+                    )
                 spec = {
                     "kind": "zorder",
                     "cols": list(cols),
                     "res": int(spec.get("res", 12)),
                     "key_col": spec.get("key_col", "zcell"),
+                    "curve": curve,
                 }
             else:
                 if not cols:
@@ -2559,12 +2569,21 @@ class SnapshotTable:
         if spec["kind"] == "zorder":
             key = spec["key_col"]
             if key not in df.columns:
-                from erased_cells_spark.operators.cells_expr import morton_key_expr
-
                 lon, lat = spec["cols"]
-                df = df.withColumn(
-                    key, morton_key_expr(F_col(lon), F_col(lat), spec["res"])
-                )
+                if spec.get("curve", "morton") == "hilbert":
+                    from erased_cells_spark.functions.hilbert import hilbert_index_udf
+                    from erased_cells_spark.operators.cells_expr import ix_expr, iy_expr
+
+                    key_expr = hilbert_index_udf(
+                        ix_expr(F_col(lon), spec["res"]),
+                        iy_expr(F_col(lat), spec["res"]),
+                        spec["res"],
+                    )
+                else:
+                    from erased_cells_spark.operators.cells_expr import morton_key_expr
+
+                    key_expr = morton_key_expr(F_col(lon), F_col(lat), spec["res"])
+                df = df.withColumn(key, key_expr)
             order = [key]
         else:
             order = spec["cols"]

@@ -62,6 +62,10 @@ def main() -> None:
         "COL (metadata-only) and report the merged table-level NDV estimate",
     )
     ap.add_argument("--zorder", default=None, metavar="LON,LAT[:RES[:KEY]]")
+    ap.add_argument(
+        "--zorder-curve", default="morton", choices=["morton", "hilbert"],
+        help="clustering curve for --zorder (hilbert = unit-step locality)",
+    )
     ap.add_argument("--pyramid", default=None, metavar="DIR")
     ap.add_argument(
         "--matview", default=None, metavar="DIR",
@@ -124,7 +128,7 @@ def main() -> None:
     if args.zorder:
         head, *rest = args.zorder.split(":")
         cols = head.split(",")
-        spec = {"kind": "zorder", "cols": cols}
+        spec = {"kind": "zorder", "cols": cols, "curve": args.zorder_curve}
         if rest:
             spec["res"] = int(rest[0])
         if len(rest) > 1:

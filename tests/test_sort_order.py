@@ -226,3 +226,51 @@ class TestSortOrderSpec:
             pids = pq.read_table(files[0], columns=["pid"])["pid"].to_pylist()
             assert pids == sorted(pids)
         assert table.read(spark).count() == 6_000
+
+    def test_hilbert_curve_spec(self, spark, table):
+        """curve='hilbert' in the zorder spec: compaction derives the
+        Hilbert key (Arrow-vectorized), the column is bit-identical to
+        hilbert_py over the grid coords, box queries prune row groups via
+        hilbert cover runs, and results equal the unpruned read."""
+        from erased_cells_spark.functions.hilbert import hilbert_py
+        from erased_cells_spark.operators.cells_expr import cell_key_np
+
+        df = _points(spark, n=8_000, batches=2).drop("zcell")
+        table.write_partitions(df, "batch", [0, 1])
+        table.set_sort_order(
+            {"kind": "zorder", "cols": ["lon", "lat"], "res": RES,
+             "key_col": "zcell", "curve": "hilbert"}
+        )
+        assert table.sort_order()["curve"] == "hilbert"
+        # several files per partition -> narrow per-file key bands the
+        # footer pruning assertion below can actually skip
+        table.compact(spark, max_files_per_partition=4)
+        out = table.read(spark)
+        assert out.count() == 8_000
+        import numpy as np
+
+        for r in out.limit(300).collect():
+            cell = int(cell_key_np(np.array([r.lon]), np.array([r.lat]), RES)[0])
+            iy, ix = divmod(cell, 1 << RES)
+            assert r.zcell == hilbert_py(RES, ix, iy)
+        runs = box_query_ranges(*BOX, RES, "hilbert")
+        pruned = table.read(spark, where=[("zcell", "ranges", runs)])
+        t, total = _touched(table, runs)
+        assert 0 < t < total  # footer pruning engaged
+        # pruned read is a superset filter: re-filtering to the exact box
+        # must equal filtering the full table
+        def in_box(d):
+            return d.filter(
+                (F.col("lon") >= BOX[0]) & (F.col("lon") <= BOX[2])
+                & (F.col("lat") >= BOX[1]) & (F.col("lat") <= BOX[3])
+            )
+
+        assert sorted(r.pid for r in in_box(pruned).collect()) == sorted(
+            r.pid for r in in_box(out).collect()
+        )
+
+    def test_curve_validation(self, spark, table):
+        with pytest.raises(ValueError, match="curve"):
+            table.set_sort_order(
+                {"kind": "zorder", "cols": ["lon", "lat"], "curve": "peano"}
+            )
