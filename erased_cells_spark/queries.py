@@ -7284,6 +7284,48 @@ def doc_hilbert_density(spark, sf_dir):
     )
 
 
+@twin(
+    "events_median_bisect",
+    oracle="""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+  FROM events
+), ranked AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, n, (n - 1) // 2 + 1 AS k, cents AS kth_value
+FROM ranked WHERE rn = (n - 1) // 2 + 1
+ORDER BY event_type
+""",
+)
+def events_median_bisect(spark, sf_dir):
+    """Exact distributed median WITHOUT SORTING (operators/selection.
+    kth_smallest_grouped): per event type, the lower-median cent value
+    found by range bisection — ceil(log2(range)) ~ 16 rounds of one
+    map-side-combined conditional count each, over a cached narrow
+    projection; no group's values are ever sorted or collected (the
+    complementary plan shape to events_value_quantiles' sort-based
+    percentile, which holds per-group data in memory — bisection is the
+    one that survives a mega-group at 100 TB). Driver state is (lo, hi,
+    k) per group. The oracle SELECTS the same element by row_number —
+    sorting algorithm vs counting algorithm, exact int64 agreement
+    including duplicate-heavy tails."""
+    from erased_cells_spark.operators.selection import kth_smallest_grouped
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value").cast("double") * 100).cast("long").alias("cents"),
+    )
+    return (
+        kth_smallest_grouped(e, ["event_type"], "cents", 0.5)
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
