@@ -333,3 +333,53 @@ def hits(
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex of the undirected simple
+    graph: coeff(v) = 2*T(v) / (deg(v)*(deg(v)-1)) — how close v's
+    neighborhood is to a clique (the community-structure microscope next
+    to the global triangle count). Exact components: T(v) = triangles
+    containing v (each a<b<c triangle explodes to its 3 vertices),
+    deg(v) from the distinct undirected edge set; the one float is the
+    final single divide of exact ints (deterministic), rounded by the
+    caller. Vertices with deg < 2 are excluded (coefficient undefined).
+    Returns (id, deg, n_tri, coeff).
+
+    Scale shape: reuses triangle_count's oriented 3-way self-join
+    (bounded by max-degree^2 fan-out; orient by (degree, id) for
+    power-law graphs) + two metadata-light aggregations."""
+    tri = triangle_count(edges)
+    per_v = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(per_v, "id", "left")
+        .select(
+            "id",
+            "deg",
+            F.coalesce("n_tri", F.lit(0)).alias("n_tri"),
+            (
+                (F.coalesce("n_tri", F.lit(0)) * 2).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+            ).alias("coeff"),
+        )
+    )

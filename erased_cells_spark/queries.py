@@ -7326,6 +7326,64 @@ def events_median_bisect(spark, sf_dir):
     )
 
 
+def _clustering_oracle() -> str:
+    from erased_cells_spark.operators.graph import doc_edges_sql
+
+    return f"""
+WITH edges AS ({doc_edges_sql()}),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+        WHERE src <> dst),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1 JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_v AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY 1
+),
+deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY 1
+)
+SELECT d.v AS id, d.deg, coalesce(p.n_tri, 0) AS n_tri,
+       round((coalesce(p.n_tri, 0) * 2)::DOUBLE / (d.deg * (d.deg - 1))::DOUBLE, 6)
+         AS coeff_r
+FROM deg d LEFT JOIN per_v p ON p.v = d.v
+WHERE d.deg >= 2
+ORDER BY n_tri DESC, id LIMIT 30
+"""
+
+
+@twin("graph_clustering_top", oracle=_clustering_oracle())
+def graph_clustering_top(spark, sf_dir):
+    """Local clustering coefficient (operators/graph.
+    clustering_coefficient) over the doc link graph — top 30 vertices by
+    triangle participation with degree and coefficient. Exact integer
+    T(v) and deg(v) (triangle explode + undirected degree count); the
+    coefficient is one divide of exact ints under round(,6) and the
+    ranking orders by the raw ints (n_tri desc, id). Completes the
+    graph-analytics shelf's microscopic view: PageRank/HITS rank
+    endorsement, components find duplicates, this measures neighborhood
+    cliquishness per vertex."""
+    from erased_cells_spark.operators.graph import (
+        clustering_coefficient,
+        doc_link_edges,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = doc_link_edges(docs, n)
+    cc = clustering_coefficient(edges)
+    return (
+        cc.select("id", "deg", "n_tri", F.round("coeff", 6).alias("coeff_r"))
+        .orderBy(F.desc("n_tri"), "id")
+        .limit(30)
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
