@@ -76,3 +76,65 @@ def time_window_fixtures(n: int = 16, seed: int = 29) -> list[tuple[int, str, st
         hi = base + np.timedelta64(lo_s + width, "s")
         out.append((w, str(lo).replace("T", " "), str(hi).replace("T", " ")))
     return out
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval-overlap SELF-join: all pairs of intervals sharing the key
+    that overlap IN TIME, with the exact overlap length — the
+    co-presence primitive (which users were in the same place at the
+    same time, and for how long), contact tracing, and duration-weighted
+    co-occurrence generally.
+
+    Input: one row per interval (key_cols..., id_col, start, end) with
+    integer start <= end (e.g. anchored epoch microseconds — use
+    timestampdiff against a fixed anchor, never unix_micros on NTZ).
+    Output: (key_cols..., id_a, id_b, overlap) with id_a < id_b and
+    STRICT overlap > 0 (touching endpoints excluded — co-presence of
+    measure zero is not presence).
+
+    Scale shape — the 1-D instance of the bbox-overlap plan
+    (operators/overlap.py): explode each interval onto the `bucket`-size
+    time buckets it spans, equi-join on (key, bucket), and emit each
+    pair EXACTLY ONCE in the first shared bucket
+
+        b == max(a_b0, b_b0)
+
+    (overlapping intervals always share the max-of-minima bucket) — one
+    bounded explode (span/bucket + 1 rows), one shuffle on (key,
+    bucket), a comparison residual, NO distinct. Pick `bucket` near the
+    typical interval length (explode factor ~2); a pathological hot
+    (key, bucket) degrades toward the quadratic truth — the usual
+    AQE-skew / salting remedy surface."""
+    if bucket <= 0:
+        raise ValueError("bucket must be positive")
+
+    def side(p: str) -> DataFrame:
+        return intervals.select(
+            *key_cols,
+            F.col(id_col).alias(f"{p}_id"),
+            F.col(start_col).cast("long").alias(f"{p}_s"),
+            F.col(end_col).cast("long").alias(f"{p}_e"),
+        ).withColumn(
+            f"{p}_b0", F.expr(f"{p}_s div {bucket}")
+        ).withColumn(
+            "b", F.explode(F.sequence(F.col(f"{p}_b0"), F.expr(f"{p}_e div {bucket}")))
+        )
+
+    a, b = side("a"), side("b")
+    cand = a.join(b, [*key_cols, "b"]).filter(F.col("a_id") < F.col("b_id"))
+    first_bucket = F.col("b") == F.greatest(F.col("a_b0"), F.col("b_b0"))
+    overlap = F.least(F.col("a_e"), F.col("b_e")) - F.greatest(
+        F.col("a_s"), F.col("b_s")
+    )
+    return (
+        cand.filter(first_bucket)
+        .filter(overlap > 0)
+        .select(*key_cols, "a_id", "b_id", overlap.alias("overlap"))
+    )

@@ -7020,7 +7020,7 @@ def events_trend_cells(spark, sf_dir):
     Mann-Kendall S statistic and Theil-Sen slope of the daily count
     series — the nonparametric "is this area HEATING UP, and how fast"
     layer on top of the static hotspot map (geo_moran_hotspots says
-    where density clusters NOW; this says where it is trending). S is
+    where density clusters NOW; this tells where it is trending). S is
     exact integer sign-sums; each pairwise slope is one IEEE divide of
     exact ints and the Sen slope is SELECTED (lower median via
     row_number), never averaged — so the whole surface is deterministic
@@ -7259,9 +7259,12 @@ def doc_hilbert_density(spark, sf_dir):
     for box queries; it is pinned by bijectivity+adjacency tests, not by
     matching any reference implementation. The recurrence is rewritten
     with pure comparisons/arithmetic (no bitops, no XOR), so the exact
-    same step runs as a generated codegen CASE tree in Spark and as a
+    same step runs Arrow-vectorized in Spark (hilbert_index_udf; the
+    bit-identical codegen CASE-tree form is pinned against hilbert_py
+    in tests/test_hilbert.py but its res-5 tree can exceed janino's
+    64 KB method limit inside larger generated stages) and as a
     recursive CTE in DuckDB — bit-identical indexes, exact rollups."""
-    from erased_cells_spark.functions.hilbert import hilbert_index_expr
+    from erased_cells_spark.functions.hilbert import hilbert_index_udf
 
     p = _doc_points(spark, sf_dir)
     cells = p.groupBy(
@@ -7269,7 +7272,7 @@ def doc_hilbert_density(spark, sf_dir):
         CE.iy_expr(F.col("lat"), _HILB_RES).alias("iy"),
     ).agg(F.count("*").alias("n_docs"))
     keyed = cells.select(
-        hilbert_index_expr(F.col("ix"), F.col("iy"), _HILB_RES).alias("hd"),
+        hilbert_index_udf(F.col("ix"), F.col("iy"), _HILB_RES).alias("hd"),
         "n_docs",
     )
     return (
@@ -7381,6 +7384,75 @@ def graph_clustering_top(spark, sf_dir):
         cc.select("id", "deg", "n_tri", F.round("coeff", 6).alias("coeff_r"))
         .orderBy(F.desc("n_tri"), "id")
         .limit(30)
+    )
+
+
+_COP_RES = 3
+_COP_ANCHOR = "TIMESTAMP '2024-01-01 00:00:00'"
+
+
+def _copresence_oracle() -> str:
+    ev_key = "'ev-'||user_id::VARCHAR||'-'||event_id::VARCHAR"
+    return f"""
+WITH iv AS (
+  SELECT user_id,
+         {CE.sql_cell_key(f"({sql_lon(ev_key)})", f"({sql_lat(ev_key)})", _COP_RES)} AS cell,
+         date_diff('microsecond', {_COP_ANCHOR}, ts) AS s_us,
+         date_diff('microsecond', {_COP_ANCHOR}, ts)
+           + CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) * 600000 AS e_us
+  FROM events
+),
+pairs AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov
+  FROM iv a JOIN iv b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+   AND least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) > 0
+)
+SELECT user_a, user_b, count(*) AS n_meetings, sum(ov) AS total_us
+FROM pairs GROUP BY 1, 2
+ORDER BY total_us DESC, user_a, user_b LIMIT 40
+"""
+
+
+@twin("user_copresence_pairs", oracle=_copresence_oracle())
+def user_copresence_pairs(spark, sf_dir):
+    """Co-presence interval-overlap join (operators/interval.
+    interval_overlap_pairs): which user pairs were in the same res-3
+    cell AT THE SAME TIME and for how long — each event spawns a
+    presence interval (value minutes at its geocoded cell; anchored
+    integer microseconds via date_diff, never unix_micros on NTZ), and
+    the operator finds every overlapping cross-user pair EXACTLY ONCE
+    via the 1-D first-shared-time-bucket rule (the bbox-overlap plan in
+    one dimension: bounded explode, one (cell, bucket) shuffle, no
+    distinct). Strict overlap > 0 (touching excluded); exact int64
+    microsecond durations; top 40 pairs by total co-presence. The
+    oracle is the brute O(n^2)-per-cell join."""
+    from erased_cells_spark.operators.interval import interval_overlap_pairs
+
+    e = t(spark, sf_dir, "events")
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    s_us = F.expr(f"timestampdiff(MICROSECOND, {_COP_ANCHOR}, ts)")
+    iv = e.select(
+        "user_id",
+        CE.cell_key_expr(geocode_lon(key), geocode_lat(key), _COP_RES).alias("cell"),
+        s_us.alias("s_us"),
+        (
+            s_us
+            + F.round(F.col("value").cast("double") * 100).cast("long") * 600000
+        ).alias("e_us"),
+    )
+    pairs = interval_overlap_pairs(
+        iv, ["cell"], "user_id", "s_us", "e_us", bucket=3_600_000_000
+    )
+    return (
+        pairs.groupBy(F.col("a_id").alias("user_a"), F.col("b_id").alias("user_b"))
+        .agg(F.count(F.lit(1)).alias("n_meetings"), F.sum("overlap").alias("total_us"))
+        .orderBy(F.desc("total_us"), "user_a", "user_b")
+        .limit(40)
     )
 
 
