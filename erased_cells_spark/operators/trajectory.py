@@ -79,3 +79,75 @@ def resample_tracks(
         (F.col("lon0") + (F.col("lon1") - F.col("lon0")) * F.col("frac")).alias("lon"),
         (F.col("lat0") + (F.col("lat1") - F.col("lat0")) * F.col("frac")).alias("lat"),
     )
+
+
+def hausdorff_join(
+    points: DataFrame,
+    pairs: DataFrame,
+    track_col: str = "tid",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Symmetric discrete Hausdorff distance between candidate track
+    pairs — the trajectory-similarity measure ("how far apart do these
+    two tracks ever get, at their closest approach") behind route
+    clustering, commute-pattern matching, and track dedup.
+
+        h(A, B) = max over a in A of min over b in B of d(a, b)
+        H(A, B) = max(h(A, B), h(B, A))
+
+    Exactness: distances stay SQUARED int64 (integer coordinates, no
+    sqrt, no floats), so every min/max fold is exact on any engine;
+    callers wanting metric units take one sqrt at the end under the
+    float rule.
+
+    `pairs` supplies the candidate (a_id, b_id) track pairs: all-pairs
+    for the exact answer, or a pre-filter for thresholded similarity —
+    the natural composition is bbox_overlap_pairs (operators/overlap.py)
+    over per-track bounding boxes, which can only MISS pairs whose
+    Hausdorff exceeds the bbox gap (document the threshold). Plan per
+    pair: two equi-joins on the pair key fanning out to |A|*|B| distance
+    rows, then min-per-source-point and max-per-pair aggregations — the
+    exact O(|A|*|B|) cost is confined to candidate pairs, which is the
+    point of the pre-filter.
+
+    Returns (a_id, b_id, h2_ab, h2_ba, h2) — directed squared distances
+    and their max."""
+    pts = points.select(
+        F.col(track_col).alias("tid"),
+        F.col(x_col).cast("long").alias("px"),
+        F.col(y_col).cast("long").alias("py"),
+    )
+
+    def directed(src: str, dst: str, out: str) -> DataFrame:
+        a = pairs.join(
+            pts.select(
+                F.col("tid").alias(src), F.col("px").alias("ax"), F.col("py").alias("ay")
+            ),
+            src,
+        )
+        b = pts.select(
+            F.col("tid").alias(dst), F.col("px").alias("bx"), F.col("py").alias("by")
+        )
+        dx = F.col("ax") - F.col("bx")
+        dy = F.col("ay") - F.col("by")
+        d2 = dx * dx + dy * dy  # integer multiplies (** would go double)
+        per_pt = (
+            a.join(b, dst)
+            .groupBy("a_id", "b_id", "ax", "ay")
+            .agg(F.min(d2).alias("near"))
+        )
+        return per_pt.groupBy("a_id", "b_id").agg(F.max("near").alias(out))
+
+    ab = directed("a_id", "b_id", "h2_ab")
+    ba = directed("b_id", "a_id", "h2_ba")
+    return (
+        ab.join(ba, ["a_id", "b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            "h2_ab",
+            "h2_ba",
+            F.greatest("h2_ab", "h2_ba").alias("h2"),
+        )
+    )

@@ -7456,6 +7456,91 @@ def user_copresence_pairs(spark, sf_dir):
     )
 
 
+def _hausdorff_oracle() -> str:
+    return """
+WITH nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+pts AS (
+  SELECT user_id AS tid,
+         ('0x'||substr(md5('tx-'||event_id::VARCHAR),1,8))::BIGINT % 4096 AS px,
+         ('0x'||substr(md5('ty-'||event_id::VARCHAR),1,8))::BIGINT % 4096 AS py
+  FROM events, nu
+  WHERE ('0x'||substr(md5('hu-'||user_id::VARCHAR),1,8))::BIGINT % 1000000
+        < 12000000 // nu.n
+),
+tracks AS (SELECT DISTINCT tid FROM pts),
+pairs AS (SELECT a.tid AS a_id, b.tid AS b_id
+          FROM tracks a, tracks b WHERE a.tid < b.tid),
+dab AS (
+  SELECT p.a_id, p.b_id, a.px, a.py,
+         min((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) AS near
+  FROM pairs p
+  JOIN pts a ON a.tid = p.a_id
+  JOIN pts b ON b.tid = p.b_id
+  GROUP BY 1, 2, 3, 4
+),
+dba AS (
+  SELECT p.a_id, p.b_id, b.px, b.py,
+         min((a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)) AS near
+  FROM pairs p
+  JOIN pts a ON a.tid = p.a_id
+  JOIN pts b ON b.tid = p.b_id
+  GROUP BY 1, 2, 3, 4
+),
+hab AS (SELECT a_id, b_id, max(near) AS h2_ab FROM dab GROUP BY 1, 2),
+hba AS (SELECT a_id, b_id, max(near) AS h2_ba FROM dba GROUP BY 1, 2)
+SELECT hab.a_id AS a_id, hab.b_id AS b_id, hab.h2_ab, hba.h2_ba,
+       greatest(hab.h2_ab, hba.h2_ba) AS h2
+FROM hab JOIN hba ON hba.a_id = hab.a_id AND hba.b_id = hab.b_id
+ORDER BY a_id, b_id
+"""
+
+
+@twin("user_hausdorff_pairs", oracle=_hausdorff_oracle())
+def user_hausdorff_pairs(spark, sf_dir):
+    """Trajectory similarity by symmetric discrete Hausdorff distance
+    (operators/trajectory.hausdorff_join): for every pair of a
+    deterministic ~12-user sample, how far apart the two users' event
+    tracks ever get at closest approach — directed h(A,B)/h(B,A) and
+    their max, ALL as exact SQUARED int64 (integer md5 grid coords, no
+    sqrt, no float folds anywhere, so min/max agree bit-for-bit). The
+    operator takes a candidate pair table (here all sample pairs; at
+    corpus scale, bbox_overlap_pairs over per-track bounding boxes
+    pre-filters), confining the exact O(|A|*|B|) distance fan-out to
+    candidates. Oracle: the same min/max folds as flat SQL joins."""
+    from erased_cells_spark.operators.trajectory import hausdorff_join
+
+    e = t(spark, sf_dir, "events")
+    n_users = e.agg(F.countDistinct("user_id").alias("n"))
+
+    def mh(prefix, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col(col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    pts = (
+        e.crossJoin(F.broadcast(n_users))
+        .filter((mh("hu-", "user_id") % 1000000) < F.expr("12000000 div n"))
+        .select(
+            F.col("user_id").alias("tid"),
+            (mh("tx-", "event_id") % 4096).alias("x"),
+            (mh("ty-", "event_id") % 4096).alias("y"),
+        )
+    )
+    tracks = pts.select("tid").distinct()
+    pairs = (
+        tracks.select(F.col("tid").alias("a_id"))
+        .crossJoin(tracks.select(F.col("tid").alias("b_id")))
+        .filter(F.col("a_id") < F.col("b_id"))
+    )
+    return hausdorff_join(pts, pairs, track_col="tid", x_col="x", y_col="y").orderBy(
+        "a_id", "b_id"
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
