@@ -7541,6 +7541,102 @@ def user_hausdorff_pairs(spark, sf_dir):
     )
 
 
+# Benford expectations as shared literals (repr round-trips exactly, both
+# engines parse the identical double — the Ripley constant discipline)
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def _benford_oracle() -> str:
+    conds = ", ".join(
+        f"sum(CASE WHEN digit = {d} THEN 1 ELSE 0 END) AS c{d}" for d in range(1, 10)
+    )
+    chi_terms = " + ".join(
+        f"(c{d}::DOUBLE - n::DOUBLE * {_BENFORD_P[d]!r}::DOUBLE)"
+        f" * (c{d}::DOUBLE - n::DOUBLE * {_BENFORD_P[d]!r}::DOUBLE)"
+        f" / (n::DOUBLE * {_BENFORD_P[d]!r}::DOUBLE)"
+        for d in range(1, 10)
+    )
+    digit_rows = " UNION ALL ".join(
+        f"SELECT {d} AS digit, c{d} AS n_obs,"
+        f" {_BENFORD_P[d]!r}::DOUBLE AS benford_p FROM agg"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH cents AS (
+  SELECT CAST(round(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS c
+  FROM lineitem WHERE l_extendedprice > 0
+),
+digits AS (SELECT CAST(substr(c::VARCHAR, 1, 1) AS INT) AS digit FROM cents),
+agg AS (SELECT {conds}, count(*) AS n FROM digits),
+chi AS (SELECT round({chi_terms}, 4) AS chi2_r, n FROM agg)
+SELECT d.digit, d.n_obs,
+       round(d.n_obs::DOUBLE / chi.n::DOUBLE, 6) AS obs_freq_r,
+       round(d.benford_p, 6) AS benford_p_r,
+       chi.chi2_r
+FROM ({digit_rows}) d, chi
+ORDER BY d.digit
+"""
+
+
+@twin("orders_benford_audit", oracle=_benford_oracle())
+def orders_benford_audit(spark, sf_dir):
+    """Benford first-digit audit (the fraud/data-quality screen): the
+    first-significant-digit distribution of lineitem price cents vs the
+    Benford expectation, with the chi-square divergence. Digits extract
+    exactly (first char of the integer string); the expectations are
+    SHARED Python literals in both engines; and the chi-square is one
+    FIXED-ORDER expression chain over a single pivoted counts row —
+    never a float fold over rows in engine-chosen order, the only way a
+    9-term double sum stays bit-identical. (TPC-H-ish uniform prices
+    flunk Benford loudly — the point is the audit surface, not the
+    verdict.)"""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    digits = li.select(
+        F.substring(
+            F.round(F.col("l_extendedprice").cast("double") * 100)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    agg = digits.agg(
+        *[
+            F.sum((F.col("digit") == d).cast("long")).alias(f"c{d}")
+            for d in range(1, 10)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    )
+    chi = None
+    for d in range(1, 10):
+        term = (
+            (F.col(f"c{d}") - F.col("n") * F.lit(_BENFORD_P[d]))
+            * (F.col(f"c{d}") - F.col("n") * F.lit(_BENFORD_P[d]))
+            / (F.col("n") * F.lit(_BENFORD_P[d]))
+        )
+        chi = term if chi is None else chi + term
+    one = agg.select(*[f"c{d}" for d in range(1, 10)], "n", F.round(chi, 4).alias("chi2_r"))
+    rows = []
+    for d in range(1, 10):
+        rows.append(
+            one.select(
+                F.lit(d).alias("digit"),
+                F.col(f"c{d}").alias("n_obs"),
+                F.round(F.col(f"c{d}").cast("double") / F.col("n").cast("double"), 6).alias(
+                    "obs_freq_r"
+                ),
+                F.lit(round(_BENFORD_P[d], 6)).alias("benford_p_r"),
+                "chi2_r",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("digit")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
