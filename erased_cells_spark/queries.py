@@ -7637,6 +7637,146 @@ def orders_benford_audit(spark, sf_dir):
     return out.orderBy("digit")
 
 
+_XK_KM = 500.0
+
+
+def _colocation_oracle() -> str:
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+d AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM pts a JOIN pts b ON a.doc_id < b.doc_id
+  WHERE 2.0 * 6371.0088 * asin(sqrt(
+            sin((radians(b.lat) - radians(a.lat)) / 2.0) * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+          + cos(radians(a.lat)) * cos(radians(b.lat))
+            * sin((radians(b.lon) - radians(a.lon)) / 2.0) * sin((radians(b.lon) - radians(a.lon)) / 2.0)
+        )) <= {_XK_KM!r}
+),
+pairs AS (
+  SELECT least(sa, sb) AS cat_a, greatest(sa, sb) AS cat_b, count(*) AS n_pairs
+  FROM d GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_pairs) AS t FROM pairs),
+share AS (SELECT source, count(*) AS m FROM documents GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM documents)
+SELECT p.cat_a, p.cat_b, p.n_pairs,
+       round(p.n_pairs::DOUBLE / tot.t::DOUBLE
+             / ((CASE WHEN p.cat_a = p.cat_b
+                      THEN sa.m::DOUBLE * (sa.m::DOUBLE - 1.0)
+                      ELSE 2.0 * sa.m::DOUBLE * sb.m::DOUBLE END)
+                / (n.nn::DOUBLE * (n.nn::DOUBLE - 1.0))), 4) AS colocation_q_r
+FROM pairs p
+JOIN share sa ON sa.source = p.cat_a
+JOIN share sb ON sb.source = p.cat_b
+CROSS JOIN tot CROSS JOIN n
+ORDER BY p.n_pairs DESC, p.cat_a, p.cat_b LIMIT 30
+"""
+
+
+@twin("geo_colocation_crossk", oracle=_colocation_oracle())
+def geo_colocation_crossk(spark, sf_dir):
+    """Colocation mining / cross-K statistic: which SOURCE CATEGORY
+    pairs co-occur within 500 km more than their abundance predicts —
+    the multivariate companion to Ripley's K (K says density clusters;
+    cross-K says WHICH categories cluster TOGETHER). One exactly-once
+    banded radius self-join (operators/radius.py) feeds exact integer
+    pair counts per unordered category pair; the colocation quotient
+    divides the observed pair share by the abundance-expected share
+    (same/cross category forms differ — both are one fixed-order double
+    chain over exact ints under round(,4)). Top 30 by the raw count."""
+    from erased_cells_spark.operators.radius import radius_pairs
+
+    p = _doc_points(spark, sf_dir)
+    src = p.select("doc_id", "source")
+    pr = radius_pairs(p, _XK_KM, id_col="doc_id")
+    cat = (
+        pr.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("cat_a"), F.greatest("sa", "sb").alias("cat_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    tot = cat.agg(F.sum("n_pairs").alias("t"))
+    share = t(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("m"))
+    nn = t(spark, sf_dir, "documents").agg(F.count("*").alias("nn"))
+    sa = share.select(F.col("source").alias("cat_a"), F.col("m").alias("ma"))
+    sb = share.select(F.col("source").alias("cat_b"), F.col("m").alias("mb"))
+    expected = F.when(
+        F.col("cat_a") == F.col("cat_b"),
+        F.col("ma").cast("double") * (F.col("ma").cast("double") - 1.0),
+    ).otherwise(2.0 * F.col("ma").cast("double") * F.col("mb").cast("double")) / (
+        F.col("nn").cast("double") * (F.col("nn").cast("double") - 1.0)
+    )
+    return (
+        cat.join(F.broadcast(sa), "cat_a")
+        .join(F.broadcast(sb), "cat_b")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "cat_a",
+            "cat_b",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.col("t").cast("double") / expected, 4
+            ).alias("colocation_q_r"),
+        )
+        .orderBy(F.desc("n_pairs"), "cat_a", "cat_b")
+        .limit(30)
+    )
+
+
+@twin(
+    "doc_location_quotient",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cells AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 3)} AS cell, source, count(*) AS n_cs
+  FROM pts GROUP BY 1, 2
+),
+per_cell AS (SELECT cell, sum(n_cs) AS n_c FROM cells GROUP BY 1),
+per_src AS (SELECT source, sum(n_cs) AS n_s FROM cells GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM documents)
+SELECT c.cell, c.source, c.n_cs,
+       round((c.n_cs * n.nn)::DOUBLE / (pc.n_c * ps.n_s)::DOUBLE, 6) AS lq_r
+FROM cells c JOIN per_cell pc USING (cell) JOIN per_src ps USING (source)
+CROSS JOIN n
+WHERE c.n_cs >= 3
+ORDER BY round((c.n_cs * n.nn)::DOUBLE / (pc.n_c * ps.n_s)::DOUBLE, 6) DESC,
+         c.cell, c.source
+LIMIT 40
+""",
+)
+def doc_location_quotient(spark, sf_dir):
+    """Location quotient (regional-specialization index): for each
+    (res-3 cell, source), how over-represented that source is there vs
+    its global share — LQ = (n_cs/n_c)/(N_s/N), computed as ONE divide
+    of exact integer products (n_cs*N)/(n_c*N_s), so the surface is
+    deterministic to the last bit and ranks by the raw double of that
+    single op. The geo-analytics complement to PMI terms (which finds
+    discriminative WORDS per source; this finds discriminative PLACES).
+    Sparse-cell noise floored at n_cs >= 3; top 40."""
+    p = _doc_points(spark, sf_dir)
+    cells = p.groupBy(
+        CE.cell_key_expr(F.col("lon"), F.col("lat"), 3).alias("cell"), F.col("source")
+    ).agg(F.count("*").alias("n_cs"))
+    per_cell = cells.groupBy("cell").agg(F.sum("n_cs").alias("n_c"))
+    per_src = cells.groupBy("source").agg(F.sum("n_cs").alias("n_s"))
+    nn = t(spark, sf_dir, "documents").agg(F.count("*").alias("nn"))
+    lq = (F.col("n_cs") * F.col("nn")).cast("double") / (
+        F.col("n_c") * F.col("n_s")
+    ).cast("double")
+    return (
+        cells.filter(F.col("n_cs") >= 3)
+        .join(per_cell, "cell")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(nn))
+        .select("cell", "source", "n_cs", F.round(lq, 6).alias("lq_r"))
+        .orderBy(F.desc("lq_r"), "cell", "source")
+        .limit(40)
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
