@@ -254,11 +254,11 @@ def main() -> None:
             "loadavg_1m_start_end": [round(load_start, 2), round(os.getloadavg()[0], 2)],
             "flagship_pages": fl_rows,
             "flagship_rows_per_sec": round(rows_per_sec, 1),
-            "scaling": "N->4N efficiency 0.961 single-JVM (local[2]->local[8]) "
-            "and 0.934 local-cluster (1->4 exec x 2 cores), both PASS >=0.8 "
-            "at 64M pages, re-measured r6; 8->32-thread single-JVM hits the "
-            "one-memory-bus ceiling (0.541) - analysis+controls in BENCH.md "
-            "(tools/scaling_bench.py)",
+            "scaling": "N->4N efficiency 1.004 local-cluster (1->4 exec x 2 "
+            "cores) and 1.040 single-JVM (local[2]->local[8]), both PASS "
+            ">=0.8 at 64M pages, re-measured on r7 code (r6: 0.934/0.961); "
+            "8->32-thread single-JVM hits the one-memory-bus ceiling - "
+            "analysis+controls in BENCH.md (tools/scaling_bench.py)",
         },
     }
     print(json.dumps(out))
