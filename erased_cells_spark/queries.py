@@ -7777,6 +7777,84 @@ def doc_location_quotient(spark, sf_dir):
     )
 
 
+def _traversal_oracle() -> str:
+    def mh(prefix):
+        return f"('0x'||substr(md5('{prefix}'||event_id::VARCHAR),1,8))::BIGINT"
+
+    return f"""
+WITH segs AS (
+  SELECT event_id AS seg_id,
+         {mh('gx-')} % 32 AS ax, {mh('gy-')} % 32 AS ay,
+         {mh('hx-')} % 32 AS bx, {mh('hy-')} % 32 AS by
+  FROM events
+),
+p AS (
+  SELECT seg_id, ax, ay,
+         abs(bx - ax) AS adx, abs(by - ay) AS ady,
+         greatest(abs(bx - ax), abs(by - ay)) AS steps,
+         CASE WHEN bx > ax THEN 1 WHEN bx < ax THEN -1 ELSE 0 END AS sx,
+         CASE WHEN by > ay THEN 1 WHEN by < ay THEN -1 ELSE 0 END AS sy
+  FROM segs
+),
+walk AS (
+  SELECT p.seg_id,
+         CASE WHEN p.steps = 0 THEN p.ax
+              WHEN p.adx >= p.ady THEN p.ax + p.sx * k.k
+              ELSE p.ax + p.sx * ((2 * k.k * p.adx + p.ady) // (2 * p.ady)) END AS cx,
+         CASE WHEN p.steps = 0 THEN p.ay
+              WHEN p.adx >= p.ady THEN p.ay + p.sy * ((2 * k.k * p.ady + p.adx) // (2 * p.adx))
+              ELSE p.ay + p.sy * k.k END AS cy
+  FROM p JOIN (SELECT unnest(generate_series(0, 31)) AS k) k ON k.k <= p.steps
+)
+SELECT cy * 32 + cx AS cell, count(*) AS n_visits,
+       count(DISTINCT seg_id) AS n_segs
+FROM walk GROUP BY 1 ORDER BY n_visits DESC, cell LIMIT 50
+"""
+
+
+@twin("geo_traversal_heatmap", oracle=_traversal_oracle())
+def geo_traversal_heatmap(spark, sf_dir):
+    """Line rasterization (operators/raster.rasterize_segments): the
+    route heatmap — md5-derived movement segments walked cell by cell
+    with the SAME dominant-axis integer DDA the viewshed uses (shared
+    round-half-up formula, so every line walk in the engine lands on the
+    identical cell sequence), counted per cell. Each (segment, cell)
+    emits exactly once by construction (distinct major coordinate per
+    step — no distinct shuffle); n_visits == n_segs here confirms it
+    against the oracle's independent count(DISTINCT). Vector->raster
+    third lane after points and polygons; top 50 cells by traffic."""
+    from erased_cells_spark.operators.raster import rasterize_segments
+
+    e = t(spark, sf_dir, "events")
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    segs = e.select(
+        F.col("event_id").alias("seg_id"),
+        (mh("gx-") % 32).alias("ax"),
+        (mh("gy-") % 32).alias("ay"),
+        (mh("hx-") % 32).alias("bx"),
+        (mh("hy-") % 32).alias("by"),
+    )
+    cells = rasterize_segments(segs, res=5)
+    return (
+        cells.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.countDistinct("seg_id").alias("n_segs"),
+        )
+        .orderBy(F.desc("n_visits"), "cell")
+        .limit(50)
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
