@@ -90,3 +90,54 @@ def sql_pii_any(expr: str) -> str:
     return " OR ".join(
         f"regexp_matches({expr}, '{rx}')" for _, rx, _ in _ORDERED
     )
+
+
+def k_anonymity_audit(df, qi_cols: list[str], ks: list[int]):
+    """K-anonymity audit over a quasi-identifier combination — the
+    privacy gate next to PII redaction: redaction removes DIRECT
+    identifiers, but a row is still re-identifiable when its
+    quasi-identifier combo (coarse location x day x type...) is shared
+    by too few rows. Reports the group-size HISTOGRAM (anonymity-set
+    size -> groups, rows) plus, per requested k, how many rows sit in
+    groups smaller than k (the re-identification exposure the release
+    must mitigate by generalizing a QI column).
+
+    Exact integers end to end (counts of counts; the exposure fractions
+    are single divides the caller rounds). Two map-side-combined
+    aggregations: groupBy(QI) then groupBy(size) — the second input is
+    |distinct QI combos| rows. Returns (audit_df, exposure_df):
+      audit:    (group_size, n_groups, n_rows)
+      exposure: (k, rows_below, frac_below)"""
+    from pyspark.sql import functions as F
+
+    if not qi_cols or not ks:
+        raise ValueError("qi_cols and ks are required")
+    sizes = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("group_size"))
+    audit = (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_rows"),
+        )
+    )
+    total = audit.agg(F.sum("n_rows").alias("total"))
+    parts = []
+    for k in sorted(ks):
+        parts.append(
+            audit.crossJoin(F.broadcast(total)).select(
+                F.lit(k).alias("k"),
+                F.sum(
+                    F.when(F.col("group_size") < k, F.col("n_rows")).otherwise(0)
+                ).alias("rows_below"),
+                (
+                    F.sum(
+                        F.when(F.col("group_size") < k, F.col("n_rows")).otherwise(0)
+                    ).cast("double")
+                    / F.first("total").cast("double")
+                ).alias("frac_below"),
+            )
+        )
+    exposure = parts[0]
+    for p in parts[1:]:
+        exposure = exposure.unionAll(p)
+    return audit, exposure

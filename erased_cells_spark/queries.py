@@ -7855,6 +7855,53 @@ def geo_traversal_heatmap(spark, sf_dir):
     )
 
 
+@twin(
+    "events_kanon_audit",
+    oracle="""
+WITH qi AS (
+  SELECT event_type, date_part('day', ts)::BIGINT AS d,
+         CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) // 2000 AS vband
+  FROM events
+),
+sizes AS (SELECT event_type, d, vband, count(*) AS group_size FROM qi GROUP BY 1, 2, 3),
+audit AS (
+  SELECT group_size, count(*) AS n_groups, sum(group_size) AS n_rows
+  FROM sizes GROUP BY 1
+),
+tot AS (SELECT sum(n_rows) AS total FROM audit)
+SELECT k.k, coalesce(sum(CASE WHEN a.group_size < k.k THEN a.n_rows END), 0) AS rows_below,
+       round(coalesce(sum(CASE WHEN a.group_size < k.k THEN a.n_rows END), 0)::DOUBLE
+             / max(tot.total)::DOUBLE, 6) AS frac_below_r
+FROM (SELECT unnest([2, 5, 10]) AS k) k
+CROSS JOIN tot LEFT JOIN audit a ON true
+GROUP BY k.k ORDER BY k.k
+""",
+)
+def events_kanon_audit(spark, sf_dir):
+    """K-anonymity audit (functions/pii.k_anonymity_audit): the privacy
+    gate after PII redaction — how many rows sit in quasi-identifier
+    groups (event type x day x $20 value band) smaller than k, for
+    k in {2, 5, 10}. Redaction removes direct identifiers; this measures
+    the RE-identification exposure the QI combination still leaks, the
+    number a release signs off on (generalize a QI column until it
+    clears policy). Exact integer counts-of-counts over two map-side-
+    combined aggregations; the exposure fraction is one divide under
+    round(,6)."""
+    from erased_cells_spark.functions.pii import k_anonymity_audit
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("d"),
+        F.expr(
+            "CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) div 2000"
+        ).alias("vband"),
+    )
+    _, exposure = k_anonymity_audit(e, ["event_type", "d", "vband"], [2, 5, 10])
+    return exposure.select(
+        "k", "rows_below", F.round("frac_below", 6).alias("frac_below_r")
+    ).orderBy("k")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
