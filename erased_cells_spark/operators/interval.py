@@ -136,5 +136,14 @@ def interval_overlap_pairs(
     return (
         cand.filter(first_bucket)
         .filter(overlap > 0)
-        .select(*key_cols, "a_id", "b_id", overlap.alias("overlap"))
+        .select(
+            *key_cols,
+            "a_id",
+            "b_id",
+            overlap.alias("overlap"),
+            # the overlap window itself: contact-graph builders key on when
+            # the co-presence STARTED (temporal_reachability edges)
+            F.greatest(F.col("a_s"), F.col("b_s")).alias("o_start"),
+            F.least(F.col("a_e"), F.col("b_e")).alias("o_end"),
+        )
     )

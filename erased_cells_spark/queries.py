@@ -7902,6 +7902,103 @@ def events_kanon_audit(spark, sf_dir):
     ).orderBy("k")
 
 
+def _temporal_reach_oracle() -> str:
+    ev_key = "'ev-'||user_id::VARCHAR||'-'||event_id::VARCHAR"
+    return f"""
+WITH RECURSIVE nu AS (SELECT count(DISTINCT user_id) AS n FROM events),
+iv AS (
+  SELECT user_id,
+         {CE.sql_cell_key(f"({sql_lon(ev_key)})", f"({sql_lat(ev_key)})", 2)} AS cell,
+         date_diff('microsecond', {_COP_ANCHOR}, ts) AS s_us,
+         date_diff('microsecond', {_COP_ANCHOR}, ts)
+           + CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) * 600000 AS e_us
+  FROM events, nu
+  WHERE ('0x'||substr(md5('hu-'||user_id::VARCHAR),1,8))::BIGINT % 1000000
+        < 12000000 // nu.n
+),
+contacts AS (
+  SELECT a.user_id AS u, b.user_id AS v, min(greatest(a.s_us, b.s_us)) AS t
+  FROM iv a JOIN iv b
+    ON a.cell = b.cell AND a.user_id < b.user_id
+   AND least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) > 0
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT u AS src, v AS dst, t FROM contacts
+  UNION ALL SELECT v, u, t FROM contacts
+),
+seeds AS (SELECT DISTINCT user_id FROM iv ORDER BY user_id LIMIT 2),
+walk(node, arr) AS (
+  SELECT user_id, 0::BIGINT FROM seeds
+  UNION
+  SELECT e.dst, e.t FROM walk w JOIN edges e ON e.src = w.node AND e.t >= w.arr
+)
+SELECT node AS id, min(arr) AS arrival FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
+@twin("user_temporal_reach", oracle=_temporal_reach_oracle())
+def user_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (operators/graph.
+    temporal_reachability) over the CO-PRESENCE contact graph — the
+    epidemic/influence question: starting from the two lowest sampled
+    users at t=0, who can be reached through a chain of same-cell
+    co-presence contacts whose times never decrease (a contact BEFORE
+    the carrier was reached cannot transmit — static reachability
+    over-counts exactly those paths). Contacts come from the
+    interval-overlap join (earliest overlap start per user pair, exact
+    μs); Spark iterates label-correcting min-arrival relaxation to a
+    verified fixpoint, the oracle walks a recursive CTE — different
+    algorithms, exact integer agreement on every arrival time."""
+    from erased_cells_spark.operators.graph import temporal_reachability
+    from erased_cells_spark.operators.interval import interval_overlap_pairs
+
+    e = t(spark, sf_dir, "events")
+    n_users = e.agg(F.countDistinct("user_id").alias("n"))
+
+    def mh(prefix, col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col(col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    key = F.concat(
+        F.lit("ev-"), F.col("user_id").cast("string"),
+        F.lit("-"), F.col("event_id").cast("string"),
+    )
+    s_us = F.expr(f"timestampdiff(MICROSECOND, {_COP_ANCHOR}, ts)")
+    iv = (
+        e.crossJoin(F.broadcast(n_users))
+        .filter((mh("hu-", "user_id") % 1000000) < F.expr("12000000 div n"))
+        .select(
+            "user_id",
+            CE.cell_key_expr(geocode_lon(key), geocode_lat(key), 2).alias("cell"),
+            s_us.alias("s_us"),
+            (
+                s_us
+                + F.round(F.col("value").cast("double") * 100).cast("long") * 600000
+            ).alias("e_us"),
+        )
+    )
+    contacts = (
+        interval_overlap_pairs(iv, ["cell"], "user_id", "s_us", "e_us", bucket=3_600_000_000)
+        .groupBy(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .agg(F.min("o_start").alias("t"))
+    )
+    edges = contacts.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "t"
+    ).unionAll(contacts.select(F.col("v").alias("src"), F.col("u").alias("dst"), "t"))
+    seeds = iv.select("user_id").distinct().orderBy("user_id").limit(2)
+    return (
+        temporal_reachability(edges, seeds, id_col="user_id")
+        .select(F.col("id"), F.col("arr").alias("arrival"))
+        .orderBy("id")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
