@@ -285,3 +285,63 @@ def unigram_logprob_df(docs, id_col: str = "doc_id", text_col: str = "text"):
         .agg(F.count("*").alias("n_words"), F.avg("lp").alias("avg_logp"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------- link extraction --
+# <a ... href="...">anchor — no lookaround/backreferences (Java and RE2
+# both run it, keeping a future DuckDB twin possible). The anchor is the
+# text up to the first '<' after the opening tag; requiring a literal
+# </a> would silently drop links whose anchor starts with nested markup
+# (<a href=x><b>bold</b></a>), which real crawls are full of.
+_HREF_RE = r"""<a\s[^>]*href=["']([^"'<>]*)["'][^>]*>([^<]*)"""
+
+
+def extract_links(html: Column) -> Column:
+    """array<struct<href, anchor>> of <a href> links from raw html text —
+    the crawl-side input to link-graph construction (doc_link_edges is
+    the synthetic stand-in; real pipelines extract from bytes). Pure JVM
+    regexp (whole-stage codegen, zero Python): two regexp_extract_all
+    passes over the same pattern zipped together. Anchors are the
+    immediate text content only (nested markup inside <a> yields an
+    empty anchor — stated convention, malformed html yields no match,
+    never an error)."""
+    s = html.cast("string")
+    hrefs = F.regexp_extract_all(s, F.lit(_HREF_RE), 1)
+    anchors = F.regexp_extract_all(s, F.lit(_HREF_RE), 2)
+    return F.arrays_zip(hrefs.alias("href"), anchors.alias("anchor"))
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Minimal RFC-3986-ish resolution for crawl link graphs: absolute
+    URLs pass through; protocol-relative (//h/p) adopt the base scheme;
+    root-relative (/p) adopt scheme://host; anything else (relative
+    paths, fragments, javascript:, mailto:) resolves to NULL — the
+    conservative 'only follow what we can canonicalize' crawl rule.
+    Composes with url.url_canonicalize downstream."""
+    from erased_cells_spark.functions.url import url_host, url_scheme
+
+    scheme = url_scheme(base_url)
+    host = url_host(base_url)
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def link_edges(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(src, dst, anchor) crawl link edges: extract -> resolve -> drop
+    unresolvable -> drop self-loops. Feeds pagerank/hits/components
+    directly. One explode; everything whole-stage codegen."""
+    link = F.explode(extract_links(F.col(html_col))).alias("l")
+    raw = pages.select(F.col(url_col).alias("src"), link)
+    return (
+        raw.select(
+            "src",
+            resolve_href(F.col("l.href"), F.col("src")).alias("dst"),
+            F.col("l.anchor").alias("anchor"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .filter(F.col("dst") != F.col("src"))
+    )
