@@ -7999,6 +7999,107 @@ def user_temporal_reach(spark, sf_dir):
     )
 
 
+@twin(
+    "doc_cell_diversity",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cs AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 3)} AS cell, source, count(*) AS n_cs
+  FROM pts GROUP BY 1, 2
+),
+agg AS (
+  SELECT cell, sum(n_cs) AS n_docs, count(*) AS n_sources,
+         sum(n_cs * n_cs) AS sumsq
+  FROM cs GROUP BY 1
+)
+SELECT cell, n_docs, n_sources,
+       round(1.0 - sumsq::DOUBLE / (n_docs * n_docs)::DOUBLE, 6) AS simpson_r
+FROM agg WHERE n_docs >= 5 ORDER BY cell
+""",
+)
+def doc_cell_diversity(spark, sf_dir):
+    """Simpson diversity index per res-3 cell: 1 - sum((n_i/n)^2) over
+    source shares — how MIXED each area's corpus is (the diversity
+    companion to the location quotient's specialization). Chosen over
+    Shannon entropy deliberately: Simpson's sum of squares is an EXACT
+    integer (sum(n_i^2)), leaving one divide under round(,6) — entropy
+    would fold per-source ln() terms in engine-chosen row order, which
+    is exactly the float hazard the repo's cross-engine rule bans.
+    Two map-side aggregations; cells with < 5 docs floored out."""
+    p = _doc_points(spark, sf_dir)
+    cs = p.groupBy(
+        CE.cell_key_expr(F.col("lon"), F.col("lat"), 3).alias("cell"), F.col("source")
+    ).agg(F.count("*").alias("n_cs"))
+    agg = cs.groupBy("cell").agg(
+        F.sum("n_cs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum(F.col("n_cs") * F.col("n_cs")).alias("sumsq"),
+    )
+    simpson = F.lit(1.0) - F.col("sumsq").cast("double") / (
+        F.col("n_docs") * F.col("n_docs")
+    ).cast("double")
+    return (
+        agg.filter(F.col("n_docs") >= 5)
+        .select("cell", "n_docs", "n_sources", F.round(simpson, 6).alias("simpson_r"))
+        .orderBy("cell")
+    )
+
+
+@twin(
+    "user_activity_gini",
+    oracle="""
+WITH peru AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, user_id) AS rnk,
+         count(*) OVER () AS m
+  FROM peru
+),
+agg AS (
+  SELECT max(m) AS m,
+         sum(CAST(rnk AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS s_rn,
+         sum(CAST(n AS DECIMAL(38,0))) AS s_n
+  FROM ranked
+)
+SELECT m AS n_users, CAST(s_n AS BIGINT) AS n_events,
+       round((2.0 * CAST(s_rn AS DOUBLE)) / (CAST(m AS DOUBLE) * CAST(s_n AS DOUBLE))
+             - (CAST(m AS DOUBLE) + 1.0) / CAST(m AS DOUBLE), 6) AS gini_r
+FROM agg
+""",
+)
+def user_activity_gini(spark, sf_dir):
+    """Gini coefficient of user activity concentration — the inequality
+    audit ("is the event volume spread across users or owned by a few")
+    a crawl/traffic pipeline runs on hosts, users, and domains. Exact
+    rank formulation: G = 2*sum(rank*n)/(m*sum(n)) - (m+1)/m over
+    activity counts ranked ascending with the unique-id tie-break;
+    rank*count products fold in DECIMAL(38,0) (order-independent, no
+    int64 overflow at corpus scale), then ONE fixed double chain under
+    round(,6). One groupBy + one global window over the per-user rollup
+    (metadata-scale input)."""
+    peru = t(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    w = Window.orderBy("n", "user_id")
+    ranked = peru.select(
+        "n",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    agg = ranked.agg(
+        F.max("m").alias("m"),
+        F.sum(
+            F.col("rnk").cast("decimal(38,0)") * F.col("n").cast("decimal(38,0)")
+        ).alias("s_rn"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("s_n"),
+    )
+    gini = (F.lit(2.0) * F.col("s_rn").cast("double")) / (
+        F.col("m").cast("double") * F.col("s_n").cast("double")
+    ) - (F.col("m").cast("double") + 1.0) / F.col("m").cast("double")
+    return agg.select(
+        F.col("m").alias("n_users"),
+        F.col("s_n").cast("long").alias("n_events"),
+        F.round(gini, 6).alias("gini_r"),
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
