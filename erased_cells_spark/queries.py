@@ -8100,6 +8100,124 @@ def user_activity_gini(spark, sf_dir):
     )
 
 
+@twin(
+    "geo_quadrat_test",
+    oracle=f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+cs AS (
+  SELECT {CE.sql_cell_key('lon', 'lat', 4)} AS cell, count(*) AS n_c
+  FROM pts GROUP BY 1
+),
+agg AS (SELECT sum(n_c) AS n, sum(n_c * n_c) AS sumsq, count(*) AS occupied FROM cs)
+SELECT 256 AS n_quadrats, occupied, n AS n_pts,
+       round((256.0 * sumsq::DOUBLE) / n::DOUBLE - n::DOUBLE, 4) AS chi2_r,
+       255 AS dof
+FROM agg
+""",
+)
+def geo_quadrat_test(spark, sf_dir):
+    """Quadrat test of complete spatial randomness over the res-4 grid —
+    the third CSR lens beside Moran's I (spatial correlation) and
+    Ripley's K (scale): does the per-quadrat count variance exceed
+    Poisson? The chi-square collapses algebraically to
+
+        chi2 = m * sum(n_c^2) / n - n        (m quadrats, n points)
+
+    whose core sum(n_c^2) is an EXACT integer (empty quadrats contribute
+    0 to both forms — the identity absorbs them, so no dense 4^res
+    enumeration), leaving one fixed double chain under round(,4). One
+    density rollup + one 3-column fold."""
+    p = _doc_points(spark, sf_dir)
+    m = 1 << (2 * 4)
+    cs = p.groupBy(
+        CE.cell_key_expr(F.col("lon"), F.col("lat"), 4).alias("cell")
+    ).agg(F.count("*").alias("n_c"))
+    agg = cs.agg(
+        F.sum("n_c").alias("n"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("sumsq"),
+        F.count(F.lit(1)).alias("occupied"),
+    )
+    chi2 = (F.lit(float(m)) * F.col("sumsq").cast("double")) / F.col("n").cast(
+        "double"
+    ) - F.col("n").cast("double")
+    return agg.select(
+        F.lit(m).alias("n_quadrats"),
+        "occupied",
+        F.col("n").alias("n_pts"),
+        F.round(chi2, 4).alias("chi2_r"),
+        F.lit(m - 1).alias("dof"),
+    )
+
+
+@twin(
+    "events_conversion_ab",
+    oracle="""
+WITH cohorts AS (
+  SELECT user_id % 2 AS cohort,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT max(CASE WHEN cohort = 0 THEN n END) AS n0,
+         max(CASE WHEN cohort = 0 THEN conv END) AS c0,
+         max(CASE WHEN cohort = 1 THEN n END) AS n1,
+         max(CASE WHEN cohort = 1 THEN conv END) AS c1
+  FROM cohorts
+)
+SELECT n0, c0, n1, c1,
+       round(c0::DOUBLE / n0::DOUBLE, 6) AS p0_r,
+       round(c1::DOUBLE / n1::DOUBLE, 6) AS p1_r,
+       round((c0::DOUBLE / n0::DOUBLE - c1::DOUBLE / n1::DOUBLE)
+             / sqrt(((c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+                    * (1.0 - (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE)
+                    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)), 4) AS z_r
+FROM w
+""",
+)
+def events_conversion_ab(spark, sf_dir):
+    """Two-proportion z-test (the A/B readout): purchase conversion of
+    the even vs odd user cohorts with the pooled-variance z statistic —
+    exact integer counts pivoted to ONE row, then a single fixed-order
+    double chain (two divides, one sqrt — each one IEEE op, identical
+    both engines) under round(,4). The experimentation counterpart of
+    the monitoring ops (CUSUM says WHEN a series drifted; this says
+    whether two arms DIFFER)."""
+    e = t(spark, sf_dir, "events")
+    cohorts = e.groupBy((F.col("user_id") % 2).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("conv"),
+    )
+    w = cohorts.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("cohort") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("cohort") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (p0 - p1) / F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    return w.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(p0, 6).alias("p0_r"),
+        F.round(p1, 6).alias("p1_r"),
+        F.round(z, 4).alias("z_r"),
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
