@@ -69,14 +69,16 @@ def decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image decode dispatcher: PNG and baseline JPEG byte streams — gray
-    AND 3-component YCbCr color with 4:2:0/4:2:2/4:4:4 subsampling since
-    r7 (magic-sniffed; the container-independent pure-python codecs in
-    sources/png.py and sources/jpeg.py) decode for REAL to their luma
+    """Image decode dispatcher: PNG, baseline JPEG (gray AND 3-component
+    YCbCr color with 4:2:0/4:2:2/4:4:4 subsampling since r7), and
+    baseline GIF87a/89a (r7 third session) byte streams — magic-sniffed;
+    the container-independent pure-python codecs in sources/png.py,
+    sources/jpeg.py and sources/gif.py decode for REAL to their luma
     plane — dimensions come from the stream headers, not the metadata
-    hint; an out-of-scope PNG/JPEG raises like a real codec would; any
-    other format falls back to the deterministic stub at the hinted
+    hint; an out-of-scope PNG/JPEG/GIF raises like a real codec would;
+    any other format falls back to the deterministic stub at the hinted
     size."""
+    from erased_cells_spark.sources.gif import GIF_MAGIC87, GIF_MAGIC89, gif_decode_luma
     from erased_cells_spark.sources.jpeg import JPEG_MAGIC, jpeg_decode_luma
     from erased_cells_spark.sources.png import PNG_MAGIC, png_decode_luma
 
@@ -84,6 +86,8 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return png_decode_luma(payload)
     if bytes(payload[:2]) == JPEG_MAGIC:
         return jpeg_decode_luma(payload)
+    if bytes(payload[:6]) in (GIF_MAGIC87, GIF_MAGIC89):
+        return gif_decode_luma(payload)
     return decode_image_stub(payload, width, height)
 
 
