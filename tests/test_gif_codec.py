@@ -106,3 +106,34 @@ def test_dispatcher_and_quarantine(spark):
     assert luma.shape == (2, 2)
     with pytest.raises(GifFormatError):
         decode_image(data[:18], 2, 2)  # truncated GIF raises, never stubs
+
+
+def test_gif_through_media_features_and_quarantine(spark):
+    """A good GIF decodes REAL features through extract_image_features;
+    a truncated GIF lands in quarantine (GifFormatError is a ValueError)
+    while the batch completes."""
+    from erased_cells_spark.operators.multimodal import (
+        extract_image_features,
+        media_quarantine,
+    )
+
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = (np.add.outer(np.arange(24), np.arange(24)) % 16).astype(np.uint8)
+    good = gif_encode(idx, pal)
+    rows = [
+        {"media_id": 1, "kind": "image", "mime": "image/gif",
+         "payload": bytearray(good), "width": 24, "height": 24, "duration_ms": None},
+        {"media_id": 2, "kind": "image", "mime": "image/gif",
+         "payload": bytearray(good[:25]), "width": 24, "height": 24,
+         "duration_ms": None},
+    ]
+    from erased_cells_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_image_features(media, out_size=8)
+    got = {r.media_id: r for r in feats.collect()}
+    assert got[1].error is None and got[1].cols == 8 and got[1].rows == 8
+    assert got[1].mean_luma is not None
+    assert got[2].error is not None
+    q = {r.media_id for r in media_quarantine(feats).collect()}
+    assert q == {2}
