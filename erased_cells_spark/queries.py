@@ -8218,6 +8218,85 @@ def events_conversion_ab(spark, sf_dir):
     )
 
 
+# reference route for the navigation twin (non-special literals)
+_ROUTE = (-30.3, -20.7, 60.4, 45.2)  # lon1, lat1, lon2, lat2
+
+
+def _nav_oracle() -> str:
+    from erased_cells_spark.functions.nav import (
+        sql_along_track_km,
+        sql_bearing_deg,
+        sql_cross_track_km,
+    )
+
+    lon1, lat1, lon2, lat2 = (repr(v) for v in _ROUTE)
+    hav = (
+        f"2.0 * 6371.0088 * asin(sqrt("
+        f" sin((radians(lat) - radians({lat1})) / 2.0) * sin((radians(lat) - radians({lat1})) / 2.0)"
+        f" + cos(radians({lat1})) * cos(radians(lat))"
+        f" * sin((radians(lon) - radians({lon1})) / 2.0) * sin((radians(lon) - radians({lon1})) / 2.0)))"
+    )
+    brg13 = sql_bearing_deg(lon1, lat1, "lon", "lat")
+    brg12 = sql_bearing_deg(lon1, lat1, lon2, lat2)
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+base AS (
+  SELECT doc_id, ({hav}) AS d13, ({brg13}) AS brg13, ({brg12}) AS brg12
+  FROM pts
+),
+xt AS (
+  SELECT doc_id, d13, brg13,
+         ({sql_cross_track_km('d13', 'brg13', 'brg12')}) AS xtk
+  FROM base
+)
+SELECT doc_id, round(brg13, 4) AS bearing_r, round(xtk, 4) AS xtrack_r,
+       round({sql_along_track_km('d13', 'xtk')}, 4) AS along_r
+FROM xt ORDER BY doc_id
+"""
+
+
+@twin("doc_route_navigation", oracle=_nav_oracle())
+def doc_route_navigation(spark, sf_dir):
+    """Great-circle navigation functions (functions/nav.py): per doc
+    point, the initial bearing from the route origin, the SIGNED
+    cross-track distance off the reference great circle, and the
+    along-track distance to the perpendicular foot — the corridor-
+    filter / route-adherence math complementing the radius family with
+    direction. Every output is one fixed per-row transcendental chain
+    (no folds, no raw-float ranking) under round(,4); the acos argument
+    clamps to [-1, 1] identically in both dialects (the on-course ulp
+    overflow would otherwise NaN both engines). SQL is generated from
+    the same module as the Spark expressions so the dialects cannot
+    drift."""
+    from erased_cells_spark.functions.nav import (
+        along_track_km,
+        bearing_deg,
+        cross_track_km,
+    )
+    from erased_cells_spark.operators.knn import haversine_km_expr
+
+    lon1, lat1, lon2, lat2 = _ROUTE
+    p = _doc_points(spark, sf_dir)
+    d13 = haversine_km_expr(F.lit(lon1), F.lit(lat1), F.col("lon"), F.col("lat"))
+    brg13 = bearing_deg(F.lit(lon1), F.lit(lat1), F.col("lon"), F.col("lat"))
+    brg12 = bearing_deg(F.lit(lon1), F.lit(lat1), F.lit(lon2), F.lit(lat2))
+    base = p.select(
+        "doc_id", d13.alias("d13"), brg13.alias("brg13"), brg12.alias("brg12")
+    )
+    xt = base.select(
+        "doc_id",
+        "d13",
+        "brg13",
+        cross_track_km(F.col("d13"), F.col("brg13"), F.col("brg12")).alias("xtk"),
+    )
+    return xt.select(
+        "doc_id",
+        F.round("brg13", 4).alias("bearing_r"),
+        F.round("xtk", 4).alias("xtrack_r"),
+        F.round(along_track_km(F.col("d13"), F.col("xtk")), 4).alias("along_r"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
