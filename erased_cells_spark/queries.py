@@ -8297,6 +8297,131 @@ def doc_route_navigation(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_KNOX_S_KM, _KNOX_T_US = 800.0, 3 * 86_400_000_000  # 800 km, 3 days
+
+
+def _knox_oracle() -> str:
+    ev_key = "'kx-'||event_id::VARCHAR"
+    return f"""
+WITH n0 AS (SELECT count(*) AS cnt FROM events),
+pts AS (
+  SELECT event_id, {sql_lon(ev_key)} AS lon, {sql_lat(ev_key)} AS lat,
+         date_diff('microsecond', {_COP_ANCHOR}, ts) AS t_us
+  FROM events, n0
+  WHERE ('0x'||substr(md5('kk-'||event_id::VARCHAR),1,8))::BIGINT % 1000000
+        < 1500000000 // n0.cnt
+),
+pairs AS (
+  SELECT CASE WHEN 2.0 * 6371.0088 * asin(sqrt(
+             sin((radians(b.lat) - radians(a.lat)) / 2.0) * sin((radians(b.lat) - radians(a.lat)) / 2.0)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * sin((radians(b.lon) - radians(a.lon)) / 2.0) * sin((radians(b.lon) - radians(a.lon)) / 2.0)
+         )) <= {_KNOX_S_KM!r} THEN 1 ELSE 0 END AS cs,
+         CASE WHEN abs(a.t_us - b.t_us) < {_KNOX_T_US} THEN 1 ELSE 0 END AS ct
+  FROM pts a JOIN pts b ON a.event_id < b.event_id
+),
+agg AS (
+  SELECT count(*) AS n_pairs, sum(cs) AS ns, sum(ct) AS nt,
+         sum(cs * ct) AS knox_x
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM pts) AS n_events, n_pairs, ns, nt, knox_x,
+       round(ns::DOUBLE * nt::DOUBLE / n_pairs::DOUBLE, 4) AS expected_r,
+       round(knox_x::DOUBLE / (ns::DOUBLE * nt::DOUBLE / n_pairs::DOUBLE), 6)
+         AS ratio_r
+FROM agg
+"""
+
+
+@twin("events_knox_test", oracle=_knox_oracle())
+def events_knox_test(spark, sf_dir):
+    """Knox space-time interaction test: do event pairs cluster in space
+    AND time together beyond what their marginal closeness predicts —
+    the epidemiology statistic completing the CSR family (quadrat:
+    variance; Ripley: spatial scale; cross-K: categories; Knox: space x
+    time). Over a scale-invariant ~1500-event sample: exact integer
+    counts of close-in-space pairs (one exactly-once banded radius
+    join), close-in-time pairs (1-D time-bucket join, the same
+    first-shared-bucket discipline), and their intersection; the
+    expectation Ns*Nt/N and ratio are one fixed double chain. Oracle =
+    the brute all-pairs cross join."""
+    from erased_cells_spark.operators.radius import radius_pairs
+
+    e = t(spark, sf_dir, "events")
+    cnt = e.agg(F.count("*").alias("cnt"))
+
+    def mh(prefix):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    key = F.concat(F.lit("kx-"), F.col("event_id").cast("string"))
+    pts = (
+        e.crossJoin(F.broadcast(cnt))
+        .filter((mh("kk-") % 1000000) < F.expr("1500000000 div cnt"))
+        .select(
+            "event_id",
+            geocode_lon(key).alias("lon"),
+            geocode_lat(key).alias("lat"),
+            F.expr(f"timestampdiff(MICROSECOND, {_COP_ANCHOR}, ts)").alias("t_us"),
+        )
+        .localCheckpoint(eager=True)  # sampled twice below (space + time)
+    )
+    n_events = pts.count()
+    n_pairs = n_events * (n_events - 1) // 2
+    # space-close pairs: exactly-once banded radius join
+    sp = radius_pairs(pts, _KNOX_S_KM, id_col="event_id").select("id_a", "id_b")
+    ns = sp.count()
+    # time-close pairs: 1-D bucket join (same/adjacent bucket covers any
+    # |dt| < T pair exactly once each — same-bucket needs id order, the
+    # adjacent join is already asymmetric)
+    tb = pts.select("event_id", "t_us", F.expr(f"t_us div {_KNOX_T_US}").alias("b"))
+    a = tb.select(
+        F.col("event_id").alias("ta_id"), F.col("t_us").alias("ta"), F.col("b")
+    )
+    b = tb.select(
+        F.col("event_id").alias("tb_id"), F.col("t_us").alias("tb"), F.col("b")
+    )
+    same = a.join(b, "b").filter(F.col("ta_id") < F.col("tb_id"))
+    adj = a.join(
+        b.withColumnRenamed("b", "b2"), F.col("b2") == F.col("b") + 1
+    )
+    tpairs = (
+        same.select("ta_id", "tb_id", "ta", "tb")
+        .unionAll(adj.select("ta_id", "tb_id", "ta", "tb"))
+        .filter(F.abs(F.col("ta") - F.col("tb")) < _KNOX_T_US)
+    )
+    nt = tpairs.count()
+    # intersection: space pairs joined to times, time predicate applied
+    tt = pts.select(F.col("event_id"), F.col("t_us"))
+    x = (
+        sp.join(tt.select(F.col("event_id").alias("id_a"), F.col("t_us").alias("t_a")), "id_a")
+        .join(tt.select(F.col("event_id").alias("id_b"), F.col("t_us").alias("t_b")), "id_b")
+        .filter(F.abs(F.col("t_a") - F.col("t_b")) < _KNOX_T_US)
+        .count()
+    )
+    expected = ns * nt / n_pairs
+    return spark.createDataFrame(
+        [
+            (
+                n_events,
+                n_pairs,
+                ns,
+                nt,
+                x,
+                round(expected, 4),
+                round(x / expected, 6) if expected else None,
+            )
+        ],
+        "n_events long, n_pairs long, ns long, nt long, knox_x long,"
+        " expected_r double, ratio_r double",
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
