@@ -71,11 +71,28 @@ class MaterializedAggregate:
         return os.path.exists(self._model_path)
 
     # ----- aggregation kernel (shared by build and refresh) ---------------
+    def _derive(self, df: DataFrame, m: dict) -> DataFrame:
+        """Apply the model's derive_exprs (SQL-string projections computed
+        BEFORE grouping — group columns may BE derived, e.g. a sketch
+        bucket h % m or a time bin). SQL strings serialize into the JSON
+        model, so the derivation replays identically on every refresh."""
+        for name, sql in (m.get("derive_exprs") or {}).items():
+            df = df.withColumn(name, F.expr(sql))
+        return df
+
     def _aggregate(self, df: DataFrame, m: dict) -> DataFrame:
-        aggs = [F.count("*").alias("n")] + [
-            F.sum(F.col(c).cast("double")).alias(f"sum_{c}") for c in m["sum_cols"]
-        ]
-        out = df.groupBy(*m["group_cols"]).agg(*aggs)
+        aggs = (
+            [F.count("*").alias("n")]
+            + [
+                F.sum(F.col(c).cast("double")).alias(f"sum_{c}")
+                for c in m["sum_cols"]
+            ]
+            + [
+                F.expr(sql).alias(name)
+                for name, sql in (m.get("agg_exprs") or {}).items()
+            ]
+        )
+        out = self._derive(df, m).groupBy(*m["group_cols"]).agg(*aggs)
         return out.withColumn("gkey", _gkey(m["group_cols"])).withColumn(
             "bucket", F.pmod(F.xxhash64("gkey"), F.lit(m["n_buckets"]))
         )
@@ -88,15 +105,37 @@ class MaterializedAggregate:
         group_cols: list[str],
         sum_cols: list[str] | None = None,
         n_buckets: int = 8,
+        derive_exprs: dict[str, str] | None = None,
+        agg_exprs: dict[str, str] | None = None,
     ) -> dict:
+        """`agg_exprs` (name -> SQL aggregate string) generalizes the view
+        beyond count/sum — because refresh recomputes affected groups
+        ABSOLUTELY (never applies deltas), the aggregates need not be
+        invertible: max-merged HLL registers, KMV bottom-k arrays, CMS
+        cells, min/max, exact distincts all maintain correctly under
+        append AND delete windows (the sketch modules' 'persist as a
+        table and merge incrementally' promise, kept by this one path).
+        `derive_exprs` (col -> SQL string) are projections computed before
+        grouping — group columns may be derived (sketch bucket, time bin)."""
         if self.exists():
             raise ValueError(f"materialized aggregate already exists at {self.path}")
         if not group_cols:
             raise ValueError("group_cols must be non-empty")
+        # "gkey"/"bucket" are the view's own key/partition columns and "n"
+        # the tombstone marker: a user column by those names would be
+        # silently overwritten — fail loud instead
+        reserved = {"gkey", "bucket", "n"}
+        clash = reserved & (
+            set(group_cols) | set(derive_exprs or {}) | set(agg_exprs or {})
+        )
+        if clash:
+            raise ValueError(f"reserved column names: {sorted(clash)}")
         m = {
             "group_cols": list(group_cols),
             "sum_cols": list(sum_cols or []),
             "n_buckets": int(n_buckets),
+            "derive_exprs": dict(derive_exprs or {}),
+            "agg_exprs": dict(agg_exprs or {}),
             "src_snapshot": src.metrics()["snapshot_id"],
         }
         agg = self._aggregate(src.read(spark), m)
@@ -116,8 +155,8 @@ class MaterializedAggregate:
             return {"mode": "noop", "src_snapshot": from_sid}
         ch = src.changes(spark, from_sid, to_sid)
         keys = (
-            ch["appended"].select(*m["group_cols"])
-            .unionByName(ch["deleted"].select(*m["group_cols"]))
+            self._derive(ch["appended"], m).select(*m["group_cols"])
+            .unionByName(self._derive(ch["deleted"], m).select(*m["group_cols"]))
             .select(_gkey(m["group_cols"]).alias("gkey"))
             .distinct()
         )
@@ -125,7 +164,7 @@ class MaterializedAggregate:
         if not affected:
             self._save_model({**m, "src_snapshot": int(to_sid)})
             return {"mode": "noop-data", "from": from_sid, "to": to_sid}
-        cur = src.read(spark, snapshot_id=to_sid).withColumn(
+        cur = self._derive(src.read(spark, snapshot_id=to_sid), m).withColumn(
             "__src_g", _gkey(m["group_cols"])
         )
         fresh = self._aggregate(
@@ -162,5 +201,8 @@ class MaterializedAggregate:
     def read(self, spark: SparkSession) -> DataFrame:
         m = self.model
         return self.table.read(spark).select(
-            *m["group_cols"], "n", *[f"sum_{c}" for c in m["sum_cols"]]
+            *m["group_cols"],
+            "n",
+            *[f"sum_{c}" for c in m["sum_cols"]],
+            *list(m.get("agg_exprs") or {}),
         )
