@@ -1215,3 +1215,101 @@ def rasterize_segments(
         ).otherwise(F.col("ay") + F.col("sy") * F.col("k"))
     )
     return base.select(id_col, (cy * n + cx).alias("cell"))
+
+
+def cells_dilate(cells: DataFrame, res: int, id_cols: list[str] | None = None) -> DataFrame:
+    """Morphological DILATION of a sparse cell set (4-neighborhood): the
+    set grown by one ring — buffer zones, gap closing before region
+    labeling, the corridor widening rasterize_segments' docstring
+    promises. One 5-way JVM explode + distinct on (ids..., cell); x
+    wraps at the antimeridian (grid convention), y clips at the poles."""
+    n = 1 << res
+    ids = id_cols or []
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    e = cells.select(*ids, F.col("cell"), F.explode(offs).alias("d"))
+    iy = F.expr(f"cell div {n}") + F.col("d.dy")
+    ix = (F.col("cell") % n + F.col("d.dx") + n) % n
+    return (
+        e.filter((iy >= 0) & (iy < n))
+        .select(*ids, (iy * n + ix).alias("cell"))
+        .distinct()
+    )
+
+
+def cells_erode(cells: DataFrame, res: int, id_cols: list[str] | None = None) -> DataFrame:
+    """Morphological EROSION (4-neighborhood): cells whose four edge
+    neighbors are ALL present — one explode of the 4 required neighbors
+    + an equi-join back to the set + a count==4 filter (no distinct:
+    each (cell, neighbor) pair is unique by construction). Wrap/clip as
+    in dilation; cells on the pole rows always erode (their outside
+    neighbor is missing by definition)."""
+    n = 1 << res
+    ids = id_cols or []
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        ]
+    )
+    e = cells.select(*ids, F.col("cell"), F.explode(offs).alias("d"))
+    iy = F.expr(f"cell div {n}") + F.col("d.dy")
+    ix = (F.col("cell") % n + F.col("d.dx") + n) % n
+    need = e.filter((iy >= 0) & (iy < n)).select(
+        *ids, "cell", (iy * n + ix).alias("ncell")
+    )
+    present = cells.select(*ids, F.col("cell").alias("ncell"))
+    hits = (
+        need.join(present, [*ids, "ncell"])
+        .groupBy(*ids, "cell")
+        .agg(F.count(F.lit(1)).alias("n_nb"))
+    )
+    return hits.filter(F.col("n_nb") == 4).select(*ids, "cell")
+
+
+def region_perimeter(cells: DataFrame, res: int, id_cols: list[str] | None = None) -> DataFrame:
+    """Perimeter (exposed 4-neighbor edges) and compactness per region —
+    the shape-metrics layer over any covered-cell set (polygon fills,
+    watersheds, dilated buffers): per id group,
+
+        area       = |cells|
+        perimeter  = 4*area - 2*|adjacent in-set pairs|   (exact ints)
+        compactness_r = 4*pi*area / perimeter^2           (Polsby-Popper
+                       in cell units; 1 for a square-ish blob's limit,
+                       ->0 for filaments; one fixed double chain)
+
+    Adjacent pairs come from ONE directed half-neighborhood join (+x and
+    +y only — each undirected adjacency counted exactly once, no
+    distinct). Pole-row edges count as exposed; x wraps."""
+    n = 1 << res
+    ids = id_cols or []
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx, dy in ((1, 0), (0, 1))
+        ]
+    )
+    e = cells.select(*ids, F.col("cell"), F.explode(offs).alias("d"))
+    iy = F.expr(f"cell div {n}") + F.col("d.dy")
+    ix = (F.col("cell") % n + F.col("d.dx") + n) % n
+    half = e.filter(iy < n).select(*ids, "cell", (iy * n + ix).alias("ncell"))
+    present = cells.select(*ids, F.col("cell").alias("ncell"))
+    adj = half.join(present, [*ids, "ncell"]).groupBy(*ids).agg(
+        F.count(F.lit(1)).alias("n_adj")
+    )
+    area = cells.groupBy(*ids).agg(F.count(F.lit(1)).alias("area"))
+    out = area.join(adj, ids, "left").select(
+        *ids,
+        "area",
+        (4 * F.col("area") - 2 * F.coalesce("n_adj", F.lit(0))).alias("perimeter"),
+    )
+    comp = (
+        F.lit(4.0 * 3.141592653589793)
+        * F.col("area").cast("double")
+        / (F.col("perimeter") * F.col("perimeter")).cast("double")
+    )
+    return out.select(*ids, "area", "perimeter", F.round(comp, 6).alias("compactness_r"))

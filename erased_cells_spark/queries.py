@@ -8422,6 +8422,138 @@ def events_knox_test(spark, sf_dir):
     )
 
 
+def _morphology_oracle() -> str:
+    vals = ", ".join(f"({p}, {r}, {s}, {x}, {y})" for p, r, s, x, y in _FILL_VERTS)
+    return f"""
+WITH verts(poly_id, ring_id, seq, x, y) AS (VALUES {vals}),
+edges AS (
+  SELECT poly_id, x AS x1, y AS y1,
+         coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+         coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+  FROM verts
+  WINDOW w AS (PARTITION BY poly_id, ring_id ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+e AS (SELECT * FROM edges WHERE y1 <> y2),
+bbox AS (
+  SELECT poly_id, min(x) AS bx0, max(x) AS bx1, min(y) AS by0, max(y) AS by1
+  FROM verts GROUP BY 1
+),
+cand AS (
+  SELECT b.poly_id, ix.ix, iy.iy, 2 * ix.ix + 1 AS px, 2 * iy.iy + 1 AS py
+  FROM bbox b,
+       LATERAL (SELECT unnest(generate_series(greatest(b.bx0 // 2, 0),
+                                              least((b.bx1 - 1) // 2, 31))) AS ix) ix,
+       LATERAL (SELECT unnest(generate_series(greatest(b.by0 // 2, 0),
+                                              least((b.by1 - 1) // 2, 31))) AS iy) iy
+),
+covered AS (
+  SELECT c.poly_id, c.iy * 32 + c.ix AS cell
+  FROM cand c JOIN e ON e.poly_id = c.poly_id
+  WHERE (e.y1 > c.py) <> (e.y2 > c.py)
+    AND (CASE WHEN e.y2 > e.y1
+              THEN (c.py - e.y1) * (e.x2 - e.x1) > (c.px - e.x1) * (e.y2 - e.y1)
+              ELSE (c.py - e.y1) * (e.x2 - e.x1) < (c.px - e.x1) * (e.y2 - e.y1) END)
+  GROUP BY 1, 2
+  HAVING count(*) % 2 = 1
+),
+offs(dx, dy) AS (VALUES (1, 0), (0, 1)),
+half AS (
+  SELECT c.poly_id, ((c.cell // 32) + o.dy) * 32
+           + (((c.cell % 32) + o.dx + 32) % 32) AS ncell
+  FROM covered c, offs o WHERE (c.cell // 32) + o.dy < 32
+),
+adj AS (
+  SELECT h.poly_id, count(*) AS n_adj
+  FROM half h JOIN covered c2 ON c2.poly_id = h.poly_id AND c2.cell = h.ncell
+  GROUP BY 1
+),
+area AS (SELECT poly_id, count(*) AS area FROM covered GROUP BY 1),
+doffs(dx, dy) AS (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)),
+dil AS (
+  SELECT poly_id, count(*) AS dilated_area FROM (
+    SELECT DISTINCT c.poly_id,
+           ((c.cell // 32) + o.dy) * 32 + (((c.cell % 32) + o.dx + 32) % 32) AS cell
+    FROM covered c, doffs o
+    WHERE (c.cell // 32) + o.dy >= 0 AND (c.cell // 32) + o.dy < 32
+  ) GROUP BY 1
+),
+eoffs(dx, dy) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)),
+ero AS (
+  SELECT poly_id, count(*) AS eroded_area FROM (
+    SELECT c.poly_id, c.cell
+    FROM covered c, eoffs o
+    JOIN covered c2 ON c2.poly_id = c.poly_id
+      AND c2.cell = ((c.cell // 32) + o.dy) * 32 + (((c.cell % 32) + o.dx + 32) % 32)
+    WHERE (c.cell // 32) + o.dy >= 0 AND (c.cell // 32) + o.dy < 32
+    GROUP BY 1, 2 HAVING count(*) = 4
+  ) GROUP BY 1
+)
+SELECT a.poly_id, a.area,
+       4 * a.area - 2 * coalesce(j.n_adj, 0) AS perimeter,
+       round(4.0 * 3.141592653589793 * a.area::DOUBLE
+             / ((4 * a.area - 2 * coalesce(j.n_adj, 0))
+                * (4 * a.area - 2 * coalesce(j.n_adj, 0)))::DOUBLE, 6)
+         AS compactness_r,
+       d.dilated_area, coalesce(er.eroded_area, 0) AS eroded_area
+FROM area a
+LEFT JOIN adj j USING (poly_id)
+JOIN dil d USING (poly_id)
+LEFT JOIN ero er USING (poly_id)
+ORDER BY a.poly_id
+"""
+
+
+@twin("raster_morphology", oracle=_morphology_oracle())
+def raster_morphology(spark, sf_dir):
+    """Raster morphology + shape metrics (operators/raster.cells_dilate /
+    cells_erode / region_perimeter) over the polygon-fill fixture zones:
+    per region, exact area, perimeter (4*area - 2*adjacent-pairs, from
+    ONE directed half-neighborhood join — each adjacency counted once,
+    no distinct), Polsby-Popper compactness (one fixed double chain),
+    and the one-ring dilated/eroded areas — the buffer/gap-close/shape-
+    audit layer any covered-cell set (fills, watersheds, heatmaps)
+    composes with. Everything exact integer except the single
+    compactness divide; the holed square's erosion (hole widens from
+    BOTH sides) and the diamond's staircase perimeter are the
+    interesting fixtures."""
+    from erased_cells_spark.operators.raster import (
+        cells_dilate,
+        cells_erode,
+        rasterize_polygons,
+        region_perimeter,
+    )
+
+    verts = spark.createDataFrame(
+        _FILL_VERTS, "poly_id long, ring_id long, seq long, x long, y long"
+    )
+    covered = rasterize_polygons(verts, res=5).localCheckpoint(eager=True)
+    shape = region_perimeter(covered, res=5, id_cols=["poly_id"])
+    dil = (
+        cells_dilate(covered, res=5, id_cols=["poly_id"])
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("dilated_area"))
+    )
+    ero = (
+        cells_erode(covered, res=5, id_cols=["poly_id"])
+        .groupBy("poly_id")
+        .agg(F.count(F.lit(1)).alias("eroded_area"))
+    )
+    return (
+        shape.join(dil, "poly_id")
+        .join(ero, "poly_id", "left")
+        .select(
+            "poly_id",
+            "area",
+            "perimeter",
+            "compactness_r",
+            "dilated_area",
+            F.coalesce("eroded_area", F.lit(0)).alias("eroded_area"),
+        )
+        .orderBy("poly_id")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
