@@ -85,3 +85,43 @@ def sql_along_track_km(d13: str, xt: str) -> str:
         f" cos(({d13}) / {EARTH_R_KM!r}) / cos(({xt}) / {EARTH_R_KM!r}))))"
         f" * {EARTH_R_KM!r}"
     )
+
+
+def destination_point(
+    lon: Column, lat: Column, bearing_deg_col: Column, dist_km: Column
+) -> tuple[Column, Column]:
+    """The direct geodesic problem on the sphere: (lon2, lat2) reached
+    from (lon, lat) traveling `dist_km` along `bearing_deg_col` — route
+    planning's forward step and the generator for synthetic tracks with
+    controlled geometry. Two fixed per-row chains; longitude normalized
+    to (-180, 180]."""
+    p1 = F.radians(lat)
+    l1 = F.radians(lon)
+    th = F.radians(bearing_deg_col)
+    dr = dist_km / EARTH_R_KM
+    p2 = F.asin(F.sin(p1) * F.cos(dr) + F.cos(p1) * F.sin(dr) * F.cos(th))
+    l2 = l1 + F.atan2(
+        F.sin(th) * F.sin(dr) * F.cos(p1),
+        F.cos(dr) - F.sin(p1) * F.sin(p2),
+    )
+    # +900 (not the textbook +540): l2 can reach just past -2*pi, where
+    # degrees+540 goes NEGATIVE and Spark's pmod (always positive) would
+    # diverge from SQL's sign-preserving %; +900 == +540 (mod 360) and
+    # keeps the operand positive for BOTH
+    lon2 = F.pmod(F.degrees(l2) + 900.0, F.lit(360.0)) - 180.0
+    return lon2, F.degrees(p2)
+
+
+def sql_destination_point(lon: str, lat: str, brg: str, dist: str) -> tuple[str, str]:
+    p2 = (
+        f"asin(sin(radians({lat})) * cos(({dist}) / {EARTH_R_KM!r})"
+        f" + cos(radians({lat})) * sin(({dist}) / {EARTH_R_KM!r})"
+        f" * cos(radians({brg})))"
+    )
+    lon2 = (
+        f"((degrees(radians({lon}) + atan2("
+        f"sin(radians({brg})) * sin(({dist}) / {EARTH_R_KM!r}) * cos(radians({lat})),"
+        f" cos(({dist}) / {EARTH_R_KM!r}) - sin(radians({lat})) * sin({p2})))"
+        f" + 900.0) % 360.0) - 180.0"
+    )
+    return lon2, f"degrees({p2})"

@@ -8554,6 +8554,140 @@ def raster_morphology(spark, sf_dir):
     )
 
 
+def _dest_oracle() -> str:
+    from erased_cells_spark.functions.nav import sql_destination_point
+
+    brg = "(('0x'||substr(md5('db-'||doc_id::VARCHAR),1,8))::BIGINT % 3600) / 10.0"
+    lon2, lat2 = sql_destination_point("lon", "lat", "brg", "500.0")
+    return f"""
+WITH pts AS ({_DOC_PTS_SQL}),
+b AS (SELECT doc_id, lon, lat, {brg} AS brg FROM pts)
+SELECT doc_id, round(brg, 1) AS bearing_r,
+       round({lon2}, 4) AS lon2_r, round({lat2}, 4) AS lat2_r
+FROM b ORDER BY doc_id
+"""
+
+
+@twin("doc_destination_points", oracle=_dest_oracle())
+def doc_destination_points(spark, sf_dir):
+    """Direct geodesic problem (functions/nav.destination_point): each
+    doc point projected 500 km along an md5-derived bearing — the
+    forward step of route planning, closing the navigation family
+    (bearing/cross-track/along-track are the inverse direction). Fixed
+    per-row chains; longitude renormalization uses +900 (not the
+    textbook +540) because Spark's always-positive pmod and SQL's
+    sign-preserving % diverge on the negative operand l2 can reach just
+    past -2pi — the trap is documented at the function. The round-trip
+    property (haversine(origin, dest) == 500) is pinned in pytest."""
+    from erased_cells_spark.functions.nav import destination_point
+
+    p = _doc_points(spark, sf_dir)
+    brg = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("db-"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 3600
+    ) / 10.0
+    b = p.select("doc_id", "lon", "lat", brg.alias("brg"))
+    lon2, lat2 = destination_point(
+        F.col("lon"), F.col("lat"), F.col("brg"), F.lit(500.0)
+    )
+    return b.select(
+        "doc_id",
+        F.round("brg", 1).alias("bearing_r"),
+        F.round(lon2, 4).alias("lon2_r"),
+        F.round(lat2, 4).alias("lat2_r"),
+    ).orderBy("doc_id")
+
+
+@twin(
+    "events_interarrival_ks",
+    oracle=f"""
+WITH ia AS (
+  SELECT event_type,
+         date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+g AS (SELECT event_type, gap_us FROM ia WHERE gap_us IS NOT NULL AND gap_us > 0),
+stats AS (
+  SELECT event_type, count(*) AS n,
+         sum(CAST(gap_us AS DECIMAL(38,0))) AS s
+  FROM g GROUP BY 1
+),
+ranked AS (
+  SELECT g.event_type, g.gap_us, st.n,
+         CAST(st.s AS DOUBLE) / st.n::DOUBLE AS mean_us,
+         row_number() OVER (PARTITION BY g.event_type
+                            ORDER BY g.gap_us, g.gap_us) AS rnk
+  FROM g JOIN stats st USING (event_type)
+),
+d AS (
+  SELECT event_type, n,
+         greatest(
+           abs(rnk::DOUBLE / n::DOUBLE
+               - (1.0 - exp(-(gap_us::DOUBLE / mean_us)))),
+           abs((1.0 - exp(-(gap_us::DOUBLE / mean_us)))
+               - (rnk::DOUBLE - 1.0) / n::DOUBLE)
+         ) AS dev
+  FROM ranked
+)
+SELECT event_type, max(n) AS n_gaps, round(max(dev), 6) AS ks_d_r
+FROM d GROUP BY 1 ORDER BY 1
+""",
+)
+def events_interarrival_ks(spark, sf_dir):
+    """Kolmogorov-Smirnov goodness-of-fit of inter-arrival gaps against
+    the exponential with the series' own mean — "is this event stream
+    actually Poisson" (burst detection's null hypothesis, the
+    distributional companion to CUSUM's level monitoring). Engineered
+    for cross-engine exactness: gaps are exact integer microseconds, the
+    mean is one divide of a DECIMAL(38,0) fold, each deviation is a
+    fixed per-row chain (one exp), and the KS statistic is a MAX fold —
+    the one float aggregation that is order-independent. Ranks order by
+    (gap) with duplicates interchangeable (equal gaps give equal
+    deviations at both rank positions... the rank enters the ECDF, so
+    ties DO differ per position — but both engines rank ties by the
+    same ORDER BY on the same values; the max over the group is
+    invariant to which duplicate takes which rank)."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ia = e.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY event_type ORDER BY ts, event_id), ts)").alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    stats = ia.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)")).alias("s"),
+    )
+    ranked = (
+        ia.join(stats, "event_type")
+        .withColumn("mean_us", F.col("s").cast("double") / F.col("n").cast("double"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("gap_us", "gap_us")
+            ),
+        )
+    )
+    fx = 1.0 - F.exp(-(F.col("gap_us").cast("double") / F.col("mean_us")))
+    dev = F.greatest(
+        F.abs(F.col("rnk").cast("double") / F.col("n").cast("double") - fx),
+        F.abs(fx - (F.col("rnk").cast("double") - 1.0) / F.col("n").cast("double")),
+    )
+    return (
+        ranked.select("event_type", "n", dev.alias("dev"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n_gaps"), F.round(F.max("dev"), 6).alias("ks_d_r"))
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the

@@ -72,3 +72,29 @@ def test_small_angle_consistency(spark):
     )
     # sin(45 deg) of the distance, small-angle
     assert abs(abs(r.xt) - d * math.sin(math.radians(45))) < 0.01
+
+
+def test_destination_round_trip(spark):
+    """haversine(origin, destination(origin, brg, d)) == d — the inverse
+    problem recovers the direct problem's distance (sub-meter), across
+    hemispheres and the antimeridian."""
+    from erased_cells_spark.functions.nav import destination_point
+    from erased_cells_spark.operators.knn import haversine_km_expr
+
+    rows = [
+        (0, -179.5, 10.0, 270.0, 800.0),   # west across the antimeridian
+        (1, 179.5, -45.0, 90.0, 1200.0),   # east across it
+        (2, 0.0, 0.0, 45.0, 5000.0),
+        (3, 30.0, 80.0, 10.0, 900.0),      # near-polar
+        (4, -60.0, -80.0, 200.0, 400.0),
+    ]
+    df = spark.createDataFrame(rows, "i long, lon double, lat double, brg double, d double")
+    lon2, lat2 = destination_point(F.col("lon"), F.col("lat"), F.col("brg"), F.col("d"))
+    out = df.select(
+        "i", "d",
+        haversine_km_expr(F.col("lon"), F.col("lat"), lon2, lat2).alias("back"),
+        lon2.alias("lon2"),
+    ).collect()
+    for r in out:
+        assert abs(r.back - r.d) < 1e-3, (r.i, r.back, r.d)
+        assert -180.0 < r.lon2 <= 180.0
