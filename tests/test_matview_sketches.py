@@ -94,3 +94,38 @@ def test_refresh_noop_when_source_unmoved(spark, tmp_path, src):
         derive_exprs=DERIVE, agg_exprs=AGG,
     )
     assert mv.refresh(spark, src)["mode"] == "noop"
+
+
+def test_stream_driven_sketch_view(spark, tmp_path, src):
+    """Three subsystems in one loop: the snapshot CDC stream triggers
+    refreshes of a SKETCH matview per micro-batch — a live
+    distinct-count dashboard that tracks the table with no poller, no
+    full recompute, and a non-invertible aggregate (HLL register max)
+    that stays correct because refresh recomputes affected groups
+    absolutely."""
+    from erased_cells_spark.streaming.cdc_source import SnapshotCdcDataSource
+
+    spark.dataSource.register(SnapshotCdcDataSource)
+    mv = MaterializedAggregate(str(tmp_path / "mv"))
+    mv.build(
+        spark, src, group_cols=["source", "hbucket"],
+        derive_exprs=DERIVE, agg_exprs=AGG,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("snapshot_cdc")
+            .option("path", src.path)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: mv.refresh(spark, src))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    src.write_partitions(_docs(spark, range(520, 640)), "batch", [0, 1])
+    drain()
+    assert _view_registers(spark, mv) == _direct_registers(spark, src)
+    assert mv.model["src_snapshot"] == src.metrics()["snapshot_id"]
