@@ -8688,6 +8688,69 @@ def events_interarrival_ks(spark, sf_dir):
     )
 
 
+@twin(
+    "doc_zipf_exponent",
+    oracle="""
+WITH sz AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+ranked AS (
+  SELECT source, c, row_number() OVER (ORDER BY c DESC, source) AS rnk
+  FROM sz
+),
+pts AS (SELECT rnk, ln(rnk::DOUBLE) AS lx, ln(c::DOUBLE) AS ly FROM ranked),
+pairs AS (
+  SELECT (b.ly - a.ly) / (b.lx - a.lx) AS slope
+  FROM pts a JOIN pts b ON a.rnk < b.rnk AND a.lx <> b.lx
+),
+sel AS (
+  SELECT slope, row_number() OVER (ORDER BY slope) AS rn, count(*) OVER () AS m
+  FROM pairs
+)
+SELECT (SELECT count(*) FROM sz) AS n_sources,
+       (SELECT max(c) FROM sz) AS largest,
+       (SELECT min(c) FROM sz) AS smallest,
+       round(-slope, 6) AS zipf_exponent_r
+FROM sel WHERE rn = (m + 1) // 2
+""",
+)
+def doc_zipf_exponent(spark, sf_dir):
+    """Zipf/power-law audit of source sizes: the Theil-Sen slope of the
+    log-log rank-size points, negated — "how head-heavy is this corpus"
+    (web crawls are famously near -1; a flat synthetic mix reads near
+    0). Robust-regression discipline from mann_kendall_sen: each
+    pairwise slope is ONE fixed chain (two ln, one divide over the same
+    doubles both engines produce), and the estimate is SELECTED as the
+    lower median via row_number — no float folds, no least squares.
+    Rank ties break on the source name, equal-rank (lx) pairs excluded
+    identically. Metadata-sized everywhere (|sources| rows)."""
+    sz = t(spark, sf_dir, "documents").groupBy("source").agg(F.count("*").alias("c"))
+    ranked = sz.select(
+        "source",
+        "c",
+        F.row_number().over(Window.orderBy(F.desc("c"), "source")).alias("rnk"),
+    )
+    pts = ranked.select(
+        "rnk",
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    a = pts.select(F.col("rnk").alias("ra"), F.col("lx").alias("xa"), F.col("ly").alias("ya"))
+    b = pts.select(F.col("rnk").alias("rb"), F.col("lx").alias("xb"), F.col("ly").alias("yb"))
+    pairs = a.join(b, (F.col("ra") < F.col("rb")) & (F.col("xa") != F.col("xb"))).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("slope")
+    )
+    sel = pairs.select(
+        "slope",
+        F.row_number().over(Window.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    ).filter(F.col("rn") == F.expr("(m + 1) div 2"))
+    stats = sz.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("c").alias("largest"),
+        F.min("c").alias("smallest"),
+    )
+    return stats.crossJoin(sel.select(F.round(-F.col("slope"), 6).alias("zipf_exponent_r")))
+
+
 # ------------------------------------------------------ registration order --
 # The grading driver records queries in REGISTRATION order with a bounded
 # artifact window (50 entries in r4 — which silently dropped the last 6, the
