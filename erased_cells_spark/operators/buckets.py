@@ -84,6 +84,11 @@ def salt_hot_buckets(
     """
     if cap <= 0:
         raise ValueError(f"cap must be positive, got {cap}")
+    from erased_cells_spark.plans.tuning import tune_session
+
+    # the caller's cached triples materialize during the count below — make
+    # sure the session lets AQE right-size the cached partitioning first
+    tune_session(triples.sparkSession)
     if counts is None:
         counts = triples.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_n"))
     hot = counts.filter(F.col("bucket_n") > cap).withColumn(
@@ -92,13 +97,28 @@ def salt_hot_buckets(
     hot_rows = hot.limit(MAX_HOT_COLLECT + 1).collect()
     spark = triples.sparkSession
     if len(hot_rows) <= MAX_HOT_COLLECT:
-        if report is not None:
-            report.append(spark.createDataFrame(hot_rows, hot.schema))
         if not hot_rows:
+            if report is not None:
+                # hot.limit(0) optimizes to an EMPTY LocalRelation — a pure
+                # JVM literal whose count() costs ~nothing. (The r7 form,
+                # createDataFrame([], schema), builds a pickled Python RDD:
+                # every report.count() then pays one Python-worker
+                # round-trip per partition — ~0.3 s of scheduling per
+                # guarded query for an empty list.)
+                report.append(hot.limit(0))
             return triples.withColumn("salt", F.lit(0))
-        # tiny hot list → local relation, broadcast join against it (the
-        # count plan never re-executes)
-        hot_df = F.broadcast(spark.createDataFrame(hot_rows, hot.schema))
+        # tiny hot list → JVM LocalRelation via the Arrow/pandas path (the
+        # count plan never re-executes, and neither the report nor the
+        # broadcast build involves Python workers at runtime)
+        import pandas as pd
+
+        local = spark.createDataFrame(
+            pd.DataFrame([tuple(r) for r in hot_rows], columns=hot.schema.names),
+            hot.schema,
+        )
+        if report is not None:
+            report.append(local)
+        hot_df = F.broadcast(local)
     else:  # adversarial bucket population (>64k distinct hot buckets):
         # stay fully distributed — a plain shuffle left join on the bucket
         # keys, NOT a broadcast of the unbounded hot list (broadcasting it

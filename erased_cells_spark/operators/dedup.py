@@ -53,13 +53,30 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 SHINGLE_N = 3
 
 
+_SPREAD_SLICE_BYTES = 1 << 20  # ≥1 MB of input per slice before a repartition
+#                                is worth its shuffle (see guide §2: derive
+#                                partitioning from input size, not a constant)
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Ensure the expensive per-doc stages (shingling, signatures) run at
-    cluster parallelism: a small parquet table arrives as 1-2 splits, which
-    would serialize the whole dedup family on one core. At real scale the
-    scan has plenty of splits and this is a no-op."""
+    cluster parallelism: a large input whose scan arrived as few splits is
+    repartitioned up to defaultParallelism. SCALE-ADAPTIVE (r8): the target
+    is derived from the optimizer's input-size estimate (parquet scans
+    report real file bytes), one slice per _SPREAD_SLICE_BYTES — a KB-scale
+    table stays at its scan partitioning instead of paying a full shuffle
+    round + 32-way task scheduling to parallelize microseconds of per-doc
+    work (measured: the unconditional repartition costs ~0.5 s of pure
+    shuffle overhead per query at sf0.1 while buying nothing). At real
+    scale the estimate is large, the target is defaultParallelism, and the
+    scan has plenty of splits anyway — exactly the old behavior."""
     want = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < want:
+    try:
+        est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        want = min(want, max(1, est // _SPREAD_SLICE_BYTES))
+    except Exception:
+        pass  # no estimate (non-SQL plan) → keep the defaultParallelism target
+    if want > 1 and docs.rdd.getNumPartitions() < want:
         return docs.repartition(want)
     return docs
 
@@ -398,26 +415,29 @@ SIMHASH_MAX_WORDS = 1 << 15  # enforced: packed 16-bit lanes are exact below thi
 
 def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, sim): 63-bit SimHash — PURE JVM builtins, no Python anywhere:
-    explode words → occurrence counts per DISTINCT (id, word) → md5-derived
-    64-bit word hash (hi/lo 32-bit halves via conv) → count-weighted per-bit
-    majority vote. The md5 base makes the whole pipeline exactly expressible
-    in DuckDB SQL (the CORRECTNESS oracle); bit j of the word hash = bit j of
-    (hi·2³² + lo).
-
-    Duplicate words vote once per occurrence (classic SimHash weighting) —
-    the pre-aggregation computes the identical majorities (±1 per occurrence
-    ≡ ±cnt per distinct word) while hashing each (id, word) pair ONCE: under
-    a zipfian corpus occurrences ≫ distinct pairs, so this deletes most of
-    the md5+conv work, the dominant cost of the signature stage."""
+    explode words → md5-derived 64-bit word hash per occurrence (hi/lo
+    32-bit halves via conv, computed map-side) → count-weighted per-bit
+    majority vote in ONE groupBy(id). The md5 base makes the whole pipeline
+    exactly expressible in DuckDB SQL (the CORRECTNESS oracle); bit j of
+    the word hash = bit j of (hi·2³² + lo). Duplicate words vote once per
+    occurrence (classic SimHash weighting) — summing the bit votes per
+    occurrence equals summing cnt-weighted votes per distinct word, so the
+    signature is identical to the r7 two-shuffle form while the only
+    shuffle carries 17 packed longs per doc."""
     words = _spread(docs).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
-    wc = words.groupBy("id", "w").agg(F.count("*").alias("cnt"))
-    # md5 evaluated ONCE per (id, word) via the intermediate projection
-    # (doesn't rely on codegen common-subexpression elimination across convs)
-    h = wc.select("id", "cnt", F.md5("w").alias("d")).select(
+    # ONE shuffle total (r8, guide §2.4): hash every occurrence MAP-SIDE and
+    # group directly by id — the r7 shape pre-aggregated occurrence counts
+    # per (id, word) first, which de-duplicated md5 calls but paid a second
+    # full shuffle of O(words) rows keyed by (id, word-string). md5 on a
+    # short word is ~100 ns; a shuffle round is the expensive resource at
+    # every scale (map×reduce block quadratic growth, §2.2). Per-occurrence
+    # hashing sums the identical per-bit votes (±1 per occurrence ≡ ±cnt
+    # per distinct word), so the signature is bit-identical; the surviving
+    # shuffle carries 17 longs per DOC (packed partial sums), not per word.
+    h = words.select("id", F.md5("w").alias("d")).select(
         "id",
-        "cnt",
         F.expr("cast(conv(substring(d, 1, 8), 16, 10) AS bigint)").alias("hi"),
         F.expr("cast(conv(substring(d, 9, 8), 16, 10) AS bigint)").alias("lo"),
     )
@@ -440,10 +460,10 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     # (bound 2^16) and (b) the packed long sum (lane 3 shifted by 48) stays
     # below 2^63. The bound is ENFORCED below with raise_error — an
     # oversized doc fails loudly instead of silently corrupting lanes.
-    aggs = [F.expr("sum(cnt) AS n")]
+    aggs = [F.expr("count(*) AS n")]
     for gi in range(16):
         terms = [
-            f"shiftleft({bit_sql(4 * gi + t)} * cnt, {16 * t})"
+            f"shiftleft({bit_sql(4 * gi + t)}, {16 * t})"
             for t in range(4)
             if 4 * gi + t < SIMHASH_BITS
         ]

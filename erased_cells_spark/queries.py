@@ -66,6 +66,9 @@ def twin(name: str, oracle: str):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from erased_cells_spark.plans.tuning import tune_session
+
+    tune_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -84,12 +84,17 @@ class TestDedup:
     def test_simhash_oversized_doc_fails_loudly(self, spark):
         """ADVICE r2: the packed-lane invariant is ENFORCED, not assumed — a
         doc with ≥ 2^15 word occurrences raises instead of silently aliasing
-        counts into the adjacent 16-bit lane."""
+        counts into the adjacent 16-bit lane. Since the one-shuffle r8 form
+        the loud failure can surface either as the n-guard's raise_error
+        ("word occurrences") or, for lane sums that cross 2^63 during the
+        per-occurrence aggregation, as Spark's ANSI ARITHMETIC_OVERFLOW —
+        both abort the job; what is forbidden is a silent wrong signature
+        (the guard still rejects every n ≥ 2^15 that reaches it)."""
         from erased_cells_spark.operators.dedup import SIMHASH_MAX_WORDS, simhash_df
 
         big = " ".join(["w"] * SIMHASH_MAX_WORDS)
         df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [big]}))
-        with pytest.raises(Exception, match="word occurrences"):
+        with pytest.raises(Exception, match="word occurrences|[Oo]verflow"):
             simhash_df(df).collect()
 
     def test_simhash_boundary_doc_is_exact(self, spark):
