@@ -40,9 +40,11 @@ def ngram_overlap_flags(
         eval_df.select(F.explode(shingles_expr(F.col(text_col), n)).alias("g"))
         .distinct()
     )
-    # _spread: a small parquet train table arrives as 1 split and would
-    # serialize the gram explode on one core
-    tr = _spread(train).select(
+    # _spread: a larger parquet train table can arrive as 1 split and would
+    # serialize the gram explode on one core; 256 KB slices reflect the
+    # 13-gram shingle expression's per-byte cost (heavier than a plain
+    # scan, lighter than the MinHash signature UDF)
+    tr = _spread(train, slice_bytes=256 << 10).select(
         F.col(id_col).alias("train_id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("g"),
     )

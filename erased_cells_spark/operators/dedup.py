@@ -58,7 +58,7 @@ _SPREAD_SLICE_BYTES = 1 << 20  # ≥1 MB of input per slice before a repartition
 #                                partitioning from input size, not a constant)
 
 
-def _spread(docs: DataFrame) -> DataFrame:
+def _spread(docs: DataFrame, slice_bytes: int = _SPREAD_SLICE_BYTES) -> DataFrame:
     """Ensure the expensive per-doc stages (shingling, signatures) run at
     cluster parallelism: a large input whose scan arrived as few splits is
     repartitioned up to defaultParallelism. SCALE-ADAPTIVE (r8): the target
@@ -69,11 +69,17 @@ def _spread(docs: DataFrame) -> DataFrame:
     work (measured: the unconditional repartition costs ~0.5 s of pure
     shuffle overhead per query at sf0.1 while buying nothing). At real
     scale the estimate is large, the target is defaultParallelism, and the
-    scan has plenty of splits anyway — exactly the old behavior."""
+    scan has plenty of splits anyway — exactly the old behavior.
+
+    `slice_bytes` reflects the caller's per-byte COMPUTE intensity: the
+    default suits cheap builtin scans (simhash's md5 votes); MinHash passes
+    a much smaller slice because shingling + the 128-lane signature UDF
+    cost ~50x more per input byte, so serializing them stops paying long
+    before the shuffle overhead does."""
     want = docs.sparkSession.sparkContext.defaultParallelism
     try:
         est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        want = min(want, max(1, est // _SPREAD_SLICE_BYTES))
+        want = min(want, max(1, est // slice_bytes))
     except Exception:
         pass  # no estimate (non-SQL plan) → keep the defaultParallelism target
     if want > 1 and docs.rdd.getNumPartitions() < want:
@@ -146,7 +152,7 @@ def ngram_jaccard_pairs(
     measure stays a true Jaccard, just on a reduced vocabulary; the
     unguarded default cap=None is the byte-exact oracle twin)."""
     sh = (
-        _spread(docs)
+        _spread(docs, slice_bytes=128 << 10)
         .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
         .select("id", F.explode("shs").alias("sh"))
     )
@@ -215,7 +221,7 @@ def prefix_filter_jaccard_pairs(
     from pyspark.sql import Window
 
     sh = (
-        _spread(docs)
+        _spread(docs, slice_bytes=128 << 10)
         .select(F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs"))
         .select("id", F.explode("shs").alias("sh"))
     )
@@ -347,7 +353,7 @@ def minhash_lsh_pairs(
     registered queries do exactly that); without it, a long-lived session
     should `spark.catalog.clearCache()` after materialization."""
     r = N_HASHES // LSH_BANDS
-    sh = _spread(docs).select(
+    sh = _spread(docs, slice_bytes=64 << 10).select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col)).alias("shs")
     ).cache()
     # empty shingle sets (short docs) share the all-max signature — exclude
