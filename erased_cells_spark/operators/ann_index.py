@@ -58,7 +58,7 @@ from pyspark.sql.types import (
 
 from erased_cells_spark.operators.similarity import (
     _hyperplanes,
-    cosine_expr,
+    cosine_udf,
     train_ivf_centroids,
     train_pq_codebooks,
 )
@@ -300,7 +300,7 @@ class AnnIndex:
         ).select(
             "q_id",
             F.col("vec_id").alias("nn_id"),
-            cosine_expr(
+            cosine_udf(
                 F.col("embedding").cast("array<double>"), F.col("qv")
             ).alias("cosine"),
         )
@@ -400,7 +400,7 @@ class AnnIndex:
             .select(
                 "q_id",
                 F.col("vec_id").alias("nn_id"),
-                cosine_expr(
+                cosine_udf(
                     F.col("embedding").cast("array<double>"), F.col("qv")
                 ).alias("cosine"),
             )
