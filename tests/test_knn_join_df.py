@@ -224,3 +224,63 @@ class TestKnnJoinDf:
         small = run(25)
         big = run(200)
         assert big <= small + 4, (small, big)
+
+
+class TestAnnulusBlockRanges:
+    def test_block_range_annulus_matches_frame_walk(self, spark):
+        """r8 equivalence gate for the block-range rewrite of
+        _annulus_cells_df: for a grid of query positions (corners, edges,
+        center) and (prev_rk, rk] combinations including first-round,
+        wrap-width and whole-grid radii, the generated cell set must equal
+        the r7 per-radius frame walk, with no duplicates (single cover)."""
+        from erased_cells_spark.operators.knn import _annulus_cells_df
+
+        def frame_walk(st, rk_hi, n):
+            w_lo, w_hi = -(n // 2), (n - 1) // 2
+            empty = "CAST(array() AS ARRAY<STRUCT<dx: INT, dy: INT>>)"
+            frame_sql = f"""
+            CASE WHEN r = 0 THEN array(named_struct('dx', 0, 'dy', 0))
+            ELSE concat(
+              transform(sequence(greatest(-r, {w_lo}), least(r, {w_hi})),
+                        dx -> named_struct('dx', dx, 'dy', -r)),
+              transform(sequence(greatest(-r, {w_lo}), least(r, {w_hi})),
+                        dx -> named_struct('dx', dx, 'dy', r)),
+              IF(-r >= {w_lo},
+                 transform(sequence(1 - r, r - 1), dy -> named_struct('dx', -r, 'dy', dy)),
+                 {empty}),
+              IF(r <= {w_hi},
+                 transform(sequence(1 - r, r - 1), dy -> named_struct('dx', r, 'dy', dy)),
+                 {empty})
+            ) END"""
+            radii = st.select(
+                "q_id", "q_lon", "q_lat", "_ix", "_iy",
+                F.expr(f"explode(sequence(prev_rk + 1, {rk_hi}))").alias("r"),
+            )
+            offs = radii.select(
+                "q_id", "q_lon", "q_lat", "_ix", "_iy",
+                F.expr(f"explode({frame_sql})").alias("o"),
+            )
+            return (
+                offs.withColumn("_ny", F.expr("_iy + o.dy"))
+                .filter(f"_ny >= 0 AND _ny < {n}")
+                .select(
+                    "q_id", "q_lon", "q_lat",
+                    F.expr(f"_ny * {n} + pmod(_ix + o.dx, {n})").alias("cell"),
+                )
+            )
+
+        for n in (8, 16):
+            qs, qid = [], 0
+            for ix in (0, 1, n // 2, n - 1):
+                for iy in (0, 1, n // 2, n - 1):
+                    qs.append((qid, 0.0, 0.0, ix, iy))
+                    qid += 1
+            for prev, rk in [(-1, 2), (-1, n), (2, 7), (7, n), (n // 2, n)]:
+                st = spark.createDataFrame(
+                    [(*q, prev) for q in qs],
+                    "q_id INT, q_lon DOUBLE, q_lat DOUBLE, _ix INT, _iy INT, prev_rk INT",
+                )
+                want = {(r.q_id, r.cell) for r in frame_walk(st, rk, n).collect()}
+                got = [(r.q_id, r.cell) for r in _annulus_cells_df(st, rk, n).collect()]
+                assert len(got) == len(set(got)), (n, prev, rk, "duplicate cells")
+                assert set(got) == want, (n, prev, rk)
