@@ -62,6 +62,7 @@ from erased_cells_spark.operators.similarity import (
     train_ivf_centroids,
     train_pq_codebooks,
 )
+from erased_cells_spark.plans.tuning import local_df
 from erased_cells_spark.sources.snapshot import SnapshotTable
 
 _ENC_TYPE = StructType(
@@ -280,7 +281,7 @@ class AnnIndex:
             d = ((qv[None, :] - cent) ** 2).sum(-1)
             order = np.argsort(d, kind="stable")[:n_probe]
             probes.extend((int(r[q_id_col]), int(l)) for l in order)
-        probe_df = spark.createDataFrame(probes, "q_id LONG, list_id INT")
+        probe_df = local_df(spark, probes, "q_id LONG, list_id INT")
         qv_df = queries.select(
             F.col(q_id_col).alias("q_id"),
             F.col(q_vec_col).cast("array<double>").alias("qv"),
@@ -334,7 +335,7 @@ class AnnIndex:
             lut_rows.append(
                 (int(q[q_id_col]), [[float(v) for v in row] for row in lut])
             )
-        lut_df = spark.createDataFrame(lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
+        lut_df = local_df(spark, lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
         codes = self.df(spark).select(F.col("vec_id").alias("nn_id"), "codes")
         adist = F.aggregate(
             F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
@@ -386,7 +387,7 @@ class AnnIndex:
             for t_i in range(n_tables):
                 for m in flips:
                     probes.append((int(r[q_id_col]), t_i, int(sigs[t_i] ^ m)))
-        probe_df = spark.createDataFrame(probes, "q_id LONG, tbl INT, bucket LONG")
+        probe_df = local_df(spark, probes, "q_id LONG, tbl INT, bucket LONG")
         qv_df = queries.select(
             F.col(q_id_col).alias("q_id"),
             F.col(q_vec_col).cast("array<double>").alias("qv"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from erased_cells_spark.operators.cells_expr import cell_key_expr, ix_expr, iy_expr
+from erased_cells_spark.plans.tuning import local_df
 
 EARTH_R_KM = 6371.0088
 
@@ -211,7 +212,8 @@ def knn_join(
             pd.concat(parts) if parts else pd.DataFrame({"q_id": [], "cell": []}),
             "q_id INT, cell BIGINT",
         )
-        qmeta = spark.createDataFrame(
+        qmeta = local_df(
+            spark,
             [(qid, lon, lat) for qid, (lon, lat) in pending.items()],
             "q_id INT, q_lon DOUBLE, q_lat DOUBLE",
         )

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from erased_cells_spark.plans.tuning import local_df
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -653,7 +655,7 @@ def synthetic_media_rows(n: int = 64, seed: int = 5) -> list[dict]:
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
     """Deterministic media fixture as a DataFrame."""
     rows = [{**r, "payload": bytearray(r["payload"])} for r in synthetic_media_rows(n, seed)]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)
 
 
 def phash_fixture_rows(n: int = 64, seed: int = 5) -> list[dict]:

@@ -22,6 +22,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from erased_cells_spark.operators.cells_expr import cell_key_expr
+from erased_cells_spark.plans.tuning import local_df
 from erased_cells_spark.spatial.geom import points_in_ring, polygon_bbox
 
 DEFAULT_COVER_RES = 8  # 1.4° cells: ≤ ~150 cover cells for the largest fixture polygon
@@ -102,7 +103,7 @@ def polygon_cells_df(spark: SparkSession, polygons: list[dict], res: int) -> Dat
     _COVER_CACHE[key] = rows
     while len(_COVER_CACHE) > _COVER_CACHE_MAX:
         _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
-    return spark.createDataFrame(rows, "poly_id INT, cell BIGINT")
+    return local_df(spark, rows, "poly_id INT, cell BIGINT")
 
 
 def pip_test_udf(polygons: list[dict]):
@@ -452,8 +453,8 @@ def polygon_edges_df(spark: SparkSession, polygons: list[dict]) -> DataFrame:
         v = np.asarray(p["ring"], np.float64)
         for (x0, y0), (x1, y1) in zip(v[:-1], v[1:]):
             rows.append((int(p["poly_id"]), float(x0), float(y0), float(x1), float(y1)))
-    return spark.createDataFrame(
-        rows, "poly_id INT, ex0 DOUBLE, ey0 DOUBLE, ex1 DOUBLE, ey1 DOUBLE"
+    return local_df(
+        spark, rows, "poly_id INT, ex0 DOUBLE, ey0 DOUBLE, ex1 DOUBLE, ey1 DOUBLE"
     )
 
 

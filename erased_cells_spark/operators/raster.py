@@ -78,31 +78,43 @@ def rasterize_points(
     np_dtype = np.float64 if weight_col else np.uint32
     with_tile = per_cell.withColumn("tile_key", _tile_key_expr(F.col("cell"), res, tile_shift))
 
-    def burn(key, pdf: pd.DataFrame):
-        tile_key = int(key[0])
-        grid = np.zeros((ts, ts), dtype=np_dtype)
-        mask = np.zeros((ts, ts), dtype=bool)
-        cells = pdf["cell"].to_numpy(np.int64)
-        vals = pdf["v"].to_numpy()
-        iy = cells // n
-        ix = cells - iy * n
-        ly, lx = iy % ts, ix % ts
-        grid[ly, lx] = vals.astype(np_dtype)
-        mask[ly, lx] = True
-        return pd.DataFrame(
-            [
-                {
-                    "tile_key": tile_key,
-                    "cell_type": dtype,
-                    "cols": ts,
-                    "rows": ts,
-                    "data": grid.tobytes(),
-                    "mask": mask.astype(np.uint8).tobytes(),
-                }
-            ]
-        )
+    # JVM-side grouping (collect_list of one struct keeps cell/value rows
+    # aligned), then ONE mapInPandas batch burns MANY tiles: the r7
+    # groupBy().applyInPandas paid a per-group pandas round-trip (~2 ms x
+    # one group per tile — half the rasterize wall time at sf0.1). The
+    # scatter into the grid is order-independent (cells are unique per
+    # tile after the per-cell aggregate), so tile bytes are identical.
+    packed = with_tile.groupBy("tile_key").agg(
+        F.collect_list(F.struct("cell", "v")).alias("cv")
+    )
 
-    return with_tile.groupBy("tile_key").applyInPandas(burn, TILE_OUT_SCHEMA)
+    def burn_batch(it):
+        cols = ["tile_key", "cell_type", "cols", "rows", "data", "mask"]
+        for pdf in it:
+            rows = []
+            for tile_key, cv in zip(pdf["tile_key"], pdf["cv"]):
+                grid = np.zeros((ts, ts), dtype=np_dtype)
+                mask = np.zeros((ts, ts), dtype=bool)
+                cells = np.fromiter((e["cell"] for e in cv), np.int64, len(cv))
+                vals = np.fromiter((e["v"] for e in cv), np.float64, len(cv))
+                iy = cells // n
+                ix = cells - iy * n
+                ly, lx = iy % ts, ix % ts
+                grid[ly, lx] = vals.astype(np_dtype)
+                mask[ly, lx] = True
+                rows.append(
+                    {
+                        "tile_key": int(tile_key),
+                        "cell_type": dtype,
+                        "cols": ts,
+                        "rows": ts,
+                        "data": grid.tobytes(),
+                        "mask": mask.astype(np.uint8).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return packed.mapInPandas(burn_batch, TILE_OUT_SCHEMA)
 
 
 PARTIAL_SCHEMA = StructType(
@@ -148,7 +160,13 @@ def zonal_stats(
         iy, ix = np.divmod(fine, n)
         tkeys = np.unique((iy >> tn_shift) * tn + (ix >> tn_shift))
         rows.extend((int(p["poly_id"]), int(t)) for t in tkeys.tolist())
-    ztiles = spark.createDataFrame(rows, "poly_id INT, tile_key BIGINT")
+    # Arrow-backed LocalRelation (not a pickled Python RDD): the cover list
+    # is driver-side metadata; the RDD form scheduled Python-worker tasks
+    # just to broadcast a few hundred pairs
+    ztiles = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["poly_id", "tile_key"]),
+        "poly_id INT, tile_key BIGINT",
+    )
     cand = tiles.join(F.broadcast(ztiles), "tile_key")
 
     rings = {int(p["poly_id"]): np.asarray(p["ring"], np.float64) for p in polygons}
@@ -507,7 +525,7 @@ def zonal_histogram(
         iy, ix = np.divmod(fine, n)
         tkeys = np.unique((iy >> tile_shift) * tn + (ix >> tile_shift))
         rows.extend((int(p["poly_id"]), int(t)) for t in tkeys.tolist())
-    ztiles = spark.createDataFrame(rows, "poly_id INT, tile_key BIGINT")
+    ztiles = local_df(spark, rows, "poly_id INT, tile_key BIGINT")
     cand = tiles.join(F.broadcast(ztiles), "tile_key")
 
     rings = {int(p["poly_id"]): np.asarray(p["ring"], np.float64) for p in polygons}

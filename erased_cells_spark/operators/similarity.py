@@ -18,6 +18,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from erased_cells_spark.operators.buckets import LSH_BUCKET_CAP, salt_hot_buckets
+from erased_cells_spark.plans.tuning import local_df
 
 
 def _dot(a, b):
@@ -393,7 +394,7 @@ def pq_ann_topk(
         qv = np.asarray(q[q_vec_col], dtype=np.float64).reshape(m_sub, dsub)
         lut = ((qv[:, None, :] - cb) ** 2).sum(-1)  # (M, K)
         lut_rows.append((int(q[q_id_col]), [[float(v) for v in row] for row in lut]))
-    lut_df = spark.createDataFrame(lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
+    lut_df = local_df(spark, lut_rows, "q_id LONG, lut ARRAY<ARRAY<DOUBLE>>")
     adist = F.aggregate(
         F.zip_with("codes", "lut", lambda c, l: F.element_at(l, c + F.lit(1))),
         F.lit(0.0),

@@ -30,6 +30,7 @@ from erased_cells_spark.operators.dedup import (
 from erased_cells_spark.operators.knn import knn_join
 from erased_cells_spark.operators.pip import pip_join
 from erased_cells_spark.operators.raster import rasterize_points, zonal_stats
+from erased_cells_spark.plans.tuning import local_df
 from erased_cells_spark.operators.similarity import ann_lsh_topk, cosine_topk
 from erased_cells_spark.spatial.geom import make_polygon_fixtures
 
@@ -852,8 +853,8 @@ def events_window_interval_join(spark, sf_dir):
     from erased_cells_spark.operators.interval import interval_join, time_window_fixtures
 
     e = t(spark, sf_dir, "events").select("ts", "value")
-    win = spark.createDataFrame(
-        [(w, lo, hi) for w, lo, hi in time_window_fixtures()], "w_id INT, t_lo STRING, t_hi STRING"
+    win = local_df(
+        spark, [(w, lo, hi) for w, lo, hi in time_window_fixtures()], "w_id INT, t_lo STRING, t_hi STRING"
     ).select("w_id", F.col("t_lo").cast("timestamp_ntz"), F.col("t_hi").cast("timestamp_ntz"))
     j = interval_join(e, win, ts_col="ts", lo_col="t_lo", hi_col="t_hi")
     return (
@@ -1675,7 +1676,7 @@ def zonal_raster_box_stats(spark, sf_dir):
         "poly_id", "z_min", "z_max", "z_sum", "z_count",
         F.round(F.col("z_mean"), 6).alias("z_mean_r"),
     )
-    zones = spark.createDataFrame(_BOXES, "poly_id INT, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE")
+    zones = local_df(spark, _BOXES, "poly_id INT, x0 DOUBLE, y0 DOUBLE, x1 DOUBLE, y1 DOUBLE")
     cond = (
         (F.col("lon") >= F.col("x0"))
         & (F.col("lon") < F.col("x1"))
@@ -2417,8 +2418,9 @@ def radius_join_docs(spark, sf_dir):
         rk = int(math.ceil(max(lat_cells, lon_cells))) + 1
         for key in _query_ring_keys(q["lon"], q["lat"], res, -1, min(rk, n)).tolist():
             rows.append((q["q_id"], int(key)))
-    qcells = spark.createDataFrame(rows, "q_id INT, cell BIGINT")
-    qmeta = spark.createDataFrame(
+    qcells = local_df(spark, rows, "q_id INT, cell BIGINT")
+    qmeta = local_df(
+        spark,
         [(q["q_id"], q["lon"], q["lat"]) for q in _KNN_QUERIES],
         "q_id INT, q_lon DOUBLE, q_lat DOUBLE",
     )
@@ -2547,7 +2549,7 @@ def media_phash_dups(spark, sf_dir):
     rows = [
         {**r, "payload": bytearray(r["payload"])} for r in phash_fixture_rows(64, seed=5)
     ]
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    media = local_df(spark, rows, MEDIA_SCHEMA)
     # hot_report must stay empty — the oracle replays ALL-PAIRS hamming, and
     # block-index recall is full only while no block exceeds the cap.
     caches: list = []
