@@ -430,7 +430,7 @@ def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     occurrence equals summing cnt-weighted votes per distinct word, so the
     signature is identical to the r7 two-shuffle form while the only
     shuffle carries 17 packed longs per doc."""
-    words = _spread(docs).select(
+    words = _spread(docs, slice_bytes=256 << 10).select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("w")
     )
     # ONE shuffle total (r8, guide §2.4): hash every occurrence MAP-SIDE and

@@ -192,3 +192,65 @@ class TestRefresh:
         idx.refresh(spark, src)
         full = self._full_rebuild(spark, tmp_path, src, cent, cb)
         assert self._index_rows(spark, idx) == self._index_rows(spark, full)
+
+
+class TestLshPostings:
+    """r8: the LSH serve path reads a bucket-partitioned POSTINGS table
+    with zone-map pruning instead of full-scanning + exploding the index."""
+
+    def test_lsh_probe_is_partition_pruned(self, spark, tmp_path):
+        # 256 buckets (n_planes=8) -> 64 bucket groups; one query at
+        # probe_depth=1 probes 9 buckets, so the read must open a small
+        # fraction of the postings partitions
+        vecs = make_vecs(300, seed=9)
+        src = src_table(spark, tmp_path, range(300), vecs)
+        e = src.read(spark)
+        cent = train_ivf_centroids(e, n_lists=4, seed=11)
+        cb = train_pq_codebooks(e, m_sub=4, n_codes=8, seed=11)
+        idx = AnnIndex(str(tmp_path / "ann8"))
+        idx.build(
+            spark, e, centroids=cent, codebooks=cb, n_tables=1, n_planes=8,
+            seed=7, dim=DIM, src_snapshot=src.metrics()["snapshot_id"],
+        )
+        q = queries_df(spark, [0], vecs[:1])
+        got = idx.lsh_topk(spark, q, k=5, probe_depth=1).collect()
+        want = ann_lsh_topk(
+            e, q, k=5, dim=DIM, n_planes=8, probe_depth=1
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        scan = idx.last_probe_scan
+        assert scan["partitions_read"] < scan["partitions_total"], scan
+        assert scan["partitions_read"] <= scan["buckets_probed"], scan
+
+    def test_refresh_maintains_postings(self, spark, built, tmp_path):
+        # append + delete window: LSH serving from the refreshed postings
+        # must equal a rebuilt index (and the legacy full-scan path)
+        idx, src, e, cent, cb, vecs = built
+        new = make_vecs(30, seed=21) + 0.05
+        df = emb_df(spark, range(200, 230), new).withColumn(
+            "part", F.concat(F.lit("b1-"), (F.col("vec_id") % 4).cast("string"))
+        )
+        src.write_partitions(df, "part", df.select("part"))
+        drop = emb_df(spark, [5, 17], vecs[[5, 17]]).select("vec_id")
+        src.delete_keys(spark, drop, "vec_id")
+        idx.refresh(spark, src)
+        q = queries_df(spark, [0, 1], vecs[:2])
+        got = idx.lsh_topk(spark, q, k=5, probe_depth=2).collect()
+        want = ann_lsh_topk(
+            src.read(spark), q, k=5, dim=DIM, n_planes=4, probe_depth=2
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_pre_postings_index_stays_on_legacy_path(self, spark, built):
+        # simulate an r7-era index: postings dir removed after build
+        import shutil
+
+        idx, src, e, cent, cb, vecs = built
+        shutil.rmtree(idx.postings.path)
+        assert not idx._has_postings()
+        q = queries_df(spark, [0, 1], vecs[:2])
+        got = idx.lsh_topk(spark, q, k=5, probe_depth=2).collect()
+        want = ann_lsh_topk(
+            e, q, k=5, dim=DIM, n_planes=4, probe_depth=2
+        ).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
