@@ -1339,8 +1339,12 @@ def curation_keep_list(spark, sf_dir):
     training run would keep. Every stage has an exact SQL twin; the oracle
     composes them (recursive CTE for the dup clusters)."""
     from erased_cells_spark.operators.components import connected_components
+    from erased_cells_spark.operators.dedup import _spread
 
-    d = t(spark, sf_dir, "documents")
+    # spread BEFORE the predicate scan: the lang/quality filter is the
+    # pipeline's most expensive per-row stage and a small table's single
+    # scan split would run it serially (r8; no-op at real scale)
+    d = _spread(t(spark, sf_dir, "documents"), slice_bytes=128 << 10)
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"
     ) % 100
