@@ -34,26 +34,31 @@ def bm25_scores(
         F.size(F.split(F.col(text_col), " ")).alias("dl"),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     )
-    stats = docs.select(
-        F.count("*").alias("n"),
-        F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = stats.n, stats.avgdl
+    # corpus stats as a broadcast 1-row relation instead of a BLOCKING
+    # driver collect (r8, guide §5): the stats scan still happens, but it
+    # rides the same Spark job as the scoring plan instead of serializing
+    # a separate action before it; n/avgdl enter the arithmetic as columns
+    # holding the identical double values the literals held
+    stats_df = docs.select(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.size(F.split(F.col(text_col), " "))).alias("__avgdl"),
+    )
     hits = words.filter(F.col("w").isin(terms))
     tf = hits.groupBy("id", "dl", "w").agg(F.count("*").alias("tf"))
-    df_ = (
-        tf.groupBy("w")
-        .agg(F.countDistinct("id").alias("df"))
+    df_ = tf.groupBy("w").agg(F.countDistinct("id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats_df))
         .withColumn(
             "idf",
-            F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+            F.log((F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
         )
-    )
-    scored = tf.join(F.broadcast(df_), "w").withColumn(
-        "term_score",
-        F.col("idf")
-        * (F.col("tf") * (k1 + 1))
-        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))),
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("__avgdl"))),
+        )
     )
     return (
         scored.groupBy("id")
