@@ -1593,7 +1593,10 @@ class SnapshotTable:
         source the map from an already-resolved manifest (branch reads)."""
         if man_parts is None:
             man_parts = self.manifest(snapshot_id)["partitions"]
-        dim = spark.createDataFrame(
+        from erased_cells_spark.plans.tuning import local_df
+
+        dim = local_df(
+            spark,
             [(m["path"], int(m.get("seq", 0))) for m in man_parts.values()],
             "__dir string, __seq long",
         )
@@ -2348,7 +2351,9 @@ class SnapshotTable:
             )
             for s in self.snapshots()
         ]
-        return spark.createDataFrame(
+        from erased_cells_spark.plans.tuning import local_df as __local_df
+
+        return __local_df(spark, 
             rows,
             "snapshot_id LONG, committed_at_s STRING, operation STRING, "
             "n_partitions LONG, total_rows LONG",
@@ -2371,7 +2376,9 @@ class SnapshotTable:
             )
             for k, m in self.manifest(snapshot_id)["partitions"].items()
         ]
-        return spark.createDataFrame(
+        from erased_cells_spark.plans.tuning import local_df as __local_df
+
+        return __local_df(spark, 
             rows,
             "lineage STRING, spec STRING, rows LONG, bytes LONG, n_files LONG, "
             "seq LONG, path STRING",
@@ -2401,7 +2408,9 @@ class SnapshotTable:
                         int(os.path.getsize(f)),
                     )
                 )
-        return spark.createDataFrame(
+        from erased_cells_spark.plans.tuning import local_df as __local_df
+
+        return __local_df(spark, 
             rows, "lineage STRING, file STRING, rows LONG, bytes LONG"
         )
 
