@@ -56,7 +56,20 @@ def main() -> None:
 
     fn = SPARK_QUERIES[name]
     # warmup at sf0.001 (same as bench)
-    fn(spark, "/root/testdata/sf0.001").count()
+    if os.environ.get("PROFILE_PRELUDE"):
+        # reproduce the full-bench session context: warm every headline
+        # query at sf0.001, then run the timed queries preceding `name`
+        import bench
+
+        for nm in bench.HEADLINE:
+            SPARK_QUERIES[nm](spark, "/root/testdata/sf0.001").count()
+        for nm in bench.HEADLINE:
+            if nm == name:
+                break
+            for _ in range(3):
+                SPARK_QUERIES[nm](spark, sf_dir).count()
+    else:
+        fn(spark, "/root/testdata/sf0.001").count()
 
     marks = []
     for lap in range(laps):
