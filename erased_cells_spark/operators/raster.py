@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 from erased_cells_spark.cells import CellBuffer, CellType, Mask, MaskedCellBuffer
 from erased_cells_spark.operators.cells_expr import cell_key_expr
 from erased_cells_spark.operators.pip import polygon_cover_keys
+from erased_cells_spark.plans.tuning import local_df
 from erased_cells_spark.spatial.geom import points_in_ring
 
 TILE_OUT_SCHEMA = StructType(
