@@ -41,10 +41,10 @@ def ngram_overlap_flags(
         .distinct()
     )
     # _spread: a larger parquet train table can arrive as 1 split and would
-    # serialize the gram explode on one core; 256 KB slices reflect the
-    # 13-gram shingle expression's per-byte cost (heavier than a plain
-    # scan, lighter than the MinHash signature UDF)
-    tr = _spread(train, slice_bytes=256 << 10).select(
+    # serialize the gram explode on one core; 64 KB slices reflect the
+    # 13-gram shingle expression's per-byte cost (~14x a plain scan — the
+    # same compute-intensity tier as the MinHash signature UDF)
+    tr = _spread(train, slice_bytes=64 << 10).select(
         F.col(id_col).alias("train_id"),
         F.explode(shingles_expr(F.col(text_col), n)).alias("g"),
     )
