@@ -422,16 +422,25 @@ def knn_join_df(
         cell_key_expr(F.col(lon_col), F.col(lat_col), res).alias("cell"),
     ).cache()
 
-    # fail-loud input contract, one tiny agg job: duplicate q_ids would
-    # silently MERGE two queries' ring state and mix their rankings; NULL
-    # ids/coordinates would hang a query until the max_rounds raise
-    chk = queries.agg(
+    # fail-loud input contract: duplicate q_ids would silently MERGE two
+    # queries' ring state and mix their rankings; NULL ids/coordinates
+    # would hang a query until the max_rounds raise. The contract agg and
+    # the density count (below) ride ONE Spark job — the cross join of two
+    # 1-row aggregates — instead of two serialized driver actions (r8);
+    # the points side of that job is the cache materialization round 1
+    # needs anyway.
+    qagg = queries.agg(
         F.count("*").alias("n"),
         F.count(q_id_col).alias("n_id"),
         F.countDistinct(q_id_col).alias("n_dist"),
         F.count(q_lon_col).alias("n_lon"),
         F.count(q_lat_col).alias("n_lat"),
-    ).collect()[0]
+    )
+    if points_count is None:
+        chk = qagg.crossJoin(pts.agg(F.count("*").alias("n_pts"))).collect()[0]
+        points_count = chk.n_pts
+    else:
+        chk = qagg.collect()[0]
     if chk.n_id < chk.n or chk.n_lon < chk.n or chk.n_lat < chk.n:
         raise ValueError(
             f"knn_join_df: queries contain NULLs ({chk.n - chk.n_id} ids, "
